@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Defaults are tuned so the same code is correct on ``local[32]`` for tests
+and on a 1000-executor cluster for production:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join selection);
+- shuffle partitions sized for the local box (clusters override via
+  spark-submit conf — AQE coalesces the excess either way);
+- UTC session timezone so results compare cleanly against the DuckDB
+  oracle (DuckDB timestamps are naive/UTC);
+- Arrow enabled for any pandas interchange (vectorized, not per-row pickle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "etl-data-peri-institute-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession with scale-aware defaults."""
+    cpus = int(_DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
