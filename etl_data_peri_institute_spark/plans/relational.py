@@ -1,1 +1,564 @@
-"""(filled in incrementally)"""
+"""Full relational operator surface (north star; absent from the reference).
+
+SURVEY.md §2.3-§2.6 records that the reference has no general joins, no
+group-by aggregation, no window functions, no sorts, and only a union —
+this module supplies the complete surface as declarative Spark plans:
+window functions (ranking/offset/frames), set operations, multi-dim
+aggregation (cube/rollup/grouping sets), pivot, subqueries, and
+statistical aggregates. Every query has a DuckDB oracle twin.
+
+Determinism discipline: every window ORDER BY and top-k carries a unique
+tiebreak key (event_id / orderkey) so both engines produce identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_topk_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                     ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ) t
+    WHERE rn <= 3 AND c_custkey < 100
+    ORDER BY c_custkey, rn
+    """,
+)
+def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number over a desc window + filter.
+
+    The canonical top-k-per-group: one shuffle on the partition key, no
+    global sort. At scale, the `rn <= 3` filter runs inside the window
+    stage (Spark pushes the limit via WindowGroupLimit in recent versions).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("c_custkey") < 100))
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "w_running_revenue_per_supplier",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+    FROM lineitem
+    WHERE l_suppkey < 5
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def w_running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame over a unique ordering."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_extendedprice").over(w), 2).alias("running_rev"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "w_lag_lead_user_events",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(coalesce(date_diff('second', lag(ts) OVER w, ts), -1) AS BIGINT) AS secs_since_prev
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def w_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset functions + time delta vs previous event."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.coalesce(
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))),
+                F.lit(-1),
+            ).cast("long").alias("secs_since_prev"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w_rank_dense_ntile",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4)     OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank
+    FROM part
+    WHERE p_partkey < 400
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank, dense_rank, ntile, percent_rank."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
+    "w_first_last_value",
+    oracle="""
+    SELECT user_id,
+           min(first_et) AS first_type, min(last_et) AS last_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_et,
+             last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_et
+      FROM events WHERE user_id < 50
+    ) t
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def w_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with full-partition frames, folded per user."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_et"),
+            F.last("event_type").over(w).alias("last_et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("first_et").alias("first_type"),
+            F.min("last_et").alias("last_type"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s_union_all_priorities",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    ORDER BY o_orderkey
+    """,
+)
+def s_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of two filtered scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderpriority")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b).orderBy("o_orderkey")
+
+
+@query(
+    "s_intersect_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY custkey
+    """,
+)
+def s_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both finished and open orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o).orderBy("custkey")
+
+
+@query(
+    "s_except_customers_no_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def s_except_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers that never placed an order."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.exceptAll(ordered.distinct()).distinct().orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "a_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in one pass (Expand + partial agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "a_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "a_pivot_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a_pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra pass to discover values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)  AS sd_qty,
+           round(var_samp(l_quantity), 4)     AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(min(l_extendedprice), 2)     AS min_price,
+           round(max(l_extendedprice), 2)     AS max_price,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates + distinct agg (two-phase distinct rewrite)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a_having_filter",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 20
+    ORDER BY o_custkey
+    """,
+)
+def a_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("n_orders") >= 20)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / joins beyond equi
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def j_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join by both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j_not_in_anti",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+    ORDER BY s_suppkey
+    """,
+)
+def j_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN → left-anti join (null-safe: l_suppkey is non-null here)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    hot = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49).select("l_suppkey")
+    return (
+        supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_anti")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "j_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def j_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (broadcast of a 1-row aggregate)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "j_full_outer",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS nationkey,
+           CAST(coalesce(a.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(b.n_supp, 0) AS BIGINT) AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) b
+      ON a.k = b.k
+    ORDER BY nationkey
+    """,
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with coalesced keys."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "j_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r.r_name, s.o_orderstatus
+    ORDER BY r_name, o_orderstatus
+    """,
+)
+def j_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (BroadcastNestedLoopJoin)."""
+    region = load_table(spark, sf_dir, "region")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        region.crossJoin(statuses)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@query(
+    "j_range_join_band",
+    oracle="""
+    SELECT p.p_partkey, b.bucket_id
+    FROM part p
+    JOIN (VALUES (0, 0.0, 950.0), (1, 950.0, 1050.0), (2, 1050.0, 100000.0))
+         AS b(bucket_id, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    WHERE p.p_partkey < 200
+    ORDER BY p_partkey, bucket_id
+    """,
+)
+def j_range_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join against interval boundaries.
+
+    Spark has no native range-join operator; with a small interval table a
+    broadcast nested-loop join with range predicates is the right plan
+    (each row tests k intervals). For large interval tables the scale path
+    is bucketizing both sides and equi-joining on bucket (see
+    operators/asof.py).
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 950.0), (1, 950.0, 1050.0), (2, 1050.0, 100000.0)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_retailprice >= buckets.lo) & (part.p_retailprice < buckets.hi),
+        )
+        .select("p_partkey", "bucket_id")
+        .orderBy("p_partkey", "bucket_id")
+    )
