@@ -1,1 +1,604 @@
-"""(filled in incrementally)"""
+"""LLM-training-data pipeline operators (north star, BASELINE.json).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search over embeddings (brute-force KNN, centroid/IVF assignment), and
+text analysis (token counting, quality scoring, language ID, document
+fingerprinting) — each as a declarative Spark plan over the synthetic
+``documents`` / ``embeddings`` tables with a DuckDB oracle twin.
+
+Cross-engine determinism notes:
+
+- All hashing is md5 (identical hex output in Spark and DuckDB); MinHash
+  "hash functions" are lexicographic mins of seeded md5 hex strings.
+- Shingling uses 1-indexed element access (Spark ``element_at`` == DuckDB
+  ``list[i]``) over a single-space ``split``.
+- Similarity queries output integer ranks/ids only — float cosine values
+  never enter the hash compare, so summation-order ulp noise can't flip
+  a result (only a near-exact tie could, and random vectors don't tie).
+
+Scale design: everything is shuffle-on-key. MinHash LSH is the linear-
+cost path (band signature groupBy — no O(n²) pair join ever materializes
+beyond colliding buckets); brute-force KNN is the small-query-set
+baseline (broadcast the queries, one pass over the corpus); the pairwise
+Jaccard verifier only runs on LSH candidates at scale (here it doubles
+as its own oracle-checked operator on a bounded doc range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+N_MINHASH = 8  # 4 bands x 2 rows: P(candidate) = 1-(1-j^2)^4
+
+
+def _words(df: DataFrame) -> DataFrame:
+    """documents -> (doc_id, w: array<string>) split on single spaces."""
+    return df.select("doc_id", F.split("text", " ").alias("w"))
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """documents -> distinct (doc_id, sh) word n-gram shingles.
+
+    Pure column expressions: sequence + transform + explode (no UDF).
+    """
+    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at("w", i + k) for k in range(n)]),
+    )
+    return (
+        _words(df)
+        .filter(F.size("w") >= n)
+        .select("doc_id", F.explode(gram).alias("sh"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+
+    The corpus is augmented with a duplicated slice so the dedup actually
+    collapses rows. At 100 TB this is one shuffle on the 128-bit content
+    hash (never on the text itself) with map-side partial aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = docs.select("doc_id", "text").unionByName(dupes.select("doc_id", "text"))
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, m0..m{n-1}) MinHash signature via seeded-md5 string mins.
+
+    A lexicographic min over ``md5(seed || shingle)`` is a valid MinHash
+    family (each seed is an independent random permutation of shingle
+    space). Strings keep it engine-portable; production would map to
+    ``xxhash64`` for compactness — same plan shape.
+    """
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "d_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: shingle → MinHash → band → bucket self-join.
+
+    The LSH scale path: cost is linear in corpus size plus the size of
+    colliding buckets — the O(n²) pair space is never enumerated. Bands
+    are unpivoted with stack() and the self-join key is (band, signature),
+    so Spark shuffles both sides on the bucket key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, concat(m0, m1), 1, concat(m2, m3), "
+            "2, concat(m4, m5), 3, concat(m6, m7)) AS (band, sig)"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common * 1.0 / (ca.n + cb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) > 0.1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.1).
+
+    The verification stage behind LSH: intersections come from a shuffle
+    join on the shingle itself, so only docs sharing a shingle ever pair
+    up (common-shingle skew is the known hazard at scale — salt or drop
+    ultra-frequent shingles; here the synthetic vocab keeps it bounded).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac > 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _hex4_to_int_sql(expr: str) -> str:
+    """Engine-portable int value of a 4-hex-char expression (both Spark SQL
+    and DuckDB have 1-based ``instr`` and ``substr``)."""
+    digit = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return " + ".join(
+        f"{digit.format(h=expr, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    """Shared SQL body for the 16-bit SimHash (dialect-common subset).
+
+    Per word occurrence: v = int(md5(word)[:4]); per bit k the weighted
+    vote is +1/-1; the fingerprint sets bit k iff the vote sum is > 0.
+    """
+    v = _hex4_to_int_sql("md5(word)")
+    # floor() before the modulo: DuckDB CAST(double AS BIGINT) rounds while
+    # Spark truncates — floor is the dialect-portable integer division.
+    bit_votes = ", ".join(
+        f"sum(CASE WHEN CAST(floor(({v}) / {1 << k}) AS BIGINT) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(_SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
+    )
+    return bit_votes, fingerprint
+
+
+@query(
+    "d_simhash",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {votes} FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """.format(votes=_simhash_sql()[0], fp=_simhash_sql()[1]),
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) document fingerprints.
+
+    Near-dup docs differ in few bits (pairing = group by fingerprint or
+    hamming-ball probing over bit-rotated keys). Integer bit arithmetic
+    only — expressible in both engines; production widens to 64 bits via
+    xxhash64.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    votes, fp = _simhash_sql()
+    return spark.sql(
+        f"""
+        WITH tokens AS (
+          SELECT doc_id, explode(split(text, ' ')) AS word FROM documents
+        ),
+        votes AS (
+          SELECT doc_id, {votes} FROM tokens GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+        FROM votes
+        ORDER BY doc_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS re_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + BPE-ish regex token runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("ws_tokens"),
+            F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             round(avg(length(word)), 4) AS avg_word_len,
+             round(sum(CASE WHEN word IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4) AS stopword_ratio,
+             round(count(DISTINCT word) * 1.0 / count(*), 4) AS distinct_ratio
+      FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, avg_word_len, stopword_ratio, distinct_ratio,
+           CAST((CASE WHEN n_words >= 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END)
+              + (CASE WHEN distinct_ratio >= 0.1 THEN 1 ELSE 0 END)
+              + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
+                      THEN 1 ELSE 0 END) AS INT) AS quality_tier
+    FROM stats
+    ORDER BY doc_id
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, stopword ratio, lexical diversity.
+
+    The standard pre-training filter features (Gopher/C4-style rules) as
+    one aggregation pass over exploded tokens; the composite is a count
+    of passed rule thresholds (an integer tier — threshold comparisons on
+    identical doubles are engine-stable, unlike rounding a weighted sum
+    whose decimal expansion lands on round-half boundaries).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    stats = tokens.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+        F.round(
+            F.sum(F.col("word").isin(*_STOPWORDS).cast("int")) / F.count("*"), 4
+        ).alias("stopword_ratio"),
+        F.round(F.countDistinct("word") / F.count("*"), 4).alias("distinct_ratio"),
+    )
+    tier = (
+        (F.col("n_words") >= 50).cast("int")
+        + (F.col("stopword_ratio") >= 0.02).cast("int")
+        + (F.col("distinct_ratio") >= 0.1).cast("int")
+        + ((F.col("avg_word_len") >= 3.0) & (F.col("avg_word_len") <= 10.0)).cast("int")
+    )
+    return stats.withColumn("quality_tier", tier.cast("int")).orderBy("doc_id")
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+}
+
+
+@query(
+    "t_langid",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             {scores}
+      FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scores
+    ORDER BY doc_id
+    """.format(
+        scores=", ".join(
+            "CAST(sum(CASE WHEN word IN {m} THEN 1 ELSE 0 END) AS BIGINT) AS s_{k}".format(
+                m=m, k=k
+            )
+            for k, m in _LANG_MARKERS.items()
+        )
+    ),
+)
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-marker voting with deterministic tie order.
+
+    An n-gram/marker heuristic (fastText-style features degenerated to
+    unigram markers); ties resolve en > es > de > fr, no markers → 'und'.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    aggs = [
+        F.sum(F.col("word").isin(*m).cast("int")).cast("long").alias(f"s_{k}")
+        for k, m in _LANG_MARKERS.items()
+    ]
+    scores = tokens.groupBy("doc_id").agg(*aggs)
+    best = F.greatest(*[F.col(f"s_{k}") for k in _LANG_MARKERS])
+    pred = F.when(best == 0, "und")
+    for k in _LANG_MARKERS:
+        pred = pred.when(F.col(f"s_{k}") == best, k)
+    return scores.select("doc_id", pred.alias("predicted_lang")).orderBy("doc_id")
+
+
+@query(
+    "t_fingerprint",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    )
+    SELECT d.doc_id,
+           md5(lower(trim(d.text))) AS content_md5,
+           s.min_shingle_hash
+    FROM documents d
+    JOIN (SELECT doc_id, min(md5(sh)) AS min_shingle_hash FROM shingles GROUP BY doc_id) s
+      ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash + min-shingle (winnowing
+    degenerate case) — the building blocks for both exact and fuzzy dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    mins = _shingles(docs).groupBy("doc_id").agg(F.min(F.md5("sh")).alias("min_shingle_hash"))
+    return (
+        docs.join(mins, "doc_id")
+        .select("doc_id", F.md5(F.lower(F.trim("text"))).alias("content_md5"), "min_shingle_hash")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, in doubles.
+
+    Built-in higher-order functions only (zip_with + aggregate): stays in
+    the JVM, no UDF, vectorizes under whole-stage codegen.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+@query(
+    "e_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                  i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             AS cos_sim
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id
+    FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM sims) t
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def e_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for a small query set.
+
+    The exact baseline: broadcast the queries, one scan of the corpus,
+    per-query top-k via window. At 100 TB the corpus side stays
+    partitioned; only ranks/ids are output (floats never reach the
+    compare). The ANN scale path is e_ivf_assign-style bucketing.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = pairs.select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "e_ivf_assign",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY label, pos
+    ),
+    dots AS (
+      SELECT p.vec_id, c.c_label,
+             sum(p.val * c.cval) AS dot,
+             sqrt(sum(p.val * p.val)) AS vn,
+             sqrt(sum(c.cval * c.cval)) AS cn
+      FROM pos p JOIN centroids c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.c_label
+    )
+    SELECT vec_id, assigned_label, CAST(n_probe AS INT) AS n_probe
+    FROM (
+      SELECT vec_id, c_label AS assigned_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / (vn * cn) DESC, c_label) AS rn,
+             count(*) OVER (PARTITION BY vec_id) AS n_probe
+      FROM dots
+    ) t
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def e_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: assign each vector to the nearest
+    label-centroid by cosine.
+
+    The index-build step of IVF ANN: centroids are tiny (k x dim) and
+    broadcast; assignment is one pass over the corpus. Implemented by
+    position-exploding vectors so centroid averaging and dot products are
+    plain aggregations — no UDF, scales to any dimension.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    centroids = pos.groupBy(F.col("label").alias("c_label"), "pos").agg(F.avg("val").alias("cval"))
+    dots = (
+        pos.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc(F.col("dot") / (F.col("vn") * F.col("cn"))), F.asc("c_label")
+    )
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_probe", F.count("*").over(W.partitionBy("vec_id")).cast("int"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned_label"), "n_probe")
+        .orderBy("vec_id")
+    )
