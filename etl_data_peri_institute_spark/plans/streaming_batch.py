@@ -1,1 +1,136 @@
-"""(filled in incrementally)"""
+"""Time-window operators over the events stream table.
+
+Tumbling / sliding / session windows — the Structured Streaming operator
+set (SURVEY.md §2.9 north star), each expressed with the same built-in
+window functions a streaming query would use, plus one entry that runs a
+REAL ``readStream`` pipeline to completion (same oracle: a bounded
+stream's complete-mode result equals the batch aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "st_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (epoch-aligned, same buckets
+    as date_trunc for whole-hour widths)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n_events", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "st_sliding_window",
+    oracle="""
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1800)) AS t(off)),
+    slid AS (
+      SELECT CAST(to_timestamp(
+               CAST(floor((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off
+             ) AS TIMESTAMP) AS win_start,
+             value
+      FROM events, offsets
+    )
+    SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM slid
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour wide, 30 min slide) — each event lands in 2
+    overlapping windows (Spark expands via Expand, the oracle via an
+    offset cross join; both epoch-aligned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("win_start"), "n_events", "total_value")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "st_session_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via F.session_window.
+
+    Spark's native session windows (merging state op in streaming, window
+    merge in batch); the oracle derives identical sessions with the
+    classic lag + gap-flag + running-sum construction.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "st_streaming_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def st_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming: readStream → watermark → tumbling window
+    → memory sink, driven to completion. Complete-mode result over a
+    bounded stream equals the batch aggregation, so the same oracle
+    applies — the driver's hash compare covers the streaming runtime."""
+    from ..streaming.windows import tumbling_counts
+
+    return tumbling_counts(spark, sf_dir).orderBy("win_start", "event_type")
