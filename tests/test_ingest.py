@@ -1,0 +1,77 @@
+"""Ingest-layer tests (SURVEY.md §5.4): header offset/repair, fuzzy
+rename, empty-row drop, row-index order, plus property tests."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_data_peri_institute_spark.sources.grid import (
+    PAGOS_CANONICAL,
+    fuzzy_rename,
+    grid_to_df,
+    repair_header,
+)
+from tests.fixtures import CURSOS_GRID, PAGOS_GRID
+
+
+def test_header_at_row_2(spark):
+    df = grid_to_df(spark, CURSOS_GRID, header_row=2)
+    assert df.columns[:3] == ["CÓDIGO_C", "NOMBRE_C", "I1"]
+    assert "_row_idx" in df.columns
+
+
+def test_all_empty_rows_dropped(spark):
+    df = grid_to_df(spark, CURSOS_GRID, header_row=2)
+    assert df.count() == 4  # 5 data rows minus the all-empty one
+
+
+def test_row_idx_preserves_sheet_order(spark):
+    df = grid_to_df(spark, CURSOS_GRID, header_row=2)
+    rows = df.orderBy("_row_idx").select("CÓDIGO_C").collect()
+    assert [r[0] for r in rows] == ["P101", "P102", "P103", "P101"]
+
+
+def test_header_at_row_6_with_fuzzy_rename(spark):
+    df = grid_to_df(spark, PAGOS_GRID, header_row=6, canonical=PAGOS_CANONICAL)
+    assert "Fecha de pago" in df.columns  # 'fecha_pago' renamed
+    assert df.count() == 4
+
+
+def test_ensure_missing_column_created_null(spark):
+    grid = [r[:-1] for r in PAGOS_GRID]  # drop the date column entirely
+    df = grid_to_df(
+        spark, grid, header_row=6, canonical=PAGOS_CANONICAL, ensure_columns=("Fecha de pago",)
+    )
+    assert "Fecha de pago" in df.columns
+    assert df.filter(df["Fecha de pago"].isNotNull()).count() == 0
+
+
+def test_too_few_rows_raises(spark):
+    with pytest.raises(ValueError, match="header expected"):
+        grid_to_df(spark, [["only one row"]], header_row=6)
+
+
+def test_repair_header_blank_and_dupes():
+    assert repair_header(["A", "", "A", " B ", "A"]) == ["A", "col_1", "A_1", "B", "A_2"]
+
+
+def test_fuzzy_rename_substring_and_fold():
+    cols = ["FECHA_P", "Monto"]
+    renames = fuzzy_rename(cols, {"Fecha de pago": ["FECHA_P", "fecha_pago"]})
+    assert renames == {"FECHA_P": "Fecha de pago"}
+
+
+@given(
+    st.lists(
+        st.lists(st.one_of(st.just(""), st.text(max_size=6)), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_repair_header_always_unique_nonempty(rows):
+    names = repair_header([str(c) for c in rows[0]])
+    assert len(set(names)) == len(names)
+    assert all(n for n in names)

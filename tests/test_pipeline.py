@@ -1,0 +1,81 @@
+"""End-to-end pipeline test (SURVEY.md §5.3): raw grids → four stored
+tables, FK/required-null audits, upsert overwrite, empty-matriculas
+quirk."""
+
+from __future__ import annotations
+
+from etl_data_peri_institute_spark.pipeline import run_pipeline
+from etl_data_peri_institute_spark.sinks import ParquetStore
+from tests.fixtures import ALL_GRIDS, TARGET_DATE
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    result = run_pipeline(spark, ALL_GRIDS, store, target_date=TARGET_DATE)
+
+    # masters upserted
+    assert result.counts["cursos"] == 3
+    assert result.counts["estudiantes"] == 5
+
+    # matriculas: target-date rows M001(dedup), M002, M005(FK-dropped) → 2
+    mats = store.read("matriculas")
+    keys = {r["codigo_matricula"] for r in mats.collect()}
+    assert keys == {"M001", "M002"}
+    assert result.counts["matriculas"] == 2
+
+    # pagos: primera cuota has NO dedup (reference parity) → both M001 raw
+    # rows pay (100, 120) + M002 (50.5), plus regular M001 120.75;
+    # M999 FK-dropped, M002-regular required-null-dropped
+    pagos = store.read("pagos").collect()
+    assert result.counts["pagos"] == 4
+    pairs = {(r["codigo_matricula"], r["monto_pago"]) for r in pagos}
+    assert pairs == {("M001", 100.0), ("M001", 120.0), ("M002", 50.5), ("M001", 120.75)}
+
+    # audits: matriculas FK (M005/E999) + required-null (M002). The M999
+    # payment never reaches the FK audit — the valid-keys semi-filter
+    # drops it first (reference order: etl/pipeline.py:193-201 before
+    # load's FK check), so no pagos_fk_missing audit is produced here.
+    assert len(result.audits) == 2
+    assert any("matriculas_fk_missing" in p for p in result.audits)
+    assert any("pagos_required_null" in p for p in result.audits)
+
+
+def test_pipeline_upsert_overwrites(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    run_pipeline(spark, ALL_GRIDS, store, target_date=TARGET_DATE)
+
+    # re-run a later day: masters upsert again (same PKs overwrite, count
+    # stays 3/5); no new matriculas/pagos on that date
+    result2 = run_pipeline(spark, ALL_GRIDS, store, target_date="2024-03-20")
+    assert store.read("cursos").count() == 3
+    assert store.read("estudiantes").count() == 5
+    assert result2.counts["matriculas"] == 0
+    assert result2.counts["pagos"] == 0
+
+
+def test_pipeline_same_day_rerun_aborts(spark, tmp_path):
+    """J1 PK guard (etl/load.py:59-85): re-running the same target date
+    must abort the matriculas insert, not double-insert."""
+    import pytest
+
+    from etl_data_peri_institute_spark.operators.integrity import IntegrityError
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    run_pipeline(spark, ALL_GRIDS, store, target_date=TARGET_DATE)
+    with pytest.raises(IntegrityError, match="already present"):
+        run_pipeline(spark, ALL_GRIDS, store, target_date=TARGET_DATE)
+    assert store.read("matriculas").count() == 2  # unchanged
+
+
+def test_pipeline_empty_matriculas_skips_semi_filter(spark, tmp_path):
+    """Reference quirk (etl/pipeline.py:194): with zero matriculas today,
+    regular pagos skip the semi-filter and go straight to the FK check."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    # day one: populate matriculas table
+    run_pipeline(spark, ALL_GRIDS, store, target_date=TARGET_DATE)
+    # day two (2024-03-12): no matriculas rows, but PAGOS_GRID has an
+    # off-date regular payment for M001 on 12/03 — it passes the FK check
+    # against the STORED matriculas despite the empty daily set
+    result = run_pipeline(spark, ALL_GRIDS, store, target_date="2024-03-12")
+    assert result.counts["matriculas"] == 0
+    assert result.counts["pagos"] == 1  # the 12/03 M001 payment
