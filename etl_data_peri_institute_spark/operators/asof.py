@@ -1,0 +1,74 @@
+"""As-of (time-travel) join — an operator Spark lacks natively.
+
+Implemented as the union + window trick (composition of existing
+DataFrame ops, per the engine's custom-operator policy: built-ins before
+Pandas UDFs):
+
+1. tag left (probe) and right (reference) rows and union them on the
+   shared key/time axis;
+2. sort within each key by (time, side) — reference rows first at equal
+   timestamps so backward as-of includes exact matches;
+3. ``last(ref_value, ignorenulls)`` over an unbounded-preceding window
+   carries the most recent reference value forward;
+4. keep only probe rows.
+
+Cost: one shuffle on the key (same as any join) + an in-partition sort —
+no range explosion, no per-row search. Skewed keys behave like any
+window partition (salt if one key dominates). The ``applyInPandas`` /
+``pd.merge_asof`` alternative needs the same shuffle but adds Arrow
+transfer; this stays fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_time] <= left[left_time]`` within the same ``on`` key.
+
+    Output: all left columns + ``{value_col}{suffix}`` for each value col
+    (NULL when no earlier right row exists).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # __side 0 (reference) sorts before 1 (probe) at equal __t → backward
+    # as-of includes exact-timestamp matches
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in value_cols]
+    )

@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata struct
+(modality, format, byte length, content hash). The Spark-side design is
+real and tested — schema, partitioning, Arrow-batched UDF signatures,
+batch shapes — while the actual media decoding is STUBBED: the image/
+audio libraries are not in this container, so ``decode_image_features``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (byte-histogram features) stands in. Swapping
+the stub for Pillow/torchaudio changes one function body, not the plan.
+
+Scale notes: payloads stay columnar in parquet (no driver round-trip);
+``mapInPandas`` streams Arrow batches so a 100 TB corpus decodes at
+executor parallelism with bounded memory (batch size via
+``spark.sql.execution.arrow.maxRecordsPerBatch``); feature extraction
+emits fixed-width arrays, keeping downstream ANN/dedup operators
+columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes int, content_hash string, "
+    "features array<double>"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: payload = utf-8 bytes of the text
+    column (stands in for image/audio bytes), plus the metadata struct
+    every real multimodal pipeline carries."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("raw").alias("format"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("content_hash"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """payload → fixed-width feature vector via Arrow-batched mapInPandas.
+
+    ``fake=False`` raises NotImplementedError from the executors (no
+    media libs in this image). ``fake=True`` uses a deterministic
+    byte-level histogram so the full pipeline (partitioning → Arrow batch
+    → UDF → columnar features) is exercised end-to-end in tests.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode libs not available in this image; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            feats = []
+            for buf in pdf["payload"]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                total = max(int(hist.sum()), 1)
+                feats.append([round(float(h) / total, 6) for h in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "content_hash": [m["content_hash"] for m in pdf["meta"]],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURES_SCHEMA)

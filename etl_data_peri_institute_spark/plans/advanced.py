@@ -1,0 +1,156 @@
+"""Advanced operator surface: multimodal plumbing, Arrow-batched pandas
+operators, approximate sketches, skew-resistant aggregation.
+
+The pandas-UDF entries exist to exercise the engine's documented escape
+hatch (SURVEY.md §2.10: nothing in the reference NEEDS a UDF; these
+demonstrate the Arrow path for operators that genuinely do) — each one
+is cross-validated against a pure-SQL DuckDB oracle where expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "m_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata layer: opaque binary payload + typed metadata
+    (operators/multimodal.py). Payload here is the utf-8 text bytes
+    standing in for image bytes; byte length and content hash compare
+    exactly across engines."""
+    from ..operators.multimodal import attach_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+    ).orderBy("doc_id")
+
+
+@query("m_multimodal_features", oracle=None)
+def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction via mapInPandas (stub decode
+    with the deterministic fake — operators/multimodal.py). Rows-only
+    check: the per-byte histogram is not practically SQL-expressible in
+    the oracle dialect; unit tests pin exact feature values instead."""
+    from ..operators.multimodal import attach_binary_payload, decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(attach_binary_payload(docs), fake=True)
+    return feats.select("doc_id", "n_bytes", "content_hash", "features").orderBy("doc_id")
+
+
+@query(
+    "u_grouped_zscore_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 3) AS zscore
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def u_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via applyInPandas (grouped-map Arrow UDF).
+
+    Deliberately implemented on the pandas path to exercise it — the
+    DuckDB oracle recomputes the same statistic with window functions,
+    cross-validating the Arrow round-trip. (A plain Spark window would
+    also express this; the escape hatch is the point.)
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf):
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)
+        pdf = pdf.assign(zscore=((pdf["value"] - mean) / std).round(3))
+        return pdf[["event_id", "event_type", "zscore"]]
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id bigint, event_type string, zscore double")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "a_salted_skew_agg",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation (salt → partial agg → final).
+
+    For hot grouping keys at 100 TB: stage 1 groups on (key, salt) so a
+    dominant key spreads over N reducers; stage 2 folds the partials.
+    Results must equal the plain groupBy — the oracle is the plain SQL.
+    (AQE's skew handling covers joins; salting is the aggregation-side
+    pattern.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_salt = 16
+    salted = ev.withColumn("__salt", (F.rand(seed=7) * n_salt).cast("int"))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").cast("long").alias("n"), F.round(F.sum("pv"), 2).alias("total"))
+        .orderBy("event_type")
+    )
+
+
+@query("a_approx_sketches", oracle=None)
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HLL++ distinct counts and approximate
+    quantiles. No oracle — the estimates are algorithm-specific (DuckDB's
+    approx functions use different sketch parameters); the companion
+    a_exact_percentile query pins the exact counterparts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "a_exact_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(median(l_quantity), 4) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+    ).orderBy("l_returnflag")

@@ -562,3 +562,44 @@ def j_range_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "bucket_id")
         .orderBy("p_partkey", "bucket_id")
     )
+
+
+@query(
+    "j_asof_backward",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, c.ts AS click_ts_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def j_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for each purchase, the latest click at or
+    before it per user. Spark has no native ASOF operator — implemented
+    as the union + last-ignorenulls window composition in
+    operators/asof.py (one shuffle on the key, no range explosion);
+    DuckDB's native ASOF JOIN is the oracle."""
+    from ..operators.asof import asof_join_backward
+
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["click_ts"],
+    )
+    return (
+        out.select("event_id", "user_id", F.col("click_ts_asof"))
+        .withColumnsRenamed({"click_ts_asof": "click_ts_asof"})
+        .orderBy("event_id")
+    )
