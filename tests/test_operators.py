@@ -1,0 +1,89 @@
+"""Tests for custom operators: as-of join, multimodal plumbing, sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_peri_institute_spark.operators.asof import asof_join_backward
+from etl_data_peri_institute_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_binary_payload,
+    decode_image_features,
+)
+from etl_data_peri_institute_spark.sinks import ParquetStore, audit_csv
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "v", 50)],
+        "id int, k string, t int",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, "a"), ("u", 200, "b"), ("u", 300, "c"), ("w", 10, "z")],
+        "k string, rt int, val string",
+    )
+    out = {
+        r["id"]: r["val_asof"]
+        for r in asof_join_backward(
+            left, right, on="k", left_time="t", right_time="rt", value_cols=["val"]
+        ).collect()
+    }
+    # exact-timestamp match included (t=100 picks rt=100); no earlier row → NULL
+    assert out == {1: "a", 2: "b", 3: None}
+
+
+def test_multimodal_payload_and_fake_decode(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id long, text string")
+    mm = attach_binary_payload(docs)
+    meta = {r["doc_id"]: r["meta"] for r in mm.collect()}
+    assert meta[1]["n_bytes"] == 11 and meta[1]["modality"] == "image"
+
+    feats = decode_image_features(mm, fake=True).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert len(by_id[1]["features"]) == FEATURE_DIM
+    assert abs(sum(by_id[1]["features"]) - 1.0) < 1e-6  # normalized histogram
+    # deterministic: same input → same features
+    feats2 = decode_image_features(mm, fake=True).collect()
+    assert {r["doc_id"]: r["features"] for r in feats2} == {
+        r["doc_id"]: r["features"] for r in feats
+    }
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    mm = attach_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_image_features(mm, fake=False).collect()
+
+
+def test_store_insert_append_and_upsert(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "pk string, v int")
+    assert store.insert(df1, "t") == 2
+    assert store.insert(df1, "t") == 2  # append: now 4 rows
+    assert store.read("t").count() == 4
+
+    store2 = ParquetStore(spark, str(tmp_path / "db2"))
+    store2.upsert(df1, "u", "pk")
+    df2 = spark.createDataFrame([("b", 99), ("c", 3)], "pk string, v int")
+    store2.upsert(df2, "u", "pk")
+    rows = {r["pk"]: r["v"] for r in store2.read("u").collect()}
+    assert rows == {"a": 1, "b": 99, "c": 3}  # b overwritten, c added
+
+
+def test_upsert_empty_noop(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    empty = spark.createDataFrame([], "pk string, v int")
+    assert store.upsert(empty, "t", "pk") == 0
+    assert not store.exists("t")
+
+
+def test_audit_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("x", None), ("y", "2")], "a string, b string")
+    path = audit_csv(df, str(tmp_path / "audit"), "rejects")
+    assert path and path.endswith(".csv")
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "a,b" and len(lines) == 3
+    # empty frame → no file
+    assert audit_csv(df.filter(F.col("a") == "zz"), str(tmp_path / "audit"), "r2") is None
