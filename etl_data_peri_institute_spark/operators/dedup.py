@@ -1,0 +1,91 @@
+"""Reusable document-deduplication operators (engine API).
+
+The plan-level queries in ``plans/llmdata.py`` are thin wrappers over
+these. All operators are declarative DataFrame compositions — the LSH
+path never materializes the O(n²) pair space, so cost stays linear in
+corpus size + colliding-bucket volume at 100 TB.
+
+Contract: input is any DataFrame with (id_col, text_col).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: (id, sh). Pure higher-order column
+    expressions (sequence/transform/explode) — no UDF."""
+    words = df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("w", i + k) for k in range(n)])
+    )
+    return words.filter(F.size("w") >= n).select("id", F.explode(gram).alias("sh")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(id, m0..m{n-1}): lexicographic mins of seeded md5 hex strings —
+    a valid MinHash family, engine-portable; production swaps md5 for
+    xxhash64 (same plan shape, 8 bytes instead of 32)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Band the signatures and self-join on (band, signature) → candidate
+    (id_a < id_b) pairs. P(candidate) = 1-(1-j^r)^b."""
+    stack_args = ", ".join(
+        f"{b}, concat({', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(bands)
+    )
+    banded = sigs.select(
+        "id", F.expr(f"stack({bands}, {stack_args}) AS (band, sig)")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, min_jaccard: float = 0.1) -> DataFrame:
+    """Exact shingle-set Jaccard for all docs sharing ≥1 shingle.
+
+    Shuffle-joins on the shingle value; ultra-frequent shingles are the
+    skew hazard — cap them (drop shingles appearing in > frac of docs)
+    before calling at scale.
+    """
+    counts = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        inter.join(ca, F.col("id_a") == F.col("ca.id"))
+        .join(cb, F.col("id_b") == F.col("cb.id"))
+        .filter(jac > min_jaccard)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one survivor (min id) per content hash."""
+    return (
+        df.groupBy(F.md5(text_col).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )

@@ -1,0 +1,90 @@
+"""Embedding similarity-search operators (engine API).
+
+Brute-force exact KNN as the baseline; centroid (IVF) coarse
+quantization as the scale path. Vector math is built-in higher-order
+functions (zip_with/aggregate) — JVM-side, no UDF; the explode-based
+variants turn vector ops into plain aggregations for arbitrary
+dimensionality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the query set, one pass
+    over the corpus, per-query window top-k. Output (query_id, rank,
+    neighbor_id, cos_sim)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__q"), F.col("__c")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroids_by(df: DataFrame, label_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Elementwise-mean centroids per label via posexplode + avg — plain
+    aggregations, any dimension. Output (c_label, pos, cval)."""
+    pos = df.select(
+        F.col(label_col).alias("c_label"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select("c_label", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    return pos.groupBy("c_label", "pos").agg(F.avg("val").alias("cval"))
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine (broadcast the
+    tiny centroid table; dot products as joins+aggs). Output (id,
+    assigned_label)."""
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    dots = (
+        pos.join(F.broadcast(cents), "pos")
+        .groupBy("id", "c_label")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc(F.col("dot") / (F.col("vn") * F.col("cn"))), F.asc("c_label"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id"), F.col("c_label").alias("assigned_label"))
+    )

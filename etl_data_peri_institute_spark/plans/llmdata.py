@@ -26,7 +26,7 @@ as its own oracle-checked operator on a bounded doc range).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -96,30 +96,16 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses rows. At 100 TB this is one shuffle on the 128-bit content
     hash (never on the text itself) with map-side partial aggregation.
     """
+    from ..operators.dedup import exact_dedup
+
     docs = load_table(spark, sf_dir, "documents")
     dupes = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1000000)
     corpus = docs.select("doc_id", "text").unionByName(dupes.select("doc_id", "text"))
     return (
-        corpus.groupBy(F.md5("text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        exact_dedup(corpus)
+        .select("content_hash", F.col("keep_id").alias("keep_doc_id"), "n_copies")
         .orderBy("keep_doc_id")
     )
-
-
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, m0..m{n-1}) MinHash signature via seeded-md5 string mins.
-
-    A lexicographic min over ``md5(seed || shingle)`` is a valid MinHash
-    family (each seed is an independent random permutation of shingle
-    space). Strings keep it engine-portable; production would map to
-    ``xxhash64`` for compactness — same plan shape.
-    """
-    sh = _shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 @query(
@@ -150,26 +136,12 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unpivoted with stack() and the self-join key is (band, signature),
     so Spark shuffles both sides on the bucket key.
     """
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    bands = sigs.select(
-        "doc_id",
-        F.expr(
-            "stack(4, 0, concat(m0, m1), 1, concat(m2, m3), "
-            "2, concat(m4, m5), 3, concat(m6, m7)) AS (band, sig)"
-        ),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    pairs = lsh_candidate_pairs(mh_sigs(word_shingles(docs)), bands=4, rows_per_band=2)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -201,24 +173,16 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     up (common-shingle skew is the known hazard at scale — salt or drop
     ultra-frequent shingles; here the synthetic vocab keeps it bounded).
     """
+    from ..operators.dedup import jaccard_pairs, word_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    pairs = jaccard_pairs(word_shingles(docs), min_jaccard=0.1)
     return (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac > 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        pairs.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -471,22 +435,6 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns, in doubles.
-
-    Built-in higher-order functions only (zip_with + aggregate): stays in
-    the JVM, no UDF, vectorizes under whole-stage codegen.
-    """
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    return dot / (F.sqrt(na) * F.sqrt(nb))
-
-
 @query(
     "e_knn_bruteforce",
     oracle="""
@@ -520,21 +468,11 @@ def e_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned; only ranks/ids are output (floats never reach the
     compare). The ANN scale path is e_ivf_assign-style bucketing.
     """
+    from ..operators.similarity import knn_bruteforce
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pairs = F.broadcast(q).crossJoin(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
-    sims = pairs.select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cos_sim"))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    )
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
 
 
 @query(
@@ -576,29 +514,17 @@ def e_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-exploding vectors so centroid averaging and dot products are
     plain aggregations — no UDF, scales to any dimension.
     """
+    from ..operators.similarity import assign_nearest_centroid, centroids_by
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos0", "valf"),
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
-    centroids = pos.groupBy(F.col("label").alias("c_label"), "pos").agg(F.avg("val").alias("cval"))
-    dots = (
-        pos.join(F.broadcast(centroids), "pos")
-        .groupBy("vec_id", "c_label")
-        .agg(
-            F.sum(F.col("val") * F.col("cval")).alias("dot"),
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
-            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
-        )
-    )
-    w = W.partitionBy("vec_id").orderBy(
-        F.desc(F.col("dot") / (F.col("vn") * F.col("cn"))), F.asc("c_label")
-    )
+    cents = centroids_by(emb, "label")
+    n_probe = cents.select("c_label").distinct().count()
+    out = assign_nearest_centroid(emb, cents)
     return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_probe", F.count("*").over(W.partitionBy("vec_id")).cast("int"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("assigned_label"), "n_probe")
+        out.select(
+            F.col("id").alias("vec_id"),
+            "assigned_label",
+            F.lit(n_probe).cast("int").alias("n_probe"),
+        )
         .orderBy("vec_id")
     )
