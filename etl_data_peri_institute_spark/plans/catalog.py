@@ -56,4 +56,12 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every plan module so their @query registrations run."""
-    from . import advanced, llmdata, parity, relational, streaming_batch, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        functions_surface,
+        llmdata,
+        parity,
+        relational,
+        streaming_batch,
+        tpch,
+    )

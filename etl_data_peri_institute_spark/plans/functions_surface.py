@@ -1,0 +1,202 @@
+"""Scalar/array/map/date function surface queries (north star breadth).
+
+The reference uses no array, map, JSON, or date-part functions
+(SURVEY.md §2.7 records the absences); these queries cover the standard
+Spark surface a user of the full engine expects, each with a DuckDB
+oracle (dialect differences — dayofweek bases, list lambdas — absorbed
+on the oracle side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "f_array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long,
+           array_to_string(list_sort(list_distinct(list_transform(
+             list_filter(w, x -> length(x) <= 3), x -> upper(x)))), ',') AS short_upper,
+           CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END AS has_spark
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform/filter/sort/distinct/
+    contains — all JVM-side lambdas, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = F.split("text", " ")
+    short_upper = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.filter(w, lambda x: F.length(x) <= 3), lambda x: F.upper(x))
+            )
+        ),
+        ",",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long"),
+        short_upper.alias("short_upper"),
+        F.array_contains(w, "spark").cast("int").alias("has_spark"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_map_functions",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY event_type
+    )
+    SELECT map_keys AS event_type, round(map_vals, 2) AS avg_value
+    FROM (
+      SELECT unnest(map_keys(m)) AS map_keys, unnest(map_values(m)) AS map_vals
+      FROM (SELECT map(list(event_type ORDER BY event_type),
+                       list(total / n ORDER BY event_type)) AS m FROM t)
+    )
+    ORDER BY event_type
+    """,
+)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + explosion: aggregate into a map column, then
+    map_keys/map_values back out (map_from_entries ↔ unnest)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    m = agg.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", (F.col("total") / F.col("n")).alias("avg"))))
+        ).alias("m")
+    )
+    return (
+        m.select(F.explode("m").alias("event_type", "avg_raw"))
+        .select("event_type", F.round("avg_raw", 2).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "f_date_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE dayofweek(ts) + 1 END AS INT) AS dow,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           strftime(ts, '%Y-%m') AS ym
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+)
+def f_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (year/month/day/hour/dow/doy, truncation,
+    formatting). Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday —
+    the oracle rebases."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f_null_handling",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'ok') AS type_or_ok,
+           CASE WHEN value IS NULL THEN -1.0 ELSE round(value, 2) END AS value_or_neg1,
+           CAST(value IS NOT NULL AS INT) AS has_value,
+           round(coalesce(try_cast(json_extract_string(props, '$.missing') AS DOUBLE), 0.0), 2) AS missing_default
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+)
+def f_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce/nullif/isNotNull/try_cast defaults."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ok")).alias("type_or_ok"),
+        F.when(F.col("value").isNull(), -1.0).otherwise(F.round("value", 2)).alias("value_or_neg1"),
+        F.col("value").isNotNull().cast("int").alias("has_value"),
+        F.round(
+            F.coalesce(F.get_json_object("props", "$.missing").try_cast("double"), F.lit(0.0)), 2
+        ).alias("missing_default"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f_unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'custkey_x10' AS metric, c_custkey * 10.0 AS val FROM customer
+    ) t
+    WHERE c_custkey < 50
+    ORDER BY c_custkey, metric
+    """,
+)
+def f_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack() — the inverse of pivot."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return (
+        cust.select(
+            "c_custkey",
+            F.expr(
+                "stack(2, 'acctbal', c_acctbal, 'custkey_x10', CAST(c_custkey * 10.0 AS DOUBLE)) AS (metric, val)"
+            ),
+        )
+        .select("c_custkey", "metric", F.round("val", 2).alias("val"))
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@query(
+    "f_regexp_extract",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 1) AS prio_num,
+           regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 2) AS prio_name,
+           CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def f_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction + match predicate (rlike)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 2).alias("prio_name"),
+        F.col("o_orderpriority").rlike("^[12]-").cast("int").alias("is_urgent"),
+    ).orderBy("o_orderkey")
