@@ -1,0 +1,69 @@
+"""Connected components via iterative min-label propagation.
+
+The dedup-clustering step after LSH: candidate pairs form a graph; each
+component keeps one canonical document. Spark has no native CC operator
+(GraphFrames isn't in this image), so this is the classic iterative
+DataFrame algorithm:
+
+    label(v) ← min(label(v), min(label(u) for u adjacent))   until fixpoint
+
+Each iteration is one shuffle (join on the edge list + groupBy-min);
+convergence needs at most diameter(G) iterations — near-dup graphs are
+shallow (small cliques/chains), so it converges in a handful. The loop
+checks a convergence count per iteration (a driver-side action on an
+aggregated 1-row result — not a data collect).
+
+At 100 TB: checkpoint/localCheckpoint the label frame every few
+iterations to truncate lineage, and persist the (small) edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """edges: (id_a, id_b) undirected. Returns (id, component) where
+    component = min id reachable. Deterministic for any edge order."""
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.distinct().cache()
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

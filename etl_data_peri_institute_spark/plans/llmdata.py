@@ -528,3 +528,58 @@ def e_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "d_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS doc_id, CAST(least(min(dst), src) AS BIGINT) AS component
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """,
+)
+def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the MinHash-LSH
+    candidate graph (operators/components.py — iterative min-label
+    propagation; each component keeps min doc_id as canonical).
+
+    The oracle computes the same components with a recursive transitive-
+    closure CTE (fine at oracle scale; the iterative label propagation is
+    the distributed-scale algorithm).
+    """
+    from ..operators.components import connected_components
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(mh_sigs(word_shingles(docs)), bands=4, rows_per_band=2)
+    return (
+        connected_components(edges)
+        .select(F.col("id").alias("doc_id"), F.col("component"))
+        .orderBy("doc_id")
+    )

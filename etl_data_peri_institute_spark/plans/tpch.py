@@ -388,3 +388,119 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2') AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: cross-nation shipping volume — self-joined dimension
+    (nation twice under different roles) + year extraction + agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.cn_key)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated average subquery → decorrelated as a
+    per-partkey aggregate joined back (the plan Catalyst produces for the
+    SQL form, written out explicitly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ap_key)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT substr(c.c_name, 10, 1) AS cntrycode, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > avg_bal.ab
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    )
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: scalar subquery + NOT EXISTS anti-join + substring
+    bucketing over customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        eligible.groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
