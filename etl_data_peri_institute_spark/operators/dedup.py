@@ -14,15 +14,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles: (id, sh). Pure higher-order column
-    expressions (sequence/transform/explode) — no UDF."""
+def word_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles: (id, sh). Pure higher-order column
+    expressions (sequence/transform/explode) — no UDF.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    whose aggregate is duplicate-insensitive (MinHash mins); set-semantics
+    consumers (Jaccard counts) need ``distinct=True``.
+    """
     words = df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("w"))
     idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at("w", i + k) for k in range(n)])
     )
-    return words.filter(F.size("w") >= n).select("id", F.explode(gram).alias("sh")).distinct()
+    out = words.filter(F.size("w") >= n).select("id", F.explode(gram).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:

@@ -139,7 +139,9 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(mh_sigs(word_shingles(docs)), bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(
+        mh_sigs(word_shingles(docs, distinct=False)), bands=4, rows_per_band=2
+    )
     return (
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .orderBy("doc_a", "doc_b")
@@ -577,7 +579,9 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = lsh_candidate_pairs(mh_sigs(word_shingles(docs)), bands=4, rows_per_band=2)
+    edges = lsh_candidate_pairs(
+        mh_sigs(word_shingles(docs, distinct=False)), bands=4, rows_per_band=2
+    )
     return (
         connected_components(edges)
         .select(F.col("id").alias("doc_id"), F.col("component"))
