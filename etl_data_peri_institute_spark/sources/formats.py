@@ -1,0 +1,59 @@
+"""File-format surface: parquet / ORC / CSV / JSON readers+writers and
+date-partitioned layout helpers.
+
+The reference reads one format (a Sheets grid) and writes one sink
+(PostgREST); a general engine needs the standard format matrix. All
+readers take explicit schemas (never ``inferSchema`` in production — it
+double-scans and guesses) and all writers go through ``write_partitioned``
+when the table has a time axis, so incremental date filters prune
+partitions instead of scanning the corpus (the 100 TB story for F1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_READERS = {
+    "parquet": lambda r, p: r.parquet(p),
+    "orc": lambda r, p: r.orc(p),
+    "csv": lambda r, p: r.option("header", True).csv(p),
+    "json": lambda r, p: r.json(p),
+}
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        fn = _READERS[fmt]
+    except KeyError:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READERS)}")
+    return fn(reader, path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    getattr(writer, fmt)(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write date-partitioned (dt=yyyy-MM-dd directories). A filter on
+    ``dt`` — e.g. the daily incremental filter — then prunes partitions
+    at planning time (PartitionFilters in the scan, zero data read for
+    other days)."""
+    out = df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
+    writer = out.write.mode(mode).partitionBy("dt")
+    getattr(writer, fmt)(path)
