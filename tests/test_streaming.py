@@ -80,3 +80,41 @@ def test_stateful_running_totals(spark):
     for uid, (n, t) in expected.items():
         assert finals[uid][0] == n
         assert abs(finals[uid][1] - t) < 0.05
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    """Checkpointed AvailableNow ingestion: first run drains the input,
+
+    re-run is a no-op, newly landed files are picked up once."""
+
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import incremental_ingest
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ev = load_table(spark, SF, "events").limit(500)
+    ev.coalesce(1).write.parquet(str(src / "batch1"))
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    schema = spark.read.parquet(str(src / "batch1")).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    n1 = incremental_ingest(
+        spark, str(src / "*"), schema, store, "events_inc", ckpt
+    )
+    assert n1 == 500
+    # re-run: nothing new → no-op
+    n2 = incremental_ingest(
+        spark, str(src / "*"), schema, store, "events_inc", ckpt
+    )
+    assert n2 == 0
+    assert store.read("events_inc").count() == 500
+    # new file lands → only it is processed
+    ev2 = load_table(spark, SF, "events").filter(F.col("event_id") >= 9000)
+    expected_new = ev2.count()
+    ev2.coalesce(1).write.parquet(str(src / "batch2"))
+    n3 = incremental_ingest(
+        spark, str(src / "*"), schema, store, "events_inc", ckpt
+    )
+    assert n3 == expected_new
+    assert store.read("events_inc").count() == 500 + expected_new
