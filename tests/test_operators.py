@@ -87,3 +87,41 @@ def test_audit_csv_roundtrip(spark, tmp_path):
     assert lines[0] == "a,b" and len(lines) == 3
     # empty frame → no file
     assert audit_csv(df.filter(F.col("a") == "zz"), str(tmp_path / "audit"), "r2") is None
+
+
+def test_salted_join_equals_plain(spark):
+    from etl_data_peri_institute_spark.operators.skew import salted_join
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    salted = salted_join(li, orders, "l_orderkey", n_salt=8).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_sql_api_cte_and_views(spark):
+    from etl_data_peri_institute_spark.sql_api import run_sql
+
+    out = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        WITH rev AS (
+          SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_name, round(rev.total, 2) AS total
+        FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        WHERE rev.total = (SELECT max(total) FROM rev)
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["total"] > 0
