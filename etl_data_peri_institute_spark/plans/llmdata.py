@@ -634,3 +634,66 @@ def e_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "bucket")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "d_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(min(dst), src) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    LEFT JOIN comp ON d.doc_id = comp.doc_id
+    WHERE comp.doc_id IS NULL OR comp.component = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: LSH candidates → connected components
+    → keep only the canonical (min doc_id) member of each component plus
+    all untouched docs. The full pre-training dedup pass, composed from
+    the engine operators; at 100 TB only the (tiny) component map joins
+    back against the corpus — broadcast."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(
+        mh_sigs(word_shingles(docs, distinct=False)), bands=4, rows_per_band=2
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keep = docs.join(F.broadcast(comp), "doc_id", "left").filter(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    return keep.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")).orderBy(
+        "doc_id"
+    )
