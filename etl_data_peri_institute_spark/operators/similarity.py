@@ -111,18 +111,31 @@ def hyperplane_lsh_signatures(
         F.posexplode(vec_col).alias("pos0", "valf"),
     ).select("id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
 
-    def hp(b: int) -> Column:
-        # deterministic pseudo-random component in [-0.5, 0.5)
-        digit = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
-        val = " + ".join(
-            digit.format(h=f"substr(md5(concat('hp{b}_', cast(pos as string))), 1, 4)", i=i + 1)
-            + f" * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        return (F.expr(val) / 65536.0) - 0.5
-
-    dots = pos.groupBy("id").agg(
-        *[F.sum(F.col("val") * hp(b)).alias(f"dot{b}") for b in range(n_bits)]
+    # materialize the hyperplane matrix ONCE (dim × n_bits rows, not per
+    # vector row) and broadcast-join it on pos: md5 work is O(dim·bits),
+    # independent of corpus size. conv(hex,16,10) == the oracle's
+    # instr-digit expansion, so signatures still match cross-engine.
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    spark = df.sparkSession
+    planes = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("pos"),
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"hp{b}_"), F.col("id").cast("string"))), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                / 65536.0
+                - 0.5
+            ).alias(f"hp{b}")
+            for b in range(n_bits)
+        ],
+    )
+    dots = (
+        pos.join(F.broadcast(planes), "pos")
+        .groupBy("id")
+        .agg(*[F.sum(F.col("val") * F.col(f"hp{b}")).alias(f"dot{b}") for b in range(n_bits)])
     )
     bucket = sum(
         (F.col(f"dot{b}") > 0).cast("long") * (1 << b) for b in range(n_bits)

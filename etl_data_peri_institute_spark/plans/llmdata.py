@@ -244,11 +244,21 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64.
     """
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    votes, fp = _simhash_sql()
+    # Spark side uses conv() + shiftright (one md5 per token, JVM-native
+    # bit ops); the oracle's instr-digit expansion computes the same value.
+    votes = ", ".join(
+        f"sum(CASE WHEN (shiftright(v, {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
+    )
     return spark.sql(
         f"""
         WITH tokens AS (
-          SELECT doc_id, explode(split(text, ' ')) AS word FROM documents
+          SELECT doc_id,
+                 CAST(conv(substr(md5(word), 1, 4), 16, 10) AS BIGINT) AS v
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
         ),
         votes AS (
           SELECT doc_id, {votes} FROM tokens GROUP BY doc_id

@@ -1,0 +1,95 @@
+"""Unit tests for the dedup/similarity operator APIs on tiny inputs with
+hand-checkable answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_peri_institute_spark.operators.components import connected_components
+from etl_data_peri_institute_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from etl_data_peri_institute_spark.operators.similarity import (
+    cosine,
+    knn_bruteforce,
+)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = {r["sh"] for r in word_shingles(df).collect()}
+    assert sh == {"a b c", "b c d"}
+    # too-short docs produce no shingles
+    short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    assert word_shingles(short).count() == 0
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v u"), (2, "x y z w v u"), (3, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: tuple(r)[1:] for r in minhash_signatures(word_shingles(df)).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_pairs_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v u"), (2, "x y z w v u"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(word_shingles(df))).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {b c d, c d e} → J = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    rows = jaccard_pairs(word_shingles(df), min_jaccard=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-9
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "diff")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cosine_and_knn(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    c = df.filter(F.col("vec_id") == 0).select(
+        cosine(F.col("embedding"), F.array(F.lit(0.0), F.lit(1.0))).alias("c")
+    ).first()["c"]
+    assert abs(c) < 1e-12  # orthogonal
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]  # nearest is the almost-parallel vector
