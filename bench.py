@@ -31,6 +31,9 @@ HEADLINE = [
     "d_minhash_lsh_pairs",
     "t_quality_score",
     "e_knn_bruteforce",
+    "e_lsh_buckets",
+    "d_ngram_jaccard_pairs",
+    "j_asof_backward",
     "st_tumbling_window",
 ]
 
