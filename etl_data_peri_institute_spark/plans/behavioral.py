@@ -1,0 +1,137 @@
+"""Behavioral / event-analytics operators over the events stream table.
+
+Funnel conversion, cohort retention, and deterministic hash sampling —
+the event-pipeline counterparts of the TPC-H relational suite. All
+window/aggregation compositions, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "b_funnel_click_to_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+      SELECT c.user_id, c.click_ts,
+             min(p.ts) AS first_purchase_ts
+      FROM clicks c
+      JOIN events p ON p.user_id = c.user_id
+                   AND p.event_type = 'purchase'
+                   AND p.ts > c.click_ts
+                   AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id, c.click_ts
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS converting_clicks,
+           min(first_purchase_ts) AS earliest_conversion
+    FROM conv
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def b_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: clicks followed by a purchase within 1 hour (same user).
+
+    A bounded-range self-join on the user key — the time bound keeps the
+    pair space linear-ish; at 100 TB pre-bucket both sides by
+    (user_id, hour) so the range join becomes an equi-join on the bucket
+    plus a residual filter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return (
+        conv.groupBy("user_id")
+        .agg(
+            F.count("*").alias("converting_clicks"),
+            F.min("first_purchase_ts").alias("earliest_conversion"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "b_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def b_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct active
+    users per day-offset for the first week."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset"))
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "b_hash_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 < 2
+    ORDER BY event_id
+    """,
+)
+def b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample via content hashing (first md5 nibble
+    < 2). Unlike TABLESAMPLE/rand(), the selection is reproducible across
+    engines, runs, and partitionings — the right way to carve stable
+    eval/holdout splits from a 100 TB corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    nibble = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1), 16, 10).cast("int")
+    return (
+        ev.filter(nibble < 2)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

@@ -58,6 +58,7 @@ def load_all() -> None:
     """Import every plan module so their @query registrations run."""
     from . import (  # noqa: F401
         advanced,
+        behavioral,
         functions_surface,
         llmdata,
         parity,
