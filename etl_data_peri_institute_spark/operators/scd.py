@@ -1,0 +1,79 @@
+"""SCD Type-2 (slowly changing dimension) / CDC fold — MERGE-less.
+
+The reference's UPSERT overwrites history (etl/load.py:283); SCD2 keeps
+it: every key change closes the current version (valid_to, is_current =
+false) and opens a new one. Without a Delta/Iceberg MERGE in this image,
+the emulation is the standard anti-join + union rewrite (the guide's
+CDC/SCD2 pattern): one shuffle on the key, then an atomic swap via the
+ParquetStore. On Delta this whole function is one ``MERGE INTO`` with
+``whenMatchedUpdate`` + insert — the surrounding plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31"
+
+
+def scd2_init(snapshot: DataFrame, effective_date: str) -> DataFrame:
+    """First load: every row becomes an open version."""
+    return snapshot.select(
+        "*",
+        F.lit(effective_date).alias("valid_from"),
+        F.lit(OPEN_END).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    pk: str,
+    compare_cols: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Fold a new snapshot of ``updates`` into the SCD2 table ``dim``.
+
+    - unchanged keys: kept as-is;
+    - changed keys: current version closed at effective_date, new open
+      version appended;
+    - new keys: open version appended.
+    Deletes are out of scope (append-only source, like the reference).
+    """
+    changed_flag = F.lit(False)
+    for c in compare_cols:
+        changed_flag = changed_flag | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+
+    cur = dim.filter(F.col("is_current")).alias("cur")
+    upd = updates.alias("upd")
+
+    joined = cur.join(upd, F.col(f"cur.{pk}") == F.col(f"upd.{pk}"), "inner")
+    changed_keys = joined.filter(changed_flag).select(F.col(f"cur.{pk}").alias(pk))
+
+    # close current versions of changed keys
+    closed = (
+        dim.filter(F.col("is_current"))
+        .join(F.broadcast(changed_keys), pk, "left_semi")
+        .withColumn("valid_to", F.lit(effective_date))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched_current = dim.filter(F.col("is_current")).join(
+        F.broadcast(changed_keys), pk, "left_anti"
+    )
+    history = dim.filter(~F.col("is_current"))
+
+    # new versions: changed keys + brand-new keys
+    new_keys = upd.join(dim.filter(F.col("is_current")), pk, "left_anti")
+    new_versions = (
+        updates.join(F.broadcast(changed_keys), pk, "left_semi")
+        .unionByName(new_keys)
+        .select(
+            "*",
+            F.lit(effective_date).alias("valid_from"),
+            F.lit(OPEN_END).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return history.unionByName(untouched_current).unionByName(closed).unionByName(new_versions)

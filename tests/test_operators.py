@@ -125,3 +125,31 @@ def test_sql_api_cte_and_views(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["total"] > 0
+
+
+def test_scd2_fold(spark):
+    from etl_data_peri_institute_spark.operators.scd import scd2_apply, scd2_init
+
+    snap1 = spark.createDataFrame(
+        [("C1", "Ana", 100.0), ("C2", "Luis", 200.0)], "pk string, name string, bal double"
+    )
+    dim = scd2_init(snap1, "2024-01-01")
+    # day 2: C1 changed, C2 unchanged, C3 new
+    snap2 = spark.createDataFrame(
+        [("C1", "Ana", 150.0), ("C2", "Luis", 200.0), ("C3", "Eva", 50.0)],
+        "pk string, name string, bal double",
+    )
+    out = scd2_apply(dim, snap2, "pk", ["name", "bal"], "2024-01-02")
+    rows = sorted(
+        ((r["pk"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out.collect())
+    )
+    assert rows == [
+        ("C1", 100.0, "2024-01-01", "2024-01-02", False),  # closed old version
+        ("C1", 150.0, "2024-01-02", "9999-12-31", True),   # new version
+        ("C2", 200.0, "2024-01-01", "9999-12-31", True),   # untouched
+        ("C3", 50.0, "2024-01-02", "9999-12-31", True),    # new key
+    ]
+    # idempotent fold: re-applying the same snapshot changes nothing
+    out2 = scd2_apply(out, snap2, "pk", ["name", "bal"], "2024-01-03")
+    assert out2.count() == out.count()
+    assert out2.filter(F.col("is_current")).count() == 3
