@@ -64,5 +64,6 @@ def load_all() -> None:
         parity,
         relational,
         streaming_batch,
+        textops,
         tpch,
     )
