@@ -200,3 +200,29 @@ def f_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 2).alias("prio_name"),
         F.col("o_orderpriority").rlike("^[12]-").cast("int").alias("is_urgent"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "f_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           CAST(json_valid(props) AS INT) AS is_valid,
+           json_extract_string(props, '$.absent') AS absent_field
+    FROM events
+    WHERE event_id < 400
+    ORDER BY event_id
+    """,
+)
+def f_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing into typed structs: from_json with an explicit schema
+    (never schema inference in the hot path), validity probing, missing
+    fields as NULL."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_int"),
+        parsed.isNotNull().cast("int").alias("is_valid"),
+        F.get_json_object("props", "$.absent").alias("absent_field"),
+    ).orderBy("event_id")

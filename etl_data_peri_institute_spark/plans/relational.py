@@ -603,3 +603,35 @@ def j_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"click_ts_asof": "click_ts_asof"})
         .orderBy("event_id")
     )
+
+
+@query(
+    "w_moving_avg_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS mv_avg_1h
+    FROM events
+    WHERE user_id < 10
+    ORDER BY event_id
+    """,
+)
+def w_moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based moving average: RANGE frame over epoch seconds (all
+    events in the trailing hour, however many rows that is) — the frame
+    type ROWS can't express."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 4).alias("mv_avg_1h"),
+        )
+        .orderBy("event_id")
+    )
