@@ -1,0 +1,89 @@
+"""Property-based tests: the as-of join against pandas' reference
+implementation, and date-parse round-trips on arbitrary dates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_data_peri_institute_spark.functions.cleaning import fmt_ymd, parse_date_dayfirst
+from etl_data_peri_institute_spark.operators.asof import asof_join_backward
+
+# session-scoped spark fixture comes from conftest
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 8))
+    n_right = draw(st.integers(0, 8))
+    keys = ["a", "b"]
+    left = [
+        (i, draw(st.sampled_from(keys)), draw(st.integers(0, 50)))
+        for i in range(n_left)
+    ]
+    right = [
+        (draw(st.sampled_from(keys)), draw(st.integers(0, 50)), f"v{j}")
+        for j in range(n_right)
+    ]
+    return left, right
+
+
+@given(asof_case())
+@settings(max_examples=15, deadline=None)
+def test_asof_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "id int, k string, t int")
+    right = spark.createDataFrame(
+        right_rows, "k string, rt int, val string"
+    ) if right_rows else spark.createDataFrame([], "k string, rt int, val string")
+
+    got = {
+        r["id"]: r["val_asof"]
+        for r in asof_join_backward(
+            left, right, on="k", left_time="t", right_time="rt", value_cols=["val"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["id", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "val"]).sort_values("rt", kind="stable")
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k", direction="backward"
+        )
+        expected = dict(zip(merged["id"], merged["val"]))
+        expected = {k: (None if pd.isna(v) else v) for k, v in expected.items()}
+    else:
+        expected = {r[0]: None for r in left_rows}
+
+    # ties among right rows with identical (k, rt): merge_asof picks the
+    # last occurrence; our window picks the last in (t, side) order too,
+    # but both are only defined up to that tie — compare only when the
+    # right side has unique (k, rt) pairs
+    if len(rp) == len(rp.drop_duplicates(["k", "rt"])):
+        assert got == expected
+
+
+DATES = st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2035, 12, 28))
+
+
+@given(DATES, st.sampled_from(["dd/MM/yyyy", "d/M/yyyy", "dd-MM-yyyy", "yyyy-MM-dd"]))
+@settings(max_examples=20, deadline=None)
+def test_dayfirst_parse_roundtrip(spark, d, fmt):
+    py_fmt = {
+        "dd/MM/yyyy": "%d/%m/%Y",
+        "d/M/yyyy": "%-d/%-m/%Y",
+        "dd-MM-yyyy": "%d-%m-%Y",
+        "yyyy-MM-dd": "%Y-%m-%d",
+    }[fmt]
+    s = d.strftime(py_fmt)
+    out = (
+        spark.createDataFrame([(s,)], "v string")
+        .select(fmt_ymd(parse_date_dayfirst(F.col("v"))).alias("o"))
+        .first()["o"]
+    )
+    assert out == d.isoformat(), f"{s} ({fmt}) -> {out}"
