@@ -419,3 +419,73 @@ def p_required_not_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     kept = ev.na.drop(subset=["event_type", "user_id", "value"])
     return kept.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+@query(
+    "p_phone_country",
+    oracle="""
+    WITH phones AS (
+      SELECT c_custkey,
+             CASE c_custkey % 6
+               WHEN 0 THEN concat('+51 9', lpad(CAST(c_custkey AS VARCHAR), 8, '0'))
+               WHEN 1 THEN concat('+549 ', lpad(CAST(c_custkey AS VARCHAR), 8, '1'))
+               WHEN 2 THEN concat('+56 9-', lpad(CAST(c_custkey AS VARCHAR), 7, '2'))
+               WHEN 3 THEN concat('1 (41', lpad(CAST(c_custkey AS VARCHAR), 6, '3'), ')')
+               WHEN 4 THEN concat('+39 0', lpad(CAST(c_custkey AS VARCHAR), 7, '4'))
+               ELSE '12345' END AS phone
+      FROM customer WHERE c_custkey < 300
+    ),
+    norm AS (
+      SELECT c_custkey, phone, regexp_replace(phone, '[^0-9]', '', 'g') AS num
+      FROM phones
+    )
+    SELECT c_custkey,
+           CASE
+             WHEN num LIKE '549%' THEN 'Argentina'
+             WHEN num LIKE '569%' THEN 'Chile'
+             WHEN num LIKE '51%'  THEN 'Perú'
+             WHEN num LIKE '57%'  THEN 'Colombia'
+             WHEN num LIKE '593%' THEN 'Ecuador'
+             WHEN num LIKE '591%' THEN 'Bolivia'
+             WHEN num LIKE '507%' THEN 'Panamá'
+             WHEN num LIKE '52%'  THEN 'México'
+             WHEN num LIKE '55%'  THEN 'Brasil'
+             WHEN length(num) = 11 AND num LIKE '1%' THEN 'Estados Unidos / Puerto Rico'
+             WHEN num LIKE '39%'  THEN 'Italia'
+             WHEN num LIKE '34%'  THEN 'España'
+             WHEN num LIKE '33%'  THEN 'Francia'
+             WHEN num LIKE '49%'  THEN 'Alemania'
+             ELSE 'Desconocido' END AS pais,
+           CASE WHEN num = '' THEN NULL ELSE concat('+', num) END AS numero_e164
+    FROM norm
+    ORDER BY c_custkey
+    """,
+)
+def p_phone_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: phone → country via the ordered prefix rules (reference
+    detectar_pais_telefono, etl/transform.py:291-339; rule ORDER is
+    semantics — 549 before 51, the 11-digit US rule, first match wins).
+
+    Phone strings are synthesized deterministically from customer keys
+    (six shapes incl. punctuation and a no-match case); the oracle
+    replays the same rule chain in SQL. The engine implementation is the
+    struct-producing when-chain in functions/cleaning.py:phone_country.
+    """
+    from ..functions.cleaning import phone_country
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    key_s = F.col("c_custkey").cast("string")
+    phone = (
+        F.when(F.col("c_custkey") % 6 == 0, F.concat(F.lit("+51 9"), F.lpad(key_s, 8, "0")))
+        .when(F.col("c_custkey") % 6 == 1, F.concat(F.lit("+549 "), F.lpad(key_s, 8, "1")))
+        .when(F.col("c_custkey") % 6 == 2, F.concat(F.lit("+56 9-"), F.lpad(key_s, 7, "2")))
+        .when(F.col("c_custkey") % 6 == 3, F.concat(F.lit("1 (41"), F.lpad(key_s, 6, "3"), F.lit(")")))
+        .when(F.col("c_custkey") % 6 == 4, F.concat(F.lit("+39 0"), F.lpad(key_s, 7, "4")))
+        .otherwise(F.lit("12345"))
+    )
+    info = phone_country(phone)
+    return cust.select(
+        "c_custkey",
+        info.getField("pais").alias("pais"),
+        info.getField("numero_e164").alias("numero_e164"),
+    ).orderBy("c_custkey")
