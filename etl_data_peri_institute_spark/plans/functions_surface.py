@@ -23,8 +23,8 @@ from .catalog import query
     SELECT doc_id,
            CAST(len(w) AS INT) AS n_words,
            CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long,
-           array_to_string(list_sort(list_distinct(list_transform(
-             list_filter(w, x -> length(x) <= 3), x -> upper(x)))), ',') AS short_upper,
+           coalesce(array_to_string(list_sort(list_distinct(list_transform(
+             list_filter(w, x -> length(x) <= 3), x -> upper(x)))), ','), '') AS short_upper,
            CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END AS has_spark
     FROM t
     ORDER BY doc_id
