@@ -635,3 +635,87 @@ def w_moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "w_cume_dist_nth",
+    oracle="""
+    SELECT s_suppkey,
+           round(cume_dist() OVER w, 4) AS cd,
+           round(nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_bal,
+           CAST(s_nationkey AS INT) AS s_nationkey
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def w_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value with a full-partition frame (completes the
+    window-function family)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        supp.select(
+            "s_suppkey",
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            F.round(F.nth_value("s_acctbal", 2).over(wfull), 2).alias("second_bal"),
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "s_intersect_except_all",
+    oracle="""
+    SELECT 'inter' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ) a
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ) b
+    ORDER BY op, custkey
+    """,
+)
+def s_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiplicity-preserving) set ops."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    big = orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    inter = f.intersectAll(big).select(F.lit("inter").alias("op"), "custkey")
+    exc = f.exceptAll(big).select(F.lit("except").alias("op"), "custkey")
+    return inter.unionByName(exc).orderBy("op", "custkey")
+
+
+@query(
+    "a_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           CAST(bool_and(o_totalprice > 0) AS INT) AS all_positive,
+           CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def a_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: count_if / every / any (A5's any/all reductions
+    as real aggregates, reference: etl/load.py:51,140)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.every(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+            F.some(F.col("o_orderpriority") == "1-URGENT").cast("int").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )

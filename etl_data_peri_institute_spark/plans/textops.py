@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .catalog import query
+from .llmdata import _DUCK_SHINGLES
 
 
 @query(
@@ -205,3 +206,49 @@ def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         F.col("text").contains("@").cast("int").alias("had_email"),
     ).orderBy("doc_id")
+
+
+@query(
+    "d_levenshtein_candidates",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(8))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INT) AS lev_prefix
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on LSH candidate pairs: levenshtein over
+    80-char prefixes. The cheap-verifier tier between banding and full
+    Jaccard — only candidate pairs pay the quadratic string cost."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(docs, distinct=False)))
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
+    return (
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("lev_prefix"))
+        .orderBy("doc_a", "doc_b")
+    )
