@@ -132,3 +132,44 @@ PAGOS_CANONICAL = {
     "Fecha de pago": ["fecha_pago", "FECHA_P", "FechaEntrega", "fecha de pago"],
     "Estado": ["estado"],
 }
+
+
+def infer_column_types(df: DataFrame) -> DataFrame:
+    """S5 type-inference policy (reference get_all_records_robust,
+    etl/extract.py:76-96: int-regex → int, float-regex → float, else
+    trimmed string; empty → None).
+
+    The reference infers per CELL into mixed-type object columns — a
+    shape a relational engine rejects by design. The faithful relational
+    form is per COLUMN: a column becomes LongType/DoubleType only when
+    every non-null cell matches the numeric regex (deviation noted in
+    SURVEY.md §1.3; per-cell mixing would need a variant/union type).
+    One pass computes all match-counts, then casts are applied lazily.
+    """
+    cols = [c for c in df.columns if c != ROW_IDX]
+    trimmed = {c: F.trim(F.col(c)) for c in cols}
+    stats = df.agg(
+        *[
+            F.struct(
+                F.count(F.when(trimmed[c].isNotNull() & (trimmed[c] != ""), 1)).alias("n"),
+                F.count(
+                    F.when(trimmed[c].rlike("^-?[0-9]+$"), 1)
+                ).alias("n_int"),
+                F.count(
+                    F.when(trimmed[c].rlike("^-?[0-9]+\\.[0-9]+$"), 1)
+                ).alias("n_float"),
+            ).alias(c)
+            for c in cols
+        ]
+    ).first()
+    out = df
+    for c in cols:
+        s = stats[c]
+        target = None
+        if s["n"] > 0 and s["n_int"] == s["n"]:
+            target = "long"
+        elif s["n"] > 0 and s["n_int"] + s["n_float"] == s["n"]:
+            target = "double"
+        cleaned = F.when(trimmed[c] == "", None).otherwise(trimmed[c])
+        out = out.withColumn(c, cleaned.cast(target) if target else cleaned)
+    return out

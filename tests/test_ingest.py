@@ -75,3 +75,23 @@ def test_repair_header_always_unique_nonempty(rows):
     names = repair_header([str(c) for c in rows[0]])
     assert len(set(names)) == len(names)
     assert all(n for n in names)
+
+
+def test_infer_column_types(spark):
+    from etl_data_peri_institute_spark.sources.grid import grid_to_df, infer_column_types
+
+    grid = [
+        ["n_int", "n_float", "mixed", "txt"],
+        ["1", "1.5", "2", "a"],
+        [" -42 ", "-0.25", "x", " b "],
+        ["7", "3.0", "", ""],
+    ]
+    df = infer_column_types(grid_to_df(spark, grid, header_row=1))
+    types = dict(df.dtypes)
+    assert types["n_int"] == "bigint"
+    assert types["n_float"] == "double"
+    assert types["mixed"] == "string" and types["txt"] == "string"
+    rows = {r["_row_idx"]: r for r in df.collect()}
+    assert rows[1]["n_int"] == -42        # trimmed before cast
+    assert rows[1]["txt"] == "b"          # values trimmed
+    assert rows[2]["mixed"] is None       # empty → NULL
