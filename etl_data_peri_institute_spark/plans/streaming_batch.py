@@ -134,3 +134,57 @@ def st_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import tumbling_counts
 
     return tumbling_counts(spark, sf_dir).orderBy("win_start", "event_type")
+
+
+@query(
+    "st_stateful_user_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events
+    WHERE user_id < 25
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py) driven to completion: the bounded source
+    arrives as one micro-batch, so the update-mode emission IS the final
+    per-user state — equal to the batch aggregation, which is the oracle.
+    """
+    from ..streaming.stateful import running_user_totals
+    from ..streaming.windows import run_to_completion, stream_events
+
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 25)
+    out = run_to_completion(running_user_totals(ev), output_mode="update")
+    return out.orderBy("user_id")
+
+
+@query(
+    "st_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast on the stream side), then aggregated in
+    complete mode. The standard streaming-enrichment topology."""
+    from ..sources.tables import load_table as _lt
+    from ..streaming.windows import run_to_completion, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    cust = _lt(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), cust.c_custkey == ev.user_id + 1, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return run_to_completion(agg).orderBy("c_mktsegment")
