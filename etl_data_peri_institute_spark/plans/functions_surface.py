@@ -226,3 +226,31 @@ def f_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.isNotNull().cast("int").alias("is_valid"),
         F.get_json_object("props", "$.absent").alias("absent_field"),
     ).orderBy("event_id")
+
+
+@query(
+    "f_like_matrix",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_name LIKE '%widget%' AS INT) AS has_widget,
+           CAST(p_name LIKE 'bl%' AS INT) AS starts_bl,
+           CAST(p_name LIKE '%bolt' AS INT) AS ends_bolt,
+           CAST(p_name ILIKE 'RED%' AS INT) AS istarts_red,
+           CAST(p_name LIKE '_____' AS INT) AS five_chars
+    FROM part
+    WHERE p_partkey < 500
+    ORDER BY p_partkey
+    """,
+)
+def f_like_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-match surface: LIKE contains/prefix/suffix, case-insensitive
+    ILIKE, single-char wildcards."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.col("p_name").like("%widget%").cast("int").alias("has_widget"),
+        F.col("p_name").like("bl%").cast("int").alias("starts_bl"),
+        F.col("p_name").like("%bolt").cast("int").alias("ends_bolt"),
+        F.col("p_name").ilike("RED%").cast("int").alias("istarts_red"),
+        F.col("p_name").like("_____").cast("int").alias("five_chars"),
+    ).orderBy("p_partkey")

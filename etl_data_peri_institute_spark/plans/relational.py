@@ -719,3 +719,36 @@ def a_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "w_bounded_sliding_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(avg(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 4) AS centered_avg
+    FROM lineitem
+    WHERE l_suppkey < 3
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def w_bounded_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded asymmetric ROWS frame (2 preceding .. 1 following) —
+    centered smoothing over a unique ordering."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 3)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 1)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.avg("l_quantity").over(w), 4).alias("centered_avg"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
