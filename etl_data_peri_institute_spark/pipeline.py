@@ -152,3 +152,46 @@ def run_pipeline(
     todays_raw.unpersist()
     matriculas.unpersist()
     return result
+
+
+def _read_grid_csv(path: str) -> Grid:
+    """Raw worksheet dump as CSV → all-string grid (the landing-zone
+    format replacing the live Sheets fetch; cells arrive verbatim)."""
+    import csv
+
+    with open(path, newline="") as fh:
+        return [list(row) for row in csv.reader(fh)]
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference's ``python pipeline.py`` entry
+    (etl/pipeline.py:252-253), parameterized like SURVEY.md §2.9 says:
+    ``--target-date`` (default: yesterday) over grid CSVs in
+    ``--grids-dir`` ({cursos,estudiantes,matriculas,pagos}.csv),
+    writing to a ParquetStore at ``--store-dir``."""
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="daily ETL pipeline")
+    ap.add_argument("--grids-dir", required=True)
+    ap.add_argument("--store-dir", required=True)
+    ap.add_argument("--target-date", default=None, help="YYYY-MM-DD; default yesterday")
+    args = ap.parse_args(argv)
+
+    grids = {
+        name: _read_grid_csv(f"{args.grids_dir}/{name}.csv")
+        for name in ("cursos", "estudiantes", "matriculas", "pagos")
+    }
+    spark = get_spark("daily-pipeline")
+    store = ParquetStore(spark, args.store_dir)
+    result = run_pipeline(spark, grids, store, target_date=args.target_date)
+    for table, n in result.counts.items():
+        print(f"{table}: {n} rows")
+    for path in result.audits:
+        print(f"audit: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

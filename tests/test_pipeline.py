@@ -79,3 +79,26 @@ def test_pipeline_empty_matriculas_skips_semi_filter(spark, tmp_path):
     result = run_pipeline(spark, ALL_GRIDS, store, target_date="2024-03-12")
     assert result.counts["matriculas"] == 0
     assert result.counts["pagos"] == 1  # the 12/03 M001 payment
+
+
+def test_pipeline_cli(spark, tmp_path):
+    """CLI entry: grid CSVs → stored tables (mirrors `python pipeline.py`)."""
+    import csv
+
+    from etl_data_peri_institute_spark.pipeline import main
+
+    grids_dir = tmp_path / "grids"
+    grids_dir.mkdir()
+    for name, grid in ALL_GRIDS.items():
+        with open(grids_dir / f"{name}.csv", "w", newline="") as fh:
+            csv.writer(fh).writerows(grid)
+    rc = main(
+        [
+            "--grids-dir", str(grids_dir),
+            "--store-dir", str(tmp_path / "store"),
+            "--target-date", TARGET_DATE,
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "store" / "matriculas"))
+    assert out.count() == 2
