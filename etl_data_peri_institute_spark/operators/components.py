@@ -39,21 +39,22 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
 
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+        )
+        # truncate lineage every few iterations — at large edge counts the
+        # accumulated join DAG otherwise grows linearly with iterations
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-            .cache()
+            new_labels.localCheckpoint(eager=True) if (i + 1) % 4 == 0 else new_labels.cache()
         )
         changed = (
             new_labels.alias("n")
@@ -62,7 +63,8 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        prev, labels = labels, new_labels
+        prev.unpersist()
         if changed == 0:
             break
     sym.unpersist()
