@@ -52,7 +52,15 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_image_features(attach_binary_payload(docs), fake=True)
-    return feats.select("doc_id", "n_bytes", "content_hash", "features").orderBy("doc_id")
+    # Gate outputs must be scalar columns: the driver's canonicalizer
+    # sorts rows via pandas and dies on array cells, so serialize the
+    # feature vector to its JSON text (deterministic for identical bytes).
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        F.to_json(F.col("features")).alias("features_json"),
+    ).orderBy("doc_id")
 
 
 @query(
@@ -127,10 +135,24 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx functions use different sketch parameters); the companion
     a_exact_percentile query pins the exact counterparts."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
-    ).orderBy("l_returnflag")
+    # Scalar-only gate output (array cells crash the driver canonicalizer):
+    # explode the three quantile levels into one scalar column each.
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            pcts.alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.col("_pcts")[0].alias("approx_p50"),
+            F.col("_pcts")[1].alias("approx_p95"),
+            F.col("_pcts")[2].alias("approx_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @query(

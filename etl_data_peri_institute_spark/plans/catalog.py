@@ -54,8 +54,78 @@ def query(name: str, oracle: str | None = None):
     return wrap
 
 
+# Driver-verification scheduling: the per-round CORRECTNESS artifact
+# records the first ~50 entries of ``queries()`` in registration order.
+# Queries that do not yet have a driver-verified green row are listed
+# here FIRST (most-urgent first); everything else keeps its evidence
+# from a prior round's artifact. Re-derive each round from the latest
+# CORRECTNESS_r{N}.json.
+_VERIFY_FIRST: list[str] = [
+    # round-1 `err` rows (array-output fix) — must flip green this round
+    "m_multimodal_features",
+    "a_approx_sketches",
+    # TPC-H suite (18)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q12_shipmode_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q7_nation_volume",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "q13_order_count_distribution",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_inventory_suppliers",
+    # streaming surface (6)
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "st_streaming_tumbling",
+    "st_stateful_user_totals",
+    "st_stream_static_join",
+    # textops part 2 (5)
+    "t_normalize",
+    "d_decontaminate",
+    "t_repetition",
+    "t_redact_pii",
+    "d_levenshtein_candidates",
+    # join / set / agg / window surface not covered by round 1 (19)
+    "j_exists_correlated",
+    "j_not_in_anti",
+    "j_scalar_subquery",
+    "j_full_outer",
+    "j_range_join_band",
+    "j_asof_backward",
+    "s_union_all_priorities",
+    "s_intersect_customers",
+    "s_except_customers_no_orders",
+    "s_intersect_except_all",
+    "a_rollup_region_nation",
+    "a_cube_status_priority",
+    "a_grouping_sets",
+    "a_pivot_returnflag_linestatus",
+    "a_stats_aggregates",
+    "a_having_filter",
+    "w_moving_avg_range_frame",
+    "w_cume_dist_nth",
+    "w_bounded_sliding_frame",
+    # positions 51-52 (overflow — next round's window; test-pinned meanwhile)
+    "a_bool_aggs",
+    "j_cross_join",
+]
+
+
 def load_all() -> None:
-    """Import every plan module so their @query registrations run."""
+    """Import every plan module so their @query registrations run, then
+    order the registry so driver-unverified queries come first (the
+    driver's correctness artifact truncates; see _VERIFY_FIRST)."""
     from . import (  # noqa: F401
         advanced,
         behavioral,
@@ -67,3 +137,10 @@ def load_all() -> None:
         textops,
         tpch,
     )
+
+    ordered = [n for n in _VERIFY_FIRST if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in ordered if n in snapshot})
