@@ -71,13 +71,37 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2)
     )
 
 
-def jaccard_pairs(shingles: DataFrame, min_jaccard: float = 0.1) -> DataFrame:
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float = 0.1,
+    max_doc_freq: float | int | None = 0.05,
+    doc_freq_floor: int = 128,
+) -> DataFrame:
     """Exact shingle-set Jaccard for all docs sharing ≥1 shingle.
 
     Shuffle-joins on the shingle value; ultra-frequent shingles are the
-    skew hazard — cap them (drop shingles appearing in > frac of docs)
-    before calling at scale.
+    skew hazard — one stop-word shingle shared by 10% of a crawl corpus
+    makes that join bucket quadratic. ``max_doc_freq`` drops shingles
+    whose doc-frequency exceeds the cap BEFORE the self-join, bounding
+    any bucket's pair count; ``None`` disables. A float cap is a
+    fraction of distinct docs, but never below ``doc_freq_floor``
+    absolute docs: a shingle in ≤128 docs yields ≤ ~8k pairs in its
+    bucket — harmless at any corpus size — so small corpora (and tests)
+    are never over-pruned, while at crawl scale the fraction governs.
+    An int cap is absolute. Jaccard is then computed consistently on
+    the capped shingle universe (standard stop-shingle semantics). The
+    doc-frequency pass is a plain partial-aggregated groupBy — hot
+    shingles combine map-side, so the guard itself is skew-proof.
     """
+    if max_doc_freq is not None:
+        doc_freq = shingles.groupBy("sh").agg(F.count_distinct("id").alias("__df"))
+        if isinstance(max_doc_freq, float):
+            total = shingles.select(F.count_distinct("id").alias("__n_docs"))
+            cap = F.greatest(F.lit(doc_freq_floor), F.col("__n_docs") * max_doc_freq)
+            keep = doc_freq.crossJoin(total).filter(F.col("__df") <= cap)
+        else:
+            keep = doc_freq.filter(F.col("__df") <= max_doc_freq)
+        shingles = shingles.join(keep.select("sh"), "sh", "left_semi")
     counts = shingles.groupBy("id").agg(F.count("*").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (

@@ -45,9 +45,14 @@ def duplicate_keys(df: DataFrame, pk: str) -> DataFrame:
 def assert_pk_absent(incoming: DataFrame, existing: DataFrame, pk: str, table: str) -> None:
     """J1: abort INSERT when any incoming PK already exists in the target
     (reference etl/load.py:59-85 — chunked IN-list readback + set
-    intersection → here one broadcast semi join)."""
+    intersection → here one semi join).
+
+    No forced broadcast: the existing-PK side is unbounded (it is the
+    whole stored table's key set), so AQE promotes it to broadcast only
+    when its runtime size is under the threshold; otherwise it shuffles.
+    """
     clash = (
-        incoming.join(F.broadcast(existing.select(pk).distinct()), pk, "left_semi")
+        incoming.join(existing.select(pk).distinct(), pk, "left_semi")
         .select(pk)
         .limit(5)
         .collect()
@@ -69,8 +74,13 @@ def fk_split(child: DataFrame, parent: DataFrame, key: str) -> FkResult:
     """J2/J3: split child rows by FK existence in parent (reference
     etl/load.py:87-134,156-198 — set difference → semi/anti join pair).
 
-    The caller decides abort vs audit-and-drop (O6 policy flags)."""
-    parent_keys = F.broadcast(parent.select(key).na.drop().distinct())
+    The caller decides abort vs audit-and-drop (O6 policy flags).
+
+    The parent-key projection is NOT force-broadcast: parent tables grow
+    without bound at scale, and a forced broadcast of an unbounded frame
+    OOMs the driver. AQE broadcasts it when the runtime size is small.
+    """
+    parent_keys = parent.select(key).na.drop().distinct()
     return FkResult(
         valid=child.join(parent_keys, key, "left_semi"),
         missing=child.join(parent_keys, key, "left_anti"),

@@ -98,7 +98,8 @@ def b_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        # firsts is user-count-sized (unbounded) — AQE decides broadcast
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",

@@ -689,8 +689,8 @@ def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup REMOVAL: LSH candidates → connected components
     → keep only the canonical (min doc_id) member of each component plus
     all untouched docs. The full pre-training dedup pass, composed from
-    the engine operators; at 100 TB only the (tiny) component map joins
-    back against the corpus — broadcast."""
+    the engine operators; the component map joins back against the
+    corpus (AQE broadcasts it only when it is actually small)."""
     from ..operators.components import connected_components
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
 
@@ -701,7 +701,9 @@ def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges).select(
         F.col("id").alias("doc_id"), "component"
     )
-    keep = docs.join(F.broadcast(comp), "doc_id", "left").filter(
+    # comp is duplicate-cluster-sized (can be a large corpus fraction) —
+    # no forced broadcast; AQE promotes it when actually small
+    keep = docs.join(comp, "doc_id", "left").filter(
         F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
     )
     return keep.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")).orderBy(

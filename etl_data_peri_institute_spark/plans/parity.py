@@ -81,8 +81,9 @@ def p_semi_join_valid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4/F3: isin-style semi filter (reference: etl/pipeline.py:135-143).
 
     The reference builds a Python set and calls ``.isin``; the Spark-first
-    form is a broadcast left-semi join against the distinct key set —
-    no driver-side collection, no 100 TB set in memory.
+    form is a left-semi join against the key projection — no driver-side
+    collection. The key set is the orders table's PK projection
+    (unbounded at scale), so the broadcast decision is left to AQE.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
     valid = (
@@ -91,7 +92,7 @@ def p_semi_join_valid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     return (
-        li.join(F.broadcast(valid), li.l_orderkey == valid.o_orderkey, "left_semi")
+        li.join(valid, li.l_orderkey == valid.o_orderkey, "left_semi")
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice"))
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -111,7 +112,8 @@ def p_anti_join_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: etl/load.py:87-134 does it with Python set difference).
 
     Rows whose FK has no match in the (filtered) parent table — the
-    audit-CSV population. Broadcast the parent key set.
+    audit-CSV population. The parent key set is unbounded at scale, so
+    no forced broadcast (AQE promotes it when small).
     """
     orders = load_table(spark, sf_dir, "orders")
     parents = (
@@ -120,7 +122,7 @@ def p_anti_join_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     return (
-        orders.join(F.broadcast(parents), orders.o_custkey == parents.c_custkey, "left_anti")
+        orders.join(parents, orders.o_custkey == parents.c_custkey, "left_anti")
         .select("o_orderkey", "o_custkey")
         .orderBy("o_orderkey")
     )

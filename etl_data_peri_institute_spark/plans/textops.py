@@ -247,8 +247,10 @@ def d_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
     return (
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        .join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        # prefix tables are corpus-sized — plain shuffle joins (AQE may
+        # still broadcast at small SF)
+        .join(da, "doc_a")
+        .join(db, "doc_b")
         .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("lev_prefix"))
         .orderBy("doc_a", "doc_b")
     )

@@ -60,6 +60,29 @@ def test_jaccard_exact_value(spark):
     assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-9
 
 
+def test_jaccard_skew_cap_drops_hot_shingle(spark):
+    # 40 docs all share one planted hot shingle ("hot stop word") but are
+    # otherwise disjoint; docs 1/2 also share a rare shingle. With an
+    # absolute cap below 40 the hot bucket (780 pairs) is pruned before
+    # the self-join: only the rare-shingle pair survives.
+    rows = [(1, "hot stop word rare pair x1"), (2, "hot stop word rare pair x2")]
+    rows += [(i, f"hot stop word u{i} v{i} w{i}") for i in range(3, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df)
+
+    capped = jaccard_pairs(sh, min_jaccard=0.0, max_doc_freq=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert pairs == {(1, 2)}
+
+    # uncapped: every doc pairs with every other via the hot shingle
+    uncapped = jaccard_pairs(sh, min_jaccard=0.0, max_doc_freq=None)
+    assert uncapped.count() == 40 * 39 // 2
+
+    # default fractional cap never over-prunes small corpora (floor)
+    floored = jaccard_pairs(sh, min_jaccard=0.0)
+    assert floored.count() == 40 * 39 // 2
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [(1, "same"), (2, "same"), (3, "diff")], "doc_id long, text string"

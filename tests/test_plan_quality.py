@@ -42,8 +42,29 @@ def test_prefix_filter_pushes_startswith(spark):
 
 
 def test_semi_join_is_broadcast(spark):
+    # No forced hint anymore: at this tiny SF the stats-based planner
+    # must still promote the key projection to a broadcast build side.
     plan = _plan(spark, "p_semi_join_valid_keys")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_no_forced_broadcast_of_unbounded_frames(spark):
+    """Frames that grow with the data (full-table key projections, the
+    per-user firsts aggregate, the dedup component map, doc-prefix
+    tables) must NOT carry an explicit broadcast hint — a forced
+    broadcast of an unbounded side OOMs the driver at 100 TB. AQE still
+    promotes them when their runtime size is small; this pins that the
+    decision stays with the planner."""
+    for name in [
+        "p_semi_join_valid_keys",
+        "p_anti_join_fk_violations",
+        "b_cohort_retention",
+        "d_dedup_apply",
+        "d_levenshtein_candidates",
+    ]:
+        df = catalog.QUERIES[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
 
 
 def test_knn_broadcasts_queries(spark):
