@@ -1,5 +1,5 @@
-"""Sinks: a parquet-backed table store with INSERT / UPSERT semantics
-plus the audit-CSV sink for rejected rows.
+"""Sinks: a parquet-backed table store with INSERT / UPSERT semantics,
+the audit-CSV sink for rejected rows, and a JDBC writer.
 
 Replaces the reference's PostgREST sink (etl/load.py:260-346 — 100-row
 JSON batches, 0.5 s pauses, retry/backoff ≈ 200 rows/s ceiling) with
@@ -11,8 +11,13 @@ Delta/Iceberg jar in this image is emulated as anti-join + union +
 atomic directory swap: target rows whose PK collides with incoming are
 replaced. On a real deployment this is one ``MERGE INTO`` against Delta/
 Iceberg — the surrounding plan (dedup → integrity → merge) is identical.
-A JDBC variant is the same ``df.write.jdbc(mode="append")`` call plus a
-staging-table MERGE; stubbed here (no database in the image).
+The JDBC variant (the reference's actual Postgres target) is
+``write_jdbc`` below: append straight to the table, or stage + the
+``jdbc_upsert_sql`` MERGE statement for upsert.
+
+Execution discipline: each sink runs the incoming plan EXACTLY ONCE —
+the frame is staged to parquet first, and row counts come from the
+staged files' parquet footers (a metadata-only count, no recompute).
 """
 
 from __future__ import annotations
@@ -49,52 +54,126 @@ class ParquetStore:
             raise FileNotFoundError(table)
         return self.spark.createDataFrame([], schema)
 
+    def _stage(self, df: DataFrame, table: str) -> tuple[str, int]:
+        """Materialize ``df`` once into a staging dir; return (dir, n).
+        The count reads parquet footers only — the plan is not re-run."""
+        stage = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_stage_")
+        df.write.mode("overwrite").parquet(stage)
+        n = self.spark.read.parquet(stage).count()
+        return stage, n
+
     def insert(self, df: DataFrame, table: str) -> int:
-        """Append-only INSERT (reference insert mode, etl/load.py:285)."""
-        n = df.count()
-        if n:
-            df.write.mode("append").parquet(self.path(table))
+        """Append-only INSERT (reference insert mode, etl/load.py:285).
+
+        One plan execution: stage → footer count → move the (globally
+        uniquely named) part files into the table directory."""
+        stage, n = self._stage(df, table)
+        try:
+            if n:
+                final = self.path(table)
+                os.makedirs(final, exist_ok=True)
+                for name in os.listdir(stage):
+                    if name.endswith(".parquet"):
+                        os.replace(os.path.join(stage, name), os.path.join(final, name))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return n
 
     def upsert(self, df: DataFrame, table: str, pk: str) -> int:
         """Insert-or-update on PK (reference upsert, etl/load.py:283).
 
-        anti-join keeps non-colliding target rows; union with incoming;
-        write to a temp dir and swap so a failed write never corrupts
-        the table (poor-man's MERGE INTO; see module docstring).
+        Incoming is staged once (snapshot), then: anti-join keeps
+        non-colliding target rows; union with the staged incoming; write
+        to a temp dir and swap so a failed write never corrupts the
+        table (poor-man's MERGE INTO; see module docstring).
         """
-        n = df.count()
-        if not n:
-            return 0
-        if self.exists(table):
-            current = self.read(table)
-            kept = current.join(df.select(pk).distinct(), pk, "left_anti")
-            merged = kept.unionByName(df)
-        else:
-            merged = df
-        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_stage_")
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.path(table)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        stage, n = self._stage(df, table)
+        try:
+            if not n:
+                return 0
+            incoming = self.spark.read.parquet(stage)
+            if self.exists(table):
+                current = self.read(table)
+                kept = current.join(incoming.select(pk).distinct(), pk, "left_anti")
+                merged = kept.unionByName(incoming)
+            else:
+                merged = incoming
+            tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_merge_")
+            merged.write.mode("overwrite").parquet(tmp)
+            final = self.path(table)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return n
 
 
 def audit_csv(df: DataFrame, out_dir: str, reason: str) -> str | None:
     """S8: back up rejected rows to a timestamped CSV (reference
     etl/load.py:114-122,141-151,183-190; artifacts retained by CI —
-    daily-etl.yml:48-55). Returns the written path, or None if empty."""
-    rows = df.limit(100001).collect()
-    if not rows:
+    daily-etl.yml:48-55).
+
+    Distributed write — every reject row lands, however many there are
+    (the reference, and an earlier version here, materialized rows on
+    one node). Output is a directory of header-carrying CSV parts, the
+    standard distributed-artifact layout. Returns the directory path,
+    or None if there was nothing to audit (checked with ``isEmpty`` —
+    a first-row probe, not a full pass).
+    """
+    if df.isEmpty():
         return None
     os.makedirs(out_dir, exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     path = os.path.join(out_dir, f"{reason}_{stamp}.csv")
-    import csv
-
-    with open(path, "w", newline="") as fh:
-        writer = csv.writer(fh)
-        writer.writerow(df.columns)
-        writer.writerows([tuple(r) for r in rows])
+    df.write.option("header", True).mode("overwrite").csv(path)
     return path
+
+
+def _jdbc_options(
+    url: str, table: str, batchsize: int = 10000, **options: str
+) -> dict[str, str]:
+    """Option dict for a JDBC write (pure function, unit-testable).
+    ``batchsize`` is the rows-per-roundtrip knob — the distributed
+    successor to the reference's 100-row HTTP batches."""
+    opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    opts.update({k: str(v) for k, v in options.items()})
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10000,
+    **options: str,
+) -> None:
+    """JDBC sink (reference target: Postgres via PostgREST,
+    etl/load.py:283-285). Every partition opens its own connection and
+    batches inserts, so throughput scales with executors.
+
+    INSERT == ``mode="append"`` straight to the target table. UPSERT ==
+    append to a staging table, then run ``jdbc_upsert_sql`` on the
+    database (JDBC has no MERGE pushdown). Requires a JDBC driver jar
+    on the classpath; callers in this image mock the terminal ``save``.
+    """
+    (
+        df.write.format("jdbc")
+        .mode(mode)
+        .options(**_jdbc_options(url, table, batchsize, **options))
+        .save()
+    )
+
+
+def jdbc_upsert_sql(table: str, staging: str, pk: str, cols: list[str]) -> str:
+    """The statement a coordinator runs after staging an upsert batch:
+    Postgres INSERT .. ON CONFLICT DO UPDATE (the reference's
+    insert-or-update contract, etl/load.py:283)."""
+    col_list = ", ".join(cols)
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c != pk)
+    return (
+        f"INSERT INTO {table} ({col_list}) "
+        f"SELECT {col_list} FROM {staging} "
+        f"ON CONFLICT ({pk}) DO UPDATE SET {updates}"
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -82,11 +84,57 @@ def test_upsert_empty_noop(spark, tmp_path):
 def test_audit_csv_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([("x", None), ("y", "2")], "a string, b string")
     path = audit_csv(df, str(tmp_path / "audit"), "rejects")
-    assert path and path.endswith(".csv")
-    lines = open(path).read().strip().splitlines()
-    assert lines[0] == "a,b" and len(lines) == 3
-    # empty frame → no file
+    # distributed write: a directory of header-carrying CSV parts
+    assert path and path.endswith(".csv") and os.path.isdir(path)
+    data_rows = []
+    for part in os.listdir(path):
+        if part.startswith("part-") and part.endswith(".csv"):
+            lines = open(os.path.join(path, part)).read().strip().splitlines()
+            if lines:
+                assert lines[0] == "a,b"
+                data_rows += lines[1:]
+    assert sorted(data_rows) == ['"x",""', "y,2"] or sorted(data_rows) == ["x,", "y,2"]
+    # Spark round-trip sees exactly the audited rows
+    assert spark.read.option("header", True).csv(path).count() == 2
+    # empty frame → no artifact
     assert audit_csv(df.filter(F.col("a") == "zz"), str(tmp_path / "audit"), "r2") is None
+
+
+def test_jdbc_sink_wrapper(spark, monkeypatch):
+    from etl_data_peri_institute_spark.sinks import (
+        _jdbc_options,
+        jdbc_upsert_sql,
+        write_jdbc,
+    )
+
+    opts = _jdbc_options("jdbc:postgresql://h/db", "pagos", user="etl")
+    assert opts == {
+        "url": "jdbc:postgresql://h/db",
+        "dbtable": "pagos",
+        "batchsize": "10000",
+        "user": "etl",
+    }
+
+    sql = jdbc_upsert_sql("pagos", "pagos_stage", "codigo_pago", ["codigo_pago", "monto"])
+    assert sql == (
+        "INSERT INTO pagos (codigo_pago, monto) "
+        "SELECT codigo_pago, monto FROM pagos_stage "
+        "ON CONFLICT (codigo_pago) DO UPDATE SET monto = EXCLUDED.monto"
+    )
+
+    # no JDBC driver in the image: intercept the terminal save and check
+    # the writer was configured as a jdbc append
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    captured = {}
+
+    def fake_save(self, path=None):
+        captured["saved"] = True
+
+    monkeypatch.setattr(DataFrameWriter, "save", fake_save)
+    df = spark.createDataFrame([(1, 2.0)], "codigo_pago int, monto double")
+    write_jdbc(df, "jdbc:postgresql://h/db", "pagos", user="etl")
+    assert captured.get("saved")
 
 
 def test_salted_join_equals_plain(spark):
