@@ -67,5 +67,15 @@ def connected_components(
         prev.unpersist()
         if changed == 0:
             break
+    else:
+        # min-label propagation converges in O(graph diameter) rounds;
+        # returning unconverged labels silently would mis-assign
+        # components, so make it loud (callers pass a bigger budget or
+        # precompute with large-star/small-star contraction)
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iterations} iterations — graph diameter exceeds the "
+            f"iteration budget; raise max_iterations"
+        )
     sym.unpersist()
     return labels

@@ -95,6 +95,7 @@ def hyperplane_lsh_signatures(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH (SimHash for vectors): sign pattern of dot
     products against n_bits pseudo-random hyperplanes → integer bucket.
@@ -105,7 +106,18 @@ def hyperplane_lsh_signatures(
     plan. Vectors in the same bucket are ANN candidates; multi-probe =
     also search buckets at hamming distance 1. One narrow pass per
     vector, no pairwise work.
+
+    Pass ``dim`` (the embedding dimension) to keep plan construction
+    job-free; without it, a one-row probe infers it (and an empty input
+    yields an empty result instead of a driver error).
     """
+    spark = df.sparkSession
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:  # empty input: no vectors, no buckets
+            return spark.createDataFrame([], "id long, bucket long")
+        dim = row["d"]
+
     pos = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(vec_col).alias("pos0", "valf"),
@@ -115,8 +127,6 @@ def hyperplane_lsh_signatures(
     # vector row) and broadcast-join it on pos: md5 work is O(dim·bits),
     # independent of corpus size. conv(hex,16,10) == the oracle's
     # instr-digit expansion, so signatures still match cross-engine.
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    spark = df.sparkSession
     planes = spark.range(1, dim + 1).select(
         F.col("id").cast("int").alias("pos"),
         *[

@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Join modes where replicating the build side cannot change the result:
+#: every probe row carries exactly one salt, so it meets each build row
+#: exactly once. Right/full-outer are NOT equivalent — an unmatched
+#: build row would surface once per salt replica — so they are rejected.
+SALTED_JOIN_MODES = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -26,7 +33,15 @@ def salted_join(
     seed: int = 7,
 ) -> DataFrame:
     """Equality join on ``key`` with the probe side salted and the build
-    side replicated. Result equals ``probe.join(build, key, how)``."""
+    side replicated. Result equals ``probe.join(build, key, how)`` for
+    the probe-preserving modes in ``SALTED_JOIN_MODES``; other modes
+    raise (for right/full-outer, salt the other side or let AQE's
+    skew-join split partitions instead)."""
+    if how not in SALTED_JOIN_MODES:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched build rows "
+            f"n_salt times; supported modes: {sorted(SALTED_JOIN_MODES)}"
+        )
     salted_probe = probe.withColumn("__salt", (F.rand(seed=seed) * n_salt).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     replicated_build = build.withColumn("__salt", salts)

@@ -111,7 +111,11 @@ def run_pipeline(
 
     # -- pagos: primera cuota + regulares, consolidated ---------------------
     primera = transform_pagos_primera_cuota(todays_raw)
-    primera = primera.join(F.broadcast(valid_keys), "codigo_matricula", "left_semi")
+    if not todays_mats_empty:
+        # reference applies the primera semi-filter only when today's
+        # matriculas are non-empty (etl/pipeline.py:135); otherwise the
+        # rows flow on to the stored-table FK check and its audit
+        primera = primera.join(F.broadcast(valid_keys), "codigo_matricula", "left_semi")
 
     raw_pagos = grid_to_df(
         spark,

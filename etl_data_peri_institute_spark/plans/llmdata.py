@@ -640,7 +640,8 @@ def e_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        hyperplane_lsh_signatures(emb, n_bits=8)
+        # dim passed explicitly: no job at plan-build time
+        hyperplane_lsh_signatures(emb, n_bits=8, dim=64)
         .select(F.col("id").alias("vec_id"), "bucket")
         .orderBy("vec_id")
     )

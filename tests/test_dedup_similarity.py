@@ -99,6 +99,38 @@ def test_connected_components_two_clusters(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_raises_when_budget_too_small(spark):
+    import pytest
+
+    # path graph 1-2-...-6: diameter 5 > 2 iterations → must not return
+    # silently-wrong labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="iteration budget"):
+        connected_components(edges, max_iterations=2)
+
+
+def test_hyperplane_lsh_empty_and_explicit_dim(spark):
+    from etl_data_peri_institute_spark.operators.similarity import (
+        hyperplane_lsh_signatures,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert hyperplane_lsh_signatures(empty).count() == 0
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [1.0, 0.0, 2.0]), (3, [-1.0, 0.5, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    inferred = {r["id"]: r["bucket"] for r in hyperplane_lsh_signatures(df).collect()}
+    explicit = {
+        r["id"]: r["bucket"] for r in hyperplane_lsh_signatures(df, dim=3).collect()
+    }
+    assert inferred == explicit
+    assert inferred[1] == inferred[2]  # identical vectors share a bucket
+
+
 def test_cosine_and_knn(spark):
     df = spark.createDataFrame(
         [

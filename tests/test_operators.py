@@ -155,6 +155,33 @@ def test_salted_join_equals_plain(spark):
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
 
 
+def test_salted_join_left_modes_and_outer_rejection(spark):
+    from etl_data_peri_institute_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k int, pv string"
+    )
+    build = spark.createDataFrame([(1, "x"), (2, "y"), (5, "unmatched")], "k int, bv string")
+
+    # left: unmatched probe row survives exactly once with null build cols
+    left = salted_join(probe, build, "k", n_salt=4, how="left").collect()
+    assert sorted((r["k"], r["pv"], r["bv"]) for r in left) == [
+        (1, "a", "x"),
+        (1, "b", "x"),
+        (2, "c", "y"),
+        (9, "z", None),
+    ]
+
+    # left_anti: only the unmatched probe row, once
+    anti = salted_join(probe, build, "k", n_salt=4, how="left_anti").collect()
+    assert [(r["k"], r["pv"]) for r in anti] == [(9, "z")]
+
+    # outer modes would replicate the unmatched build row (k=5) per salt
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(probe, build, "k", how=bad)
+
+
 def test_sql_api_cte_and_views(spark):
     from etl_data_peri_institute_spark.sql_api import run_sql
 
