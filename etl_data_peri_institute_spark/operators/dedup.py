@@ -37,14 +37,32 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
-def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """(id, m0..m{n-1}): lexicographic mins of seeded md5 hex strings —
-    a valid MinHash family, engine-portable; production swaps md5 for
-    xxhash64 (same plan shape, 8 bytes instead of 32)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 8, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, m0..m{n-1}): per-seed minimum of a hash of each shingle — a
+    valid MinHash family either way. Hash collisions only perturb an
+    already-approximate similarity estimate, so the cheap hash is the
+    right default:
+
+    - ``xxhash64`` (engine default): JVM-native seeded 64-bit longs,
+      8 bytes/element and no hex materialization — the fast path.
+    - ``md5``: seeded hex-string mins — bit-identical in DuckDB, so the
+      cross-engine oracle queries pin correctness through this variant.
+    Same plan shape (one partial-aggregated groupBy) for both.
+    """
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return shingles.groupBy("id").agg(*aggs)
 
 
@@ -94,9 +112,14 @@ def jaccard_pairs(
     shingles combine map-side, so the guard itself is skew-proof.
     """
     if max_doc_freq is not None:
-        doc_freq = shingles.groupBy("sh").agg(F.count_distinct("id").alias("__df"))
+        # input contract is set semantics (distinct (id, sh) rows — see
+        # word_shingles), so plain count(*) IS the doc-frequency: no
+        # count_distinct expansion needed
+        doc_freq = shingles.groupBy("sh").agg(F.count("*").alias("__df"))
         if isinstance(max_doc_freq, float):
-            total = shingles.select(F.count_distinct("id").alias("__n_docs"))
+            total = (
+                shingles.select("id").distinct().select(F.count("*").alias("__n_docs"))
+            )
             cap = F.greatest(F.lit(doc_freq_floor), F.col("__n_docs") * max_doc_freq)
             keep = doc_freq.crossJoin(total).filter(F.col("__df") <= cap)
         else:

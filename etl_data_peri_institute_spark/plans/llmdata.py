@@ -140,7 +140,9 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(
-        mh_sigs(word_shingles(docs, distinct=False)), bands=4, rows_per_band=2
+        mh_sigs(word_shingles(docs, distinct=False), hash_fn="md5"),  # oracle pins md5
+        bands=4,
+        rows_per_band=2,
     )
     return (
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
@@ -590,7 +592,9 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = lsh_candidate_pairs(
-        mh_sigs(word_shingles(docs, distinct=False)), bands=4, rows_per_band=2
+        mh_sigs(word_shingles(docs, distinct=False), hash_fn="md5"),  # oracle pins md5
+        bands=4,
+        rows_per_band=2,
     )
     return (
         connected_components(edges)
@@ -697,7 +701,9 @@ def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = lsh_candidate_pairs(
-        mh_sigs(word_shingles(docs, distinct=False)), bands=4, rows_per_band=2
+        mh_sigs(word_shingles(docs, distinct=False), hash_fn="md5"),  # oracle pins md5
+        bands=4,
+        rows_per_band=2,
     )
     comp = connected_components(edges).select(
         F.col("id").alias("doc_id"), "component"

@@ -242,7 +242,9 @@ def d_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(docs, distinct=False)))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(word_shingles(docs, distinct=False), hash_fn="md5")  # oracle pins md5
+    )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
     return (
