@@ -5,7 +5,8 @@ it: every key change closes the current version (valid_to, is_current =
 false) and opens a new one. Without a Delta/Iceberg MERGE in this image,
 the emulation is the standard anti-join + union rewrite (the guide's
 CDC/SCD2 pattern): one shuffle on the key, then an atomic swap via the
-ParquetStore. On Delta this whole function is one ``MERGE INTO`` with
+ParquetStore. The changed-key set is snapshot-diff-sized (unbounded at
+scale), so it is never force-broadcast — AQE promotes it when small. On Delta this whole function is one ``MERGE INTO`` with
 ``whenMatchedUpdate`` + insert — the surrounding plan is identical.
 """
 
@@ -55,19 +56,19 @@ def scd2_apply(
     # close current versions of changed keys
     closed = (
         dim.filter(F.col("is_current"))
-        .join(F.broadcast(changed_keys), pk, "left_semi")
+        .join(changed_keys, pk, "left_semi")
         .withColumn("valid_to", F.lit(effective_date))
         .withColumn("is_current", F.lit(False))
     )
     untouched_current = dim.filter(F.col("is_current")).join(
-        F.broadcast(changed_keys), pk, "left_anti"
+        changed_keys, pk, "left_anti"
     )
     history = dim.filter(~F.col("is_current"))
 
     # new versions: changed keys + brand-new keys
     new_keys = upd.join(dim.filter(F.col("is_current")), pk, "left_anti")
     new_versions = (
-        updates.join(F.broadcast(changed_keys), pk, "left_semi")
+        updates.join(changed_keys, pk, "left_semi")
         .unionByName(new_keys)
         .select(
             "*",

@@ -90,6 +90,44 @@ def assign_nearest_centroid(
     )
 
 
+def _hyperplane_dots(
+    df: DataFrame,
+    n_bits: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """(id, dot0..dot{n_bits-1}): dot products of each vector against
+    n_bits md5-derived pseudo-random hyperplanes (see
+    hyperplane_lsh_signatures for why md5). One posexplode pass +
+    broadcast join against the O(dim·n_bits) plane matrix."""
+    spark = df.sparkSession
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    planes = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("pos"),
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"hp{b}_"), F.col("id").cast("string"))), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                / 65536.0
+                - 0.5
+            ).alias(f"hp{b}")
+            for b in range(n_bits)
+        ],
+    )
+    return (
+        pos.join(F.broadcast(planes), "pos")
+        .groupBy("id")
+        .agg(*[F.sum(F.col("val") * F.col(f"hp{b}")).alias(f"dot{b}") for b in range(n_bits)])
+    )
+
+
 def hyperplane_lsh_signatures(
     df: DataFrame,
     n_bits: int = 8,
@@ -118,36 +156,88 @@ def hyperplane_lsh_signatures(
             return spark.createDataFrame([], "id long, bucket long")
         dim = row["d"]
 
-    pos = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(vec_col).alias("pos0", "valf"),
-    ).select("id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
-
-    # materialize the hyperplane matrix ONCE (dim × n_bits rows, not per
-    # vector row) and broadcast-join it on pos: md5 work is O(dim·bits),
+    # the hyperplane matrix is materialized ONCE (dim × n_bits rows, not
+    # per vector row) and broadcast-joined: md5 work is O(dim·bits),
     # independent of corpus size. conv(hex,16,10) == the oracle's
     # instr-digit expansion, so signatures still match cross-engine.
-    planes = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("pos"),
-        *[
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"hp{b}_"), F.col("id").cast("string"))), 1, 4),
-                    16,
-                    10,
-                ).cast("long")
-                / 65536.0
-                - 0.5
-            ).alias(f"hp{b}")
-            for b in range(n_bits)
-        ],
-    )
-    dots = (
-        pos.join(F.broadcast(planes), "pos")
-        .groupBy("id")
-        .agg(*[F.sum(F.col("val") * F.col(f"hp{b}")).alias(f"dot{b}") for b in range(n_bits)])
-    )
+    dots = _hyperplane_dots(df, n_bits, id_col, vec_col, dim)
     bucket = sum(
         (F.col(f"dot{b}") > 0).cast("long") * (1 << b) for b in range(n_bits)
     )
     return dots.select("id", bucket.alias("bucket"))
+
+
+def hyperplane_lsh_bands(
+    df: DataFrame,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded random-hyperplane LSH: (id, band, bucket) — one row per
+    band, bucket = the band's bits_per_band sign pattern.
+
+    Banding trades precision for recall exactly as in MinHash LSH: a
+    pair is a candidate if ANY band matches. For sign-random-projection,
+    P(bit match) = 1 - θ/π, so P(candidate) = 1-(1-p^r)^b — with 4×4
+    defaults, true near-dups (cos ≥ 0.95, p ≈ 0.9) are caught with
+    ~0.99 probability while near-orthogonal pairs land together rarely.
+    """
+    if df.isEmpty():
+        return df.sparkSession.createDataFrame([], "id long, band int, bucket long")
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    n_bits = bands * bits_per_band
+    dots = _hyperplane_dots(df, n_bits, id_col, vec_col, dim)
+    band_cols = []
+    for b in range(bands):
+        bucket = sum(
+            (F.col(f"dot{b * bits_per_band + k}") > 0).cast("long") * (1 << k)
+            for k in range(bits_per_band)
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return dots.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.4,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: banded hyperplane
+    LSH proposes candidates (any shared (band, bucket)), exact cosine
+    verifies ≥ tau. Output (id_a, id_b) — ids only, so float noise never
+    reaches a hash compare.
+
+    The O(n²) pair space is never enumerated: cost is one LSH pass over
+    the corpus plus the colliding-bucket joins plus one embedding
+    re-join per surviving candidate. No forced broadcasts — the
+    embedding side is corpus-sized (AQE handles small inputs).
+    """
+    bb = hyperplane_lsh_bands(corpus, bands, bits_per_band, id_col, vec_col, dim)
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ea = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    eb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .select("id_a", "id_b")
+    )

@@ -131,6 +131,7 @@ def load_all() -> None:
         behavioral,
         functions_surface,
         llmdata,
+        llmdata_ext,
         parity,
         relational,
         streaming_batch,

@@ -188,3 +188,28 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
     return run_to_completion(agg).orderBy("c_mktsegment")
+
+
+@query(
+    "st_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: readStream → dropDuplicates on the key
+    columns → append-mode memory sink, driven to completion. Exactly the
+    exactly-once event-dedup topology (duplicate deliveries collapse in
+    flight); only the keys are emitted so which physical row survived
+    never affects the result. At scale, state is bounded with
+    dropDuplicatesWithinWatermark when the key embeds event time — here
+    the bounded source needs no eviction."""
+    from ..streaming.windows import run_to_completion, stream_events
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type")
+    out = run_to_completion(
+        ev.dropDuplicates(["user_id", "event_type"]), output_mode="append"
+    )
+    return out.orderBy("user_id", "event_type")

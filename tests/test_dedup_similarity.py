@@ -131,6 +131,31 @@ def test_hyperplane_lsh_empty_and_explicit_dim(spark):
     assert inferred[1] == inferred[2]  # identical vectors share a bucket
 
 
+def test_embedding_neardup_pairs(spark):
+    from etl_data_peri_institute_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    # 1 and 2 identical (cos=1 → same sign pattern in every band → always
+    # a candidate, always verified); 3 orthogonal-ish
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0]),
+            (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, [-4.0, 3.0, -2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, tau=0.95, dim=4).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_neardup_pairs(empty, dim=4).count() == 0
+
+
 def test_cosine_and_knn(spark):
     df = spark.createDataFrame(
         [
