@@ -94,6 +94,7 @@ def jaccard_pairs(
     min_jaccard: float = 0.1,
     max_doc_freq: float | int | None = 0.05,
     doc_freq_floor: int = 128,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all docs sharing ≥1 shingle.
 
@@ -110,6 +111,15 @@ def jaccard_pairs(
     the capped shingle universe (standard stop-shingle semantics). The
     doc-frequency pass is a plain partial-aggregated groupBy — hot
     shingles combine map-side, so the guard itself is skew-proof.
+
+    Scale shapes: the cap is applied as an anti-join against the HOT
+    set (shingles over the cap) — tiny by construction (stop shingles),
+    so it broadcasts at any corpus size; the keep-set semi-join variant
+    would build an unbounded side. The capped shingle frame feeds three
+    consumers (per-doc counts, both self-join sides), so ``materialize``
+    persists it MEMORY_AND_DISK — one scan + one cap pass total instead
+    of three — the single-cluster analogue of staging to a temp table;
+    pass ``False`` to keep the plan fully lazy.
     """
     if max_doc_freq is not None:
         # input contract is set semantics (distinct (id, sh) rows — see
@@ -121,10 +131,14 @@ def jaccard_pairs(
                 shingles.select("id").distinct().select(F.count("*").alias("__n_docs"))
             )
             cap = F.greatest(F.lit(doc_freq_floor), F.col("__n_docs") * max_doc_freq)
-            keep = doc_freq.crossJoin(total).filter(F.col("__df") <= cap)
+            hot = doc_freq.crossJoin(total).filter(F.col("__df") > cap)
         else:
-            keep = doc_freq.filter(F.col("__df") <= max_doc_freq)
-        shingles = shingles.join(keep.select("sh"), "sh", "left_semi")
+            hot = doc_freq.filter(F.col("__df") > max_doc_freq)
+        shingles = shingles.join(hot.select("sh"), "sh", "left_anti")
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     counts = shingles.groupBy("id").agg(F.count("*").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
