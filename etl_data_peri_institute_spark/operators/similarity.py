@@ -60,15 +60,17 @@ def centroids_by(df: DataFrame, label_col: str, vec_col: str = "embedding") -> D
     return pos.groupBy("c_label", "pos").agg(F.avg("val").alias("cval"))
 
 
-def assign_nearest_centroid(
+def top_centroids(
     df: DataFrame,
     cents: DataFrame,
+    n: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse assignment: nearest centroid by cosine (broadcast the
+    """Top-n nearest centroids by cosine for every vector (broadcast the
     tiny centroid table; dot products as joins+aggs). Output (id,
-    assigned_label)."""
+    c_label, rn) with rn = 1..n. n=1 is IVF coarse assignment; n>1 is
+    the multi-probe step of an IVF query."""
     pos = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(vec_col).alias("pos0", "valf"),
@@ -85,9 +87,128 @@ def assign_nearest_centroid(
     w = W.partitionBy("id").orderBy(F.desc(F.col("dot") / (F.col("vn") * F.col("cn"))), F.asc("c_label"))
     return (
         dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("id"), F.col("c_label").alias("assigned_label"))
+        .filter(F.col("rn") <= n)
+        .select("id", "c_label", "rn")
     )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine. Output (id,
+    assigned_label). Thin wrapper over top_centroids(n=1)."""
+    return top_centroids(df, cents, 1, id_col, vec_col).select(
+        "id", F.col("c_label").alias("assigned_label")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k search: corpus vectors are bucketed into
+    inverted lists (nearest centroid); each query probes its n_probe
+    nearest lists and exact-cosine-ranks ONLY the vectors in those
+    lists. Output (query_id, rank, neighbor_id, cos_sim).
+
+    Scale shape: centroids are tiny and broadcast; building the lists is
+    one corpus pass; the candidate join shuffles on the list label, so
+    per-query work is the probed lists' size, not the corpus — the
+    classic IVF recall/cost dial (n_probe). Hot lists are the skew
+    hazard; production balances list sizes by training centroids on a
+    sample (see kmeans_lloyd). The query side is usually small enough
+    that AQE broadcasts it."""
+    lists = top_centroids(corpus, cents, 1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "c_label"
+    )
+    probes = top_centroids(queries, cents, n_probe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), "c_label"
+    )
+    cand = (
+        probes.join(lists, "c_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c"))
+    sims = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("__q"), F.col("__c")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training for IVF: assignment
+    by cosine, centroids = elementwise means. Returns the trained
+    centroid table (c_label, pos, cval) — feed it to top_centroids /
+    ivf_topk.
+
+    Deterministic init: the k lowest-id vectors seed the clusters (a
+    production pipeline would k-means++ a sample; determinism matters
+    more here). Ranking by cosine against unnormalized mean centroids
+    IS spherical k-means assignment — cosine divides by the centroid
+    norm, so renormalizing the means cannot change any argmax.
+
+    Iteration pattern (the same loop discipline as
+    operators/components.py): per-round state is the k×dim centroid
+    table — tiny — so it is eagerly localCheckpoint-ed each round to
+    truncate lineage; the corpus itself is never checkpointed or
+    collected. max_iter bounds cost; k-means converges in practice long
+    before diameter-style worst cases."""
+    first_k = df.orderBy(id_col).limit(k)
+    labels = first_k.select(
+        F.col(id_col).alias("__seed_id"),
+        (F.row_number().over(W.orderBy(id_col)) - 1).alias("c_label"),
+    )
+    seeds = first_k.join(labels, F.col(id_col) == F.col("__seed_id")).select(
+        "c_label", F.posexplode(vec_col).alias("pos0", "valf")
+    )
+    cents = (
+        seeds.select(
+            "c_label", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("cval")
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        assigned = top_centroids(df, cents, 1, id_col, vec_col).select(
+            F.col("id"), F.col("c_label")
+        )
+        joined = df.join(assigned, F.col(id_col) == F.col("id")).select(
+            "c_label", F.posexplode(vec_col).alias("pos0", "valf")
+        )
+        cents = (
+            joined.select(
+                "c_label",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("valf").cast("double").alias("val"),
+            )
+            .groupBy("c_label", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .localCheckpoint()
+        )
+    return cents
 
 
 def _hyperplane_dots(

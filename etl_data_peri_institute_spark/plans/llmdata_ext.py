@@ -249,6 +249,83 @@ def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# e_ivf_topk — IVF multi-probe ANN search with exact re-rank
+# --------------------------------------------------------------------------
+
+_COSINE_SQL = """list_sum(list_transform(range(1, len({a}) + 1),
+               i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                  i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                  i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"""
+
+
+@query(
+    "e_ivf_topk",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY label, pos
+    ),
+    dots AS (
+      SELECT p.vec_id, c.c_label,
+             sum(p.val * c.cval) AS dot,
+             sqrt(sum(p.val * p.val)) AS vn,
+             sqrt(sum(c.cval * c.cval)) AS cn
+      FROM pos p JOIN centroids c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.c_label
+    ),
+    ranked AS (
+      SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / (vn * cn) DESC, c_label) AS rn
+      FROM dots
+    ),
+    lists AS (SELECT vec_id AS neighbor_id, c_label FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c_label FROM ranked WHERE rn <= 2 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l ON p.c_label = l.c_label
+      WHERE l.neighbor_id <> p.query_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_COSINE_SQL.format(a='q.embedding', b='e.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id
+    FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM sims) t
+    WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe ANN: corpus bucketed into inverted lists (nearest
+    label-centroid), queries probe their 2 nearest lists, exact cosine
+    re-ranks only the probed vectors (operators/similarity.py:ivf_topk).
+    Completes the ANN family: brute-force (e_knn_bruteforce) is the
+    exact baseline, hyperplane LSH (e_lsh_buckets) the hash path, IVF
+    the clustered path with the n_probe recall/cost dial. Ids only in
+    the output; the float sim never reaches the hash compare."""
+    from ..operators.similarity import centroids_by, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_by(emb, "label")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=3, n_probe=2)
+    return out.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # p_scd2_fold — SCD Type-2 dimension fold as a verifiable query
 # --------------------------------------------------------------------------
 

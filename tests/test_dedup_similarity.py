@@ -156,6 +156,43 @@ def test_embedding_neardup_pairs(spark):
     assert embedding_neardup_pairs(empty, dim=4).count() == 0
 
 
+def test_kmeans_and_ivf_topk(spark):
+    from etl_data_peri_institute_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_lloyd,
+        top_centroids,
+    )
+
+    # two well-separated direction clusters; ids chosen so the k=2
+    # deterministic seeds (ids 1,2) land one in each cluster
+    rows = [
+        (1, [10.0, 0.0, 0.1, 0.0]),
+        (2, [0.0, 10.0, 0.0, 0.1]),
+        (3, [9.0, 0.2, 0.0, 0.0]),
+        (4, [0.1, 8.0, 0.0, 0.0]),
+        (5, [11.0, 0.0, 0.0, 0.2]),
+        (6, [0.0, 12.0, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(df, k=2, max_iter=3)
+    assigned = {
+        r["id"]: r["c_label"]
+        for r in top_centroids(df, cents, 1).collect()
+    }
+    # x-direction docs cluster together, y-direction docs together
+    assert assigned[1] == assigned[3] == assigned[5]
+    assert assigned[2] == assigned[4] == assigned[6]
+    assert assigned[1] != assigned[2]
+
+    # single-probe IVF search from query 1 only sees its own list
+    out = ivf_topk(df, df.filter(F.col("vec_id") == 1), cents, k=5, n_probe=1)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert neighbors == {3, 5}
+    # probing both lists recovers the full corpus
+    out2 = ivf_topk(df, df.filter(F.col("vec_id") == 1), cents, k=5, n_probe=2)
+    assert {r["neighbor_id"] for r in out2.collect()} == {2, 3, 4, 5, 6}
+
+
 def test_cosine_and_knn(spark):
     df = spark.createDataFrame(
         [
