@@ -78,3 +78,40 @@ def scd2_apply(
         )
     )
     return history.unionByName(untouched_current).unionByName(closed).unionByName(new_versions)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC changelog between two snapshots: one row per key whose state
+    changed, with op ∈ {'I' (insert), 'U' (update), 'D' (delete)} and
+    the old/new values of the compared columns. Unchanged keys are
+    dropped.
+
+    This is the diff step of a snapshot-based CDC pipeline (the inverse
+    of scd2_apply's input contract: feed snapshot_diff's I/U rows in as
+    updates, its D rows as soft deletes). One full-outer shuffle join on
+    the key — no broadcast (both sides are table-sized); null-safe
+    compare via a struct equality so NULL→value transitions register as
+    updates."""
+    o = old.select(F.col(pk).alias("__ok"), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(F.col(pk).alias("__nk"), *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    changed = ~F.struct(*[F.col(f"old_{c}") for c in compare_cols]).eqNullSafe(
+        F.struct(*[F.col(f"new_{c}").alias(f"old_{c}") for c in compare_cols])
+    )
+    return (
+        o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
+        .filter(F.col("__ok").isNull() | F.col("__nk").isNull() | changed)
+        .select(
+            F.coalesce(F.col("__ok"), F.col("__nk")).alias(pk),
+            F.when(F.col("__ok").isNull(), "I")
+            .when(F.col("__nk").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

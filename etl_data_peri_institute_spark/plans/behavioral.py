@@ -7,7 +7,7 @@ window/aggregation compositions, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -135,4 +135,57 @@ def b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(nibble < 2)
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
+    )
+
+
+@query(
+    "b_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 14400
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >4 h silence; session id = running count of session starts
+    per user. The batch counterpart of st_session_window — same
+    semantics, but replayable over the full history with plain windows
+    (lag + cumulative sum over one user-partitioned sort — two window
+    passes, one shuffle on user_id). Gap compare is fractional epoch
+    seconds (timestamp cast to double) so both engines see identical
+    boundary math."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 14400), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ev.withColumn("session_id", F.sum(new_s).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
     )

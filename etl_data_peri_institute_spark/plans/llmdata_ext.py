@@ -397,3 +397,171 @@ def p_scd2_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("is_current").cast("int").alias("is_current"),
     ).orderBy("c_custkey", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# t_tfidf — top TF-IDF terms per document
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.term, tc.tf,
+             tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      FROM tc JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rn AS INT) AS rnk, term, tf, round(tfidf, 4) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance /
+    keyword-extraction score, fully declarative: term counts (one
+    shuffle on (doc, term)), vocabulary doc-frequencies (one shuffle on
+    term — vocabulary-sized, not corpus-sized), corpus size as a 1-row
+    crossJoin (no driver action), then a per-doc top-k window. Both
+    engines rank on the raw double (identical IEEE ops) and round only
+    for display."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tc.join(dfq, "term")
+        .crossJoin(n)
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", F.round("tfidf", 4).alias("tfidf"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# a_corr_matrix — pairwise correlation matrix over fact measures
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = ", ".join(
+        f"corr({a}, {b}) AS c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(c_{i}, 4) AS r FROM c"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return f"""
+    WITH c AS (SELECT {aggs} FROM lineitem)
+    SELECT col_a, col_b, r FROM ({rows})
+    ORDER BY col_a, col_b
+    """
+
+
+@query("a_corr_matrix", oracle=_corr_matrix_oracle())
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact measures (upper
+    triangle, unpivoted to (col_a, col_b, r) rows) — the feature-audit
+    pass of a data-quality pipeline. All pairs compute in ONE scan /
+    one global aggregation (co-moment partials combine map-side), then
+    a stack() unpivot of the 1-row result; nothing is quadratic in rows.
+    4-dp rounding absorbs partial-aggregation sum-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    agg = li.agg(
+        *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', round(c_{i}, 4)" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        agg.select(
+            F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r)")
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# p_snapshot_diff — CDC changelog between two snapshots
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p_snapshot_diff",
+    oracle="""
+    WITH old_s AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey <= 400
+    ),
+    new_s AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey BETWEEN 101 AND 450
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           round(o.c_acctbal, 2) AS old_c_acctbal,
+           o.c_mktsegment AS old_c_mktsegment,
+           round(n.c_acctbal, 2) AS new_c_acctbal,
+           n.c_mktsegment AS new_c_mktsegment
+    FROM old_s o FULL OUTER JOIN new_s n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal <> n.c_acctbal OR o.c_mktsegment <> n.c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def p_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC changelog (operators/scd.py:snapshot_diff):
+    keys present only in the old snapshot emit 'D', only in the new 'I',
+    value changes 'U'; unchanged keys vanish. The diff feeds scd2_apply
+    (U/I rows as updates) — together they are the ingest side of an
+    incremental 100 TB table maintenance loop that never rewrites
+    unchanged data. One full-outer shuffle join on the key, no
+    broadcasts (both sides table-sized)."""
+    from ..operators.scd import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    old_s = cust.filter(F.col("c_custkey") <= 400).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new_s = cust.filter(F.col("c_custkey").between(101, 450)).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    out = snapshot_diff(old_s, new_s, "c_custkey", ["c_acctbal", "c_mktsegment"])
+    return out.select(
+        "c_custkey",
+        "op",
+        F.round("old_c_acctbal", 2).alias("old_c_acctbal"),
+        "old_c_mktsegment",
+        F.round("new_c_acctbal", 2).alias("new_c_acctbal"),
+        "new_c_mktsegment",
+    ).orderBy("c_custkey")

@@ -228,3 +228,23 @@ def test_scd2_fold(spark):
     out2 = scd2_apply(out, snap2, "pk", ["name", "bal"], "2024-01-03")
     assert out2.count() == out.count()
     assert out2.filter(F.col("is_current")).count() == 3
+
+
+def test_snapshot_diff(spark):
+    from etl_data_peri_institute_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "pk long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "D", 40.0), (5, "e", 50.0)],
+        "pk long, name string, bal double",
+    )
+    out = {
+        r["pk"]: r["op"]
+        for r in snapshot_diff(old, new, "pk", ["name", "bal"]).collect()
+    }
+    # 1 deleted; 2 NULL->20.0 registers as update (null-safe compare);
+    # 3 unchanged (absent); 4 value change; 5 inserted
+    assert out == {1: "D", 2: "U", 4: "U", 5: "I"}
