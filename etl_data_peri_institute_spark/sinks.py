@@ -62,11 +62,38 @@ class ParquetStore:
         n = self.spark.read.parquet(stage).count()
         return stage, n
 
-    def insert(self, df: DataFrame, table: str) -> int:
+    def insert(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> int:
         """Append-only INSERT (reference insert mode, etl/load.py:285).
 
         One plan execution: stage → footer count → move the (globally
-        uniquely named) part files into the table directory."""
+        uniquely named) part files into the table directory.
+
+        ``partition_by`` writes hive-style partition directories
+        (``col=value/``) — the layout that makes incremental reads prune
+        at the file listing, before any row is decoded: a date-filtered
+        scan of a date-partitioned 100 TB table touches only the
+        matching directories (``PartitionFilters`` in the scan, pinned
+        by tests/test_formats.py). Partition columns should be
+        low-cardinality (date, source, status) — per-key partitioning
+        produces a small-file explosion."""
+        if partition_by:
+            stage, n = self._stage(df, table)
+            try:
+                if n:
+                    # staged-file read → partitioned append: the incoming
+                    # plan still ran exactly once (the re-read is a file
+                    # scan of the staged snapshot, not a plan re-run)
+                    (
+                        self.spark.read.parquet(stage)
+                        .write.mode("append")
+                        .partitionBy(*partition_by)
+                        .parquet(self.path(table))
+                    )
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            return n
         stage, n = self._stage(df, table)
         try:
             if n:

@@ -102,3 +102,25 @@ def test_pipeline_cli(spark, tmp_path):
     assert rc == 0
     out = spark.read.parquet(str(tmp_path / "store" / "matriculas"))
     assert out.count() == 2
+
+
+def test_store_partitioned_insert_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id long, dt string, v double",
+    )
+    df2 = spark.createDataFrame(
+        [(3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0)],
+        "id long, dt string, v double",
+    )
+    assert store.insert(df1, "facts", partition_by=["dt"]) == 2
+    assert store.insert(df2, "facts", partition_by=["dt"]) == 2  # incremental append
+    back = store.read("facts")
+    assert back.count() == 4
+    one_day = back.filter(F.col("dt") == "2024-01-02")
+    assert {r["id"] for r in one_day.collect()} == {2, 3}
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
