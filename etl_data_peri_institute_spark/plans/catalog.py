@@ -136,6 +136,7 @@ def load_all() -> None:
         relational,
         streaming_batch,
         textops,
+        timeseries,
         tpch,
     )
 

@@ -213,3 +213,52 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.dropDuplicates(["user_id", "event_type"]), output_mode="append"
     )
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id AS p_user, ts FROM events WHERE event_type = 'purchase') p
+      ON p.p_user = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    ORDER BY user_id
+    """,
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks and purchases as two
+    watermarked streams, joined on user with an event-time range
+    (purchase within 1 h after the click) — the real-time funnel
+    topology (batch counterpart: b_funnel_click_to_purchase). Both
+    sides carry watermarks so the state store can evict clicks older
+    than the join horizon; append mode is the only stream-stream mode,
+    so pairs are materialized first and the count is a batch agg over
+    the sink. State is bounded by watermark + interval, not stream
+    length — the property that keeps this runnable forever."""
+    from ..streaming.windows import run_to_completion, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "p_user = c_user AND p_ts > c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    out = run_to_completion(pairs, output_mode="append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -248,3 +248,34 @@ def test_snapshot_diff(spark):
     # 1 deleted; 2 NULL->20.0 registers as update (null-safe compare);
     # 3 unchanged (absent); 4 value change; 5 inserted
     assert out == {1: "D", 2: "U", 4: "U", 5: "I"}
+
+
+def test_snapshot_diff_apply_roundtrip(spark):
+    """Invariant: old + changelog == new (apply D/U removals, then add
+    U/I new values) — the property that makes the diff a valid CDC feed."""
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.operators.scd import snapshot_diff
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    old = cust.filter(F.col("c_custkey") <= 100).select("c_custkey", "c_acctbal")
+    new = cust.filter(F.col("c_custkey").between(41, 140)).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") * 2)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    log = snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
+    touched = log.select("c_custkey")
+    rebuilt = (
+        old.join(touched, "c_custkey", "left_anti")
+        .unionByName(
+            log.filter(F.col("op").isin("I", "U")).select(
+                "c_custkey", F.col("new_c_acctbal").alias("c_acctbal")
+            )
+        )
+    )
+    a = sorted(map(tuple, rebuilt.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b
