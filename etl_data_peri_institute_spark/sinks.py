@@ -106,6 +106,26 @@ class ParquetStore:
             shutil.rmtree(stage, ignore_errors=True)
         return n
 
+    def compact(self, table: str, target_files: int) -> int:
+        """Small-file compaction: rewrite the table into ``target_files``
+        parquet files and atomically swap. Daily incremental inserts
+        (especially partitioned ones) accrete small files until listing
+        and per-file open dominate scan cost — the classic 100 TB table
+        maintenance chore (Delta OPTIMIZE / Iceberg rewrite_data_files;
+        this is the plain-parquet equivalent). ``repartition`` (not
+        ``coalesce``) so the rewrite redistributes evenly instead of
+        concatenating partitions on too few tasks. Returns the file
+        count after compaction."""
+        current = self.read(table)
+        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_compact_")
+        current.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+        return sum(
+            1 for name in os.listdir(final) if name.endswith(".parquet")
+        )
+
     def upsert(self, df: DataFrame, table: str, pk: str) -> int:
         """Insert-or-update on PK (reference upsert, etl/load.py:283).
 

@@ -124,3 +124,34 @@ def test_store_partitioned_insert_prunes(spark, tmp_path):
     assert {r["id"] for r in one_day.collect()} == {2, 3}
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dt" in plan
+
+
+def test_store_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    # simulate small-file accretion: many inserts
+    for i in range(5):
+        store.insert(df.filter((F.col("k") % 5) == i), "t")
+    import os
+
+    before = sum(1 for n in os.listdir(store.path("t")) if n.endswith(".parquet"))
+    assert before >= 5
+    after = store.compact("t", 2)
+    assert after == 2
+    assert store.read("t").count() == 1000
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across generations: v2 adds a column; v1 rows
+    surface it as NULL — the append-only schema-evolution contract."""
+    p = str(tmp_path / "tab")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5

@@ -77,3 +77,47 @@ def test_no_cartesian_in_joins(spark):
     # is expected only for the explicit cross/range joins)
     for name in ["q5_local_supplier_volume", "q10_returned_items", "j_full_outer"]:
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_new_round2_plans_no_cartesian_no_forced_broadcast(spark):
+    """Round-2 additions: the LSH/IVF candidate joins and the CDC/
+    sessionize shapes must stay equi-join (no CartesianProduct) and must
+    not force-broadcast data-sized frames (scd2's changed-key set, the
+    snapshot-diff sides, the embedding corpus)."""
+    for name in [
+        "d_embedding_neardup",
+        "e_ivf_topk",
+        "p_snapshot_diff",
+        "b_sessionize",
+        "t_tfidf",
+        "a_heavy_hitters",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    # d_embedding_neardup is exempt: its only hint is the hyperplane
+    # matrix broadcast — O(dim·bits) constant-size, not data-sized
+    for name in ["p_snapshot_diff", "p_scd2_fold"]:
+        df = catalog.QUERIES[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
+
+
+def test_sessionize_single_shuffle_key(spark):
+    """Both window passes and the session aggregation share the user_id
+    partitioning — the plan must contain exactly one exchange over the
+    events scan (plus the final sort's range exchange)."""
+    plan = _plan(spark, "b_sessionize")
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(k.startswith("user_id") for k in hash_exchanges), hash_exchanges
+    assert len(hash_exchanges) == 1, plan.count("Exchange")
+
+
+def test_tfidf_partial_agg_and_pruning(spark):
+    plan = _plan(spark, "t_tfidf")
+    # term counting combines map-side before the shuffle
+    assert "partial_count" in plan or "partial_sum" in plan
+    # only doc_id and text are read from the documents table
+    read = plan.split("ReadSchema")[1][:200]
+    assert "lang" not in read and "source" not in read
