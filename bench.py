@@ -35,7 +35,27 @@ HEADLINE = [
     "d_ngram_jaccard_pairs",
     "j_asof_backward",
     "st_tumbling_window",
+    # round-2 additions
+    "e_ivf_topk",
+    "b_sessionize",
+    "t_tfidf",
 ]
+
+
+def _embedding_neardup_prod(spark, sf_dir):
+    """Engine defaults for embedding near-dup (tau=0.9, 8 bands x 16
+    bits — the selective production regime). The gate query
+    d_embedding_neardup pins cross-engine correctness at sf0.01 with
+    deliberately coarse bands (nonempty oracle output); those coarse
+    bands approach all-pairs at larger corpora, so the bench records
+    the selective configuration that actually scales."""
+    from etl_data_peri_institute_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=64)
 
 
 def _minhash_lsh_pairs_xxh64(spark, sf_dir):
@@ -59,7 +79,10 @@ def _minhash_lsh_pairs_xxh64(spark, sf_dir):
 
 # engine-only variants (no DuckDB oracle possible — different hash family);
 # benched alongside their oracle-checked twins to record the fast-path delta
-EXTRA = {"d_minhash_lsh_pairs_xxh64": _minhash_lsh_pairs_xxh64}
+EXTRA = {
+    "d_minhash_lsh_pairs_xxh64": _minhash_lsh_pairs_xxh64,
+    "d_embedding_neardup_prod": _embedding_neardup_prod,
+}
 
 
 def main() -> None:

@@ -290,8 +290,8 @@ def hyperplane_lsh_signatures(
 
 def hyperplane_lsh_bands(
     df: DataFrame,
-    bands: int = 4,
-    bits_per_band: int = 4,
+    bands: int = 8,
+    bits_per_band: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -301,9 +301,16 @@ def hyperplane_lsh_bands(
 
     Banding trades precision for recall exactly as in MinHash LSH: a
     pair is a candidate if ANY band matches. For sign-random-projection,
-    P(bit match) = 1 - θ/π, so P(candidate) = 1-(1-p^r)^b — with 4×4
-    defaults, true near-dups (cos ≥ 0.95, p ≈ 0.9) are caught with
-    ~0.99 probability while near-orthogonal pairs land together rarely.
+    P(bit match) = 1 - θ/π, so P(candidate) = 1-(1-p^r)^b.
+
+    Band width is the selectivity dial, and it matters enormously at
+    scale: with the 8×16 defaults a random (near-orthogonal, p ≈ 0.5)
+    pair collides with probability ≈ 8·2⁻¹⁶ ≈ 1e-4, so candidate volume
+    stays linear-ish in corpus size, while true near-dups (cos ≥ 0.99,
+    p ≈ 0.955) are caught with ≥ 0.99 probability. Few coarse bands
+    (e.g. 4×4 — 16 buckets per band) approach all-pairs on any corpus
+    beyond a few thousand vectors — only usable for low-τ exploratory
+    runs on bounded slices.
     """
     if df.isEmpty():
         return df.sparkSession.createDataFrame([], "id long, band int, bucket long")
@@ -325,9 +332,9 @@ def hyperplane_lsh_bands(
 
 def embedding_neardup_pairs(
     corpus: DataFrame,
-    tau: float = 0.4,
-    bands: int = 4,
-    bits_per_band: int = 4,
+    tau: float = 0.9,
+    bands: int = 8,
+    bits_per_band: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -341,6 +348,11 @@ def embedding_neardup_pairs(
     the corpus plus the colliding-bucket joins plus one embedding
     re-join per surviving candidate. No forced broadcasts — the
     embedding side is corpus-sized (AQE handles small inputs).
+
+    Defaults (τ=0.9, 8 bands × 16 bits) are the production near-dup
+    regime — selective bands, high threshold. Low-τ settings demand
+    coarse bands for recall, and coarse bands degrade toward all-pairs
+    (see hyperplane_lsh_bands); keep those to bounded corpus slices.
     """
     bb = hyperplane_lsh_bands(corpus, bands, bits_per_band, id_col, vec_col, dim)
     a, b = bb.alias("a"), bb.alias("b")
