@@ -57,3 +57,30 @@ def write_partitioned(
     out = df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
     writer = out.write.mode(mode).partitionBy("dt")
     getattr(writer, fmt)(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (and in-bucket sorted) external parquet
+    table. Two tables bucketed on the same key into the same bucket
+    count join WITHOUT a shuffle — each task reads matching bucket
+    files from both sides (and the sortBy removes the sort too), which
+    is how a 100 TB fact⋈fact equi-join avoids moving either table.
+    The co-location survives restarts/engines because it lives in the
+    table layout, not the session. Bucket count is a layout decision:
+    pick ~(table size / target partition size), and keep it identical
+    across tables meant to join."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from etl_data_peri_institute_spark.sources.formats import (
     read_table,
+    write_bucketed,
     write_partitioned,
     write_table,
 )
@@ -44,3 +45,26 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "dt" in plan
     expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
     assert one_day.count() == expected > 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", str(tmp_path / "bo"), "o_orderkey", 4)
+    write_bucketed(li, "b_lineitem", str(tmp_path / "bl"), "l_orderkey", 4)
+    try:
+        # force a non-broadcast join so co-location is what's under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucketed reads feed the join directly: no exchange, no re-sort
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
