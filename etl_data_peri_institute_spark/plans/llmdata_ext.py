@@ -565,3 +565,68 @@ def p_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("new_c_acctbal", 2).alias("new_c_acctbal"),
         "new_c_mktsegment",
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# a_profile_columns — one-scan data-profiling summary
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_oracle() -> str:
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    rows = []
+    for c in _PROFILE_NUM:
+        aggs += [
+            f"CAST(count({c}) AS BIGINT) AS nn_{c}",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}",
+            f"printf('%.2f', min({c})) AS mn_{c}",
+            f"printf('%.2f', max({c})) AS mx_{c}",
+        ]
+        rows.append(
+            f"SELECT '{c}' AS col, n_rows, nn_{c} AS n_nonnull, nd_{c} AS n_distinct,"
+            f" mn_{c} AS min_repr, mx_{c} AS max_repr FROM s"
+        )
+    body = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH s AS (SELECT {', '.join(aggs)} FROM lineitem)
+    SELECT col, n_rows, n_nonnull, n_distinct, min_repr, max_repr FROM ({body})
+    ORDER BY col
+    """
+
+
+@query("a_profile_columns", oracle=_profile_oracle())
+def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary: row count, non-null count, exact distinct
+    count and min/max per measure column — computed in ONE scan (all
+    aggregates in a single agg; Catalyst expands the multi-distinct into
+    one shuffle stage) and unpivoted to a (col, stats...) row per
+    column. Numeric extremes are printf('%.2f')-formatted so the repr is
+    engine-portable. At 100 TB the exact distincts become
+    approx_count_distinct (a_approx_sketches shows that path); the rest
+    is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.format_string("%.2f", F.min(c)).alias(f"mn_{c}"),
+            F.format_string("%.2f", F.max(c)).alias(f"mx_{c}"),
+        ]
+    s = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_NUM
+    )
+    return (
+        s.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_NUM)}, {stack_args})"
+                " AS (col, n_nonnull, n_distinct, min_repr, max_repr)"
+            ),
+        )
+        .select("col", "n_rows", "n_nonnull", "n_distinct", "min_repr", "max_repr")
+        .orderBy("col")
+    )

@@ -752,3 +752,53 @@ def w_bounded_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "j_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth
+      FROM customer WHERE c_custkey <= 255
+      UNION ALL
+      SELECT node, CAST(floor(anc / 2) AS BIGINT) AS anc, depth + 1 AS depth
+      FROM walk WHERE anc > 1
+    )
+    SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS n_ancestors
+    FROM walk
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def j_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each node of an
+    implicit binary hierarchy (parent = floor(key/2)) up to the root,
+    emitting depth and ancestor count — the org-chart / BOM-traversal
+    query shape, executed natively by both engines' recursive union.
+
+    Scale note: Spark executes this as an iterative loop of unions —
+    cost is depth × (frontier join); depth here is log2(key) ≤ 8. For
+    unbounded-diameter graphs the iterative operator with checkpointing
+    (operators/components.py) is the right tool; the recursive CTE is
+    for bounded hierarchy walks expressed declaratively."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.filter(F.col("c_custkey") <= 255).select("c_custkey").createOrReplaceTempView(
+        "rc_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth
+          FROM rc_customer
+          UNION ALL
+          SELECT node, CAST(floor(anc / 2) AS BIGINT) AS anc, depth + 1 AS depth
+          FROM walk WHERE anc > 1
+        )
+        SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
+               CAST(count(*) AS BIGINT) AS n_ancestors
+        FROM walk
+        GROUP BY node
+        ORDER BY node
+        """
+    )
