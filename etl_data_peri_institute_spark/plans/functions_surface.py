@@ -254,3 +254,38 @@ def f_like_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").ilike("RED%").cast("int").alias("istarts_red"),
         F.col("p_name").like("_____").cast("int").alias("five_chars"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "f_histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 400000 THEN 21
+                ELSE CAST(floor(o_totalprice / 20000.0) AS BIGINT) + 1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def f_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the profiling/drift-check
+    aggregation. Binning is a pure column expression, so the whole
+    histogram is one map-side-combined groupBy over ≤ n_buckets+2
+    groups; no sampling, no driver math. DuckDB has no width_bucket, so
+    the oracle restates Spark's formula (floor(v / interval) + 1 with
+    0 / n+1 out-of-range buckets; the 20000.0 interval is fp-exact, so
+    the division is bit-identical cross-engine)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket("o_totalprice", F.lit(0), F.lit(400000), F.lit(20)).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -210,3 +210,19 @@ def test_cosine_and_knn(spark):
     out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2).collect()
     ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [1, 2]  # nearest is the almost-parallel vector
+
+
+def test_ivf_topk_empty_inputs(spark):
+    from etl_data_peri_institute_spark.operators.similarity import (
+        centroids_by,
+        ivf_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    cents = centroids_by(df, "label")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_topk(df, empty, cents).count() == 0  # no queries
+    assert ivf_topk(empty, df, cents).count() == 0  # no corpus

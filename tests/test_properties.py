@@ -86,3 +86,47 @@ def test_dayfirst_parse_roundtrip(spark, d, fmt):
         .first()["o"]
     )
     assert out == d.isoformat(), f"{s} ({fmt}) -> {out}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.integers(min_value=0, max_value=200_000),    # epoch seconds
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_sessionize_partition_property(spark, rows):
+    """Sessionization invariants for ANY event set: (1) every event is
+    assigned exactly one session; (2) consecutive events within a
+    session are ≤ gap apart; (3) the first events of adjacent sessions
+    are > gap apart."""
+    from pyspark.sql import Window as W
+
+    gap = 14400
+    df = spark.createDataFrame(
+        [(u, i, float(t)) for i, (u, t) in enumerate(rows)],
+        "user_id long, event_id long, sec double",
+    ).select("user_id", "event_id", F.timestamp_seconds("sec").alias("ts"))
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_s = F.when(g.isNull() | (g > gap), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = df.withColumn("session_id", F.sum(new_s).over(run)).collect()
+
+    assert len(out) == len(rows)  # (1): total preserved
+    by_user: dict = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for evs in by_user.values():
+        for a, b in zip(evs, evs[1:]):
+            delta = (b["ts"] - a["ts"]).total_seconds()
+            if b["session_id"] == a["session_id"]:
+                assert delta <= gap  # (2)
+            else:
+                assert b["session_id"] == a["session_id"] + 1
+                assert delta > gap  # (3)
