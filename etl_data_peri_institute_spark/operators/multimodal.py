@@ -85,3 +85,89 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, payload binary, n_bytes int, target int"
+
+
+def resize_images(df: DataFrame, target_bytes: int = 64, fake: bool = False) -> DataFrame:
+    """payload → resized payload via Arrow-batched mapInPandas (1-to-1
+    batch shape; binary in, binary out — the resize step of an image
+    pipeline, run before feature extraction to bound decode cost).
+
+    Real implementation = Pillow ``Image.resize`` per payload;
+    ``fake=True`` stands in with a deterministic byte-downsample
+    (stride-pick to ``target_bytes``) so schema/batching/binary
+    round-trip are exercised. Output metadata (n_bytes) is recomputed
+    from the actual resized payload, never carried over."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode libs not available in this image; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            out = []
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                stride = max(1, len(b) // target_bytes)
+                out.append(b[::stride][:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "n_bytes": [len(b) for b in out],
+                    "target": target_bytes,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_frames int"
+
+
+def sample_video_frames(
+    df: DataFrame, frame_bytes: int = 32, every_nth: int = 4, fake: bool = False
+) -> DataFrame:
+    """payload → one row per sampled frame via mapInPandas (1-to-many
+    batch shape — the row-exploding UDF pattern). A real video pipeline
+    decodes containers and keyframe-samples; the deterministic stand-in
+    treats the payload as ``n_bytes // frame_bytes`` fixed-width frames
+    and keeps every ``every_nth``-th.
+
+    Scale: frame sampling multiplies row count — repartition AFTER this
+    step if downstream work is per-frame, and keep ``frame`` binary
+    columnar (no base64 detours)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode libs not available in this image; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            ids, idxs, frames, totals = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n_frames = max(len(b) // frame_bytes, 0)
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_frames": totals,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAMES_SCHEMA)

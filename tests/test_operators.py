@@ -279,3 +279,37 @@ def test_snapshot_diff_apply_roundtrip(spark):
     a = sorted(map(tuple, rebuilt.collect()))
     b = sorted(map(tuple, new.collect()))
     assert a == b
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from etl_data_peri_institute_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_video_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y" * 40)], "doc_id long, text string"
+    )
+    mm = attach_binary_payload(docs)
+
+    resized = {r["doc_id"]: r for r in resize_images(mm, target_bytes=64, fake=True).collect()}
+    assert resized[1]["n_bytes"] == 64          # downsampled to target
+    assert resized[2]["n_bytes"] == 40          # shorter than target: kept whole
+    assert bytes(resized[2]["payload"]) == b"y" * 40
+
+    frames = sample_video_frames(mm, frame_bytes=32, every_nth=4, fake=True).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: 300 // 32 = 9 frames, sampled at 0,4,8
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 4, 8]
+    assert all(r["n_frames"] == 9 for r in by_doc[1])
+    assert len(bytes(by_doc[1][0]["frame"])) == 32
+    # doc2: 40 // 32 = 1 frame → only frame 0
+    assert [r["frame_idx"] for r in by_doc[2]] == [0]
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        resize_images(mm, fake=False).collect()
