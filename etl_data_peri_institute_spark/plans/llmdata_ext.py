@@ -630,3 +630,77 @@ def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n_rows", "n_nonnull", "n_distinct", "min_repr", "max_repr")
         .orderBy("col")
     )
+
+
+# --------------------------------------------------------------------------
+# d_chunk_dedup — fixed-window chunk-level exact dedup
+# --------------------------------------------------------------------------
+
+_CHUNK_WORDS = 20
+
+
+@query(
+    "d_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ),
+    chunks AS (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             md5(array_to_string(
+               list_slice(words, (i - 1) * {_CHUNK_WORDS} + 1, i * {_CHUNK_WORDS}),
+               ' ')) AS h
+      FROM w, UNNEST(range(1, CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS BIGINT) + 1)) AS t(i)
+    )
+    SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           min(doc_id) AS keep_doc
+    FROM chunks
+    GROUP BY h
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY h
+    """,
+)
+def d_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: documents are cut into fixed
+    {20}-word windows (the paragraph-dedup shape — swap the splitter
+    for real paragraph boundaries when the corpus has them), each chunk
+    content-hashed, and chunks appearing in more than one document
+    flagged with a min-id survivor. This is the substring-granularity
+    complement to whole-doc exact dedup: boilerplate shared across
+    pages (headers, license blocks) surfaces here even when full texts
+    differ.
+
+    Scale shape: chunking is pure higher-order column work
+    (slice/transform — no aggregation-order hazards, no UDF); one
+    map-side-combined groupBy on the chunk hash. Chunk hashes are
+    md5-portable for the oracle; the engine path would swap xxhash64
+    exactly as minhash_signatures does."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = docs.filter(F.size(w) >= 1).select("doc_id", w.alias("words"))
+    n_chunks = F.ceil(F.size("words") / F.lit(float(_CHUNK_WORDS))).cast("int")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("words", (i - 1) * _CHUNK_WORDS + 1, _CHUNK_WORDS)
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    return (
+        chunks.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("h")
+    )
