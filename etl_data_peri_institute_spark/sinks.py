@@ -106,6 +106,22 @@ class ParquetStore:
             shutil.rmtree(stage, ignore_errors=True)
         return n
 
+    def overwrite(self, df: DataFrame, table: str) -> int:
+        """Replace the table with ``df`` atomically (stage → swap). The
+        primitive under rollup maintenance: the replacement is computed
+        BEFORE the old table disappears, so readers never see a partial
+        state and a failed write leaves the old table intact."""
+        stage, n = self._stage(df, table)
+        try:
+            final = self.path(table)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.replace(stage, final)
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        return n
+
     def compact(self, table: str, target_files: int) -> int:
         """Small-file compaction: rewrite the table into ``target_files``
         parquet files and atomically swap. Daily incremental inserts

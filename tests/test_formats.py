@@ -68,3 +68,26 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a dt-partitioned fact against a filtered dim must
+    inject a runtime partition-pruning subquery into the fact scan —
+    at 100 TB this is the difference between scanning one day and the
+    whole table when the date filter arrives via a dimension."""
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_part")
+    write_partitioned(ev, path, "ts")
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.createDataFrame(
+            [("2024-01-05", "target"), ("2024-01-09", "other")],
+            "dt string, tag string",
+        )
+        .select(F.col("dt").cast("date").alias("dt"), "tag")
+        .filter(F.col("tag") == "target")  # selective dim predicate → DPP
+    )
+    joined = fact.join(F.broadcast(dim), "dt").select("event_id", "tag")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == fact.filter(F.col("dt") == "2024-01-05").count() > 0

@@ -118,3 +118,45 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     )
     assert n3 == expected_new
     assert store.read("events_inc").count() == 500 + expected_new
+
+
+def test_incremental_rollup_maintenance(spark, tmp_path):
+    """Rollup after N incremental batches == batch recompute over all
+    data; a re-run with no new files is a no-op (checkpoint)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import (
+        incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    schema = "k string, v double"
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema)
+    b2 = spark.createDataFrame([("a", 3.0), ("c", 4.0)], schema)
+    b1.write.parquet(str(src / "f1.parquet"))
+    b2.write.parquet(str(src / "f2.parquet"))
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    kw = dict(
+        spark=spark,
+        source_dir=str(src / "*"),
+        schema=schema,
+        store=store,
+        table="rollup",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        group_cols=["k"],
+        sum_cols={"total_v": "sum:v", "n": "count"},
+        max_files_per_trigger=1,  # force one batch per file
+    )
+    incremental_rollup(**kw)
+    got = {r["k"]: (r["total_v"], r["n"]) for r in store.read("rollup").collect()}
+    assert got == {"a": (4.0, 2), "b": (2.0, 1), "c": (4.0, 1)}
+
+    # idempotent re-run: checkpoint already drained both files
+    incremental_rollup(**kw)
+    again = {r["k"]: (r["total_v"], r["n"]) for r in store.read("rollup").collect()}
+    assert again == got
