@@ -802,3 +802,47 @@ def j_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY node
         """
     )
+
+
+@query(
+    "j_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, o_orderkey
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    b AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, CAST(count(*) AS BIGINT) AS nb
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000
+      GROUP BY 1
+    )
+    SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_rows, max(b.nb) AS nb
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY k
+    """,
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics needed when the join key is a
+    derived optional attribute and NULL means a real category, not
+    'unknown'. Spark plans eqNullSafe as a hash join (the key is
+    wrapped in a null-coalescing struct), so it stays shuffle/broadcast
+    — no nested-loop penalty."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.nullif("o_orderpriority", F.lit("3-MEDIUM"))
+    a = orders.filter(F.col("o_orderkey") <= 2000).select(k.alias("k"))
+    b = (
+        orders.filter(
+            (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000)
+        )
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("nb"))
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.count("*").alias("n_rows"), F.max("nb").alias("nb"))
+        .orderBy("k")
+    )
