@@ -846,3 +846,58 @@ def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.max("nb").alias("nb"))
         .orderBy("k")
     )
+
+
+@query(
+    "j_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_id AS a_id, epoch(ts) AS a_s,
+             epoch(ts) + value * 60 AS a_e
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, event_id AS b_id, epoch(ts) AS b_s,
+             epoch(ts) + value * 60 AS b_e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.a_s <= b.b_e AND b.b_s <= a.a_e
+    GROUP BY a.user_id
+    ORDER BY user_id
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via grid binning
+    (operators/intervals.py:interval_overlap_join): click activity
+    windows × purchase windows per user. The oracle states the naive
+    inequality join; the engine bins intervals onto a 1-hour grid and
+    equi-joins on (user, bin) — same pairs, no nested loop. The count
+    compare proves the binned rewrite loses/duplicates nothing."""
+    from ..operators.intervals import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("s"),
+        (F.col("ts").cast("double") + F.col("value") * 60).alias("e"),
+        "event_type",
+    )
+    a = base.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("b_id"),
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "user_id", ("a_s", "a_e"), ("b_s", "b_e"), bin_width=3600.0
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("user_id")
+    )

@@ -313,3 +313,28 @@ def test_multimodal_resize_and_frame_sample(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         resize_images(mm, fake=False).collect()
+
+
+def test_interval_overlap_join(spark):
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 0.0, 10.0), (1, 11, 20.0, 30.0), (2, 12, 0.0, 5.0)],
+        "k long, a_id long, a_s double, a_e double",
+    )
+    b = spark.createDataFrame(
+        # 100: touches a10 at its right bound; 101: inside a11;
+        # 102: same span as a12 but other key; 103: far away
+        [(1, 100, 10.0, 12.0), (1, 101, 22.0, 23.0), (3, 102, 0.0, 5.0), (1, 103, 500.0, 600.0)],
+        "k long, b_id long, b_s double, b_e double",
+    )
+    out = interval_overlap_join(a, b, "k", ("a_s", "a_e"), ("b_s", "b_e"), bin_width=8.0)
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert got == {(10, 100), (11, 101)}
+    # closed-bound touch (10.0 == 10.0) included; key isolation holds
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
