@@ -72,3 +72,55 @@ def asof_join_backward(
     return carried.filter(F.col("__side") == 1).select(
         *lcols, *[f"{c}{suffix}" for c in value_cols]
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right[right_time] >= left[left_time]`` within the same ``on`` key
+    (the forward direction: "next reading at or after this event").
+
+    Mirror of asof_join_backward: probe rows sort BEFORE reference rows
+    at equal timestamps (so exact matches are included) and
+    ``first(ignorenulls)`` over a current-row-to-unbounded-FOLLOWING
+    frame pulls the nearest future reference value back. Same cost
+    profile: one key shuffle + in-partition sort."""
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # __side 0 (probe) sorts before 1 (reference) at equal __t → forward
+    # as-of includes exact-timestamp matches
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).select(
+        *lcols, *[f"{c}{suffix}" for c in value_cols]
+    )

@@ -901,3 +901,37 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlaps"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "j_asof_forward",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, p.ts AS purchase_ts_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (forward): for each click, the next purchase at or
+    after it per user (operators/asof.py:asof_join_forward — the
+    first-ignorenulls-over-following mirror of the backward op). DuckDB
+    native ASOF with a <= inequality is the oracle."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        value_cols=["purchase_ts"],
+    )
+    return out.select("event_id", "user_id", "purchase_ts_asof").orderBy("event_id")
