@@ -60,6 +60,17 @@ def query(name: str, oracle: str | None = None):
 # here FIRST (most-urgent first); everything else keeps its evidence
 # from a prior round's artifact. Re-derive each round from the latest
 # CORRECTNESS_r{N}.json.
+# ROUND-3 NOTE: after CORRECTNESS_r02 lands, everything in this list up
+# to position 50 has a driver row (r02) and positions 1-50 of round 1
+# retain theirs (r01). Rebuild this list for round 3 from the names
+# still without any driver-green row: the two overflow entries below
+# (a_bool_aggs, j_cross_join) plus every round-2 addition —
+# d_embedding_neardup, d_pack_sequences, b_stratified_sample,
+# a_heavy_hitters, p_scd2_fold, e_ivf_topk, st_stream_dedup,
+# b_sessionize, t_tfidf, a_corr_matrix, p_snapshot_diff,
+# st_stream_stream_join, ts_gap_fill_ffill, ts_ohlc_hourly,
+# j_recursive_cte, a_profile_columns, f_histogram_width_bucket,
+# d_chunk_dedup, j_null_safe_join, j_interval_overlap, j_asof_forward.
 _VERIFY_FIRST: list[str] = [
     # round-1 `err` rows (array-output fix) — must flip green this round
     "m_multimodal_features",
