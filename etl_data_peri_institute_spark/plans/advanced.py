@@ -176,3 +176,33 @@ def a_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "u_scalar_pandas_softsign",
+    oracle="""
+    SELECT event_id,
+           round(value / (1 + abs(value)), 6) AS softsign
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def u_scalar_pandas_softsign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar @pandas_udf (Series → Series) — the third Arrow
+    UDF shape alongside applyInPandas (grouped map) and mapInPandas
+    (iterator). Softsign x/(1+|x|) is chosen because it uses only
+    IEEE-exact ops (no libm transcendentals), so the pandas result is
+    bit-identical to the SQL oracle before rounding. In a real pipeline
+    this slot holds a numpy/model scoring function; a plain column
+    expression remains the first choice whenever one exists."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no inline type hints: PEP-563 stringified annotations confuse
+    # pandas_udf's signature inspection under `from __future__ import
+    # annotations`; the returnType argument carries the contract
+    @pandas_udf("double")
+    def softsign(v):
+        return (v / (1 + v.abs())).round(6)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", softsign("value").alias("softsign")).orderBy("event_id")
