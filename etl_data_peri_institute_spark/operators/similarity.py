@@ -317,17 +317,63 @@ def hyperplane_lsh_bands(
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     n_bits = bands * bits_per_band
-    dots = _hyperplane_dots(df, n_bits, id_col, vec_col, dim)
-    band_cols = []
-    for b in range(bands):
-        bucket = sum(
-            (F.col(f"dot{b * bits_per_band + k}") > 0).cast("long") * (1 << k)
-            for k in range(bits_per_band)
+    spark = df.sparkSession
+    # LONG-format plane table: (pos, bit, hp) — dim × n_bits rows. The
+    # wide alternative (one agg column per bit) builds an O(n_bits)-wide
+    # expression tree whose codegen/task-binary cost dwarfs the data at
+    # 100+ bits; long format keeps every expression O(1) and pays with
+    # narrow rows instead, which is the currency Spark is good at.
+    # Seed string 'hp{bit}_{pos}' matches _hyperplane_dots / the oracle.
+    planes = (
+        spark.range(1, dim + 1)
+        .select(F.col("id").cast("int").alias("pos"))
+        .select("pos", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"))
+        .select(
+            "pos",
+            "bit",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("hp"),
+                                F.col("bit").cast("string"),
+                                F.lit("_"),
+                                F.col("pos").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / 65536.0
+                - 0.5
+            ).alias("hp"),
         )
-        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    return dots.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    dots = (
+        pos.join(F.broadcast(planes), "pos")
+        .groupBy("id", "bit")
+        .agg(F.sum(F.col("val") * F.col("hp")).alias("dot"))
+    )
+    return (
+        dots.groupBy(
+            "id", (F.col("bit") / bits_per_band).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                (F.col("dot") > 0).cast("long")
+                * F.expr(f"shiftleft(1L, int(bit % {bits_per_band}))")
+            ).alias("bucket")
+        )
+        .select("id", "band", "bucket")
+    )
 
 
 def embedding_neardup_pairs(
