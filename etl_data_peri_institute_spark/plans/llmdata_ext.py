@@ -704,3 +704,62 @@ def d_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("h")
     )
+
+
+# --------------------------------------------------------------------------
+# t_bigram_lm — corpus bigram statistics / conditional probabilities
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t_bigram_lm",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+    SELECT w1, w2, c12, round(CAST(c12 AS DOUBLE) / c1, 4) AS p
+    FROM c2 JOIN c1 USING (w1)
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts and conditional probabilities P(w2|w1) — the
+    n-gram LM statistics pass (data-quality signal + the counting
+    backbone of classic LM smoothing). Bigrams come from a higher-order
+    transform over the token array (sequence + element_at — in-row, no
+    self-join, no UDF); counting is two map-side-combined groupBys (the
+    bigram one is vocabulary²-bounded, the unigram one
+    vocabulary-bounded) and one join on w1. Top-20 by count with full
+    tiebreak, so the limit is deterministic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bg = docs.filter(F.size(ws) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("w1"),
+                    F.element_at(ws, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        c2.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("c12").cast("double") / F.col("c1"), 4).alias("p"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(20)
+    )
