@@ -189,3 +189,63 @@ def b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "b_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey)  AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey)   AS f_score,
+             ntile(4) OVER (ORDER BY monetary, o_custkey)    AS m_score
+      FROM cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary), 2) AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def b_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile with deterministic tiebreaks) folded into segment
+    cells — the standard customer-scoring rollup. One groupBy on the
+    customer, three global ntile windows over the customer-level frame
+    (customer-cardinality-sized, not order-sized — the global sort is
+    over the aggregate, acceptable; at extreme customer counts the
+    quartile boundaries come from approx percentiles instead), one
+    final cell rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).cast("int").alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).cast("int").alias("f_score"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).cast("int").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
