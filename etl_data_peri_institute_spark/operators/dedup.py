@@ -94,7 +94,7 @@ def jaccard_pairs(
     min_jaccard: float = 0.1,
     max_doc_freq: float | int | None = 0.05,
     doc_freq_floor: int = 128,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all docs sharing ≥1 shingle.
 
@@ -116,10 +116,13 @@ def jaccard_pairs(
     set (shingles over the cap) — tiny by construction (stop shingles),
     so it broadcasts at any corpus size; the keep-set semi-join variant
     would build an unbounded side. The capped shingle frame feeds three
-    consumers (per-doc counts, both self-join sides), so ``materialize``
-    persists it MEMORY_AND_DISK — one scan + one cap pass total instead
-    of three — the single-cluster analogue of staging to a temp table;
-    pass ``False`` to keep the plan fully lazy.
+    consumers (per-doc counts, both self-join sides); ``materialize``
+    persists it MEMORY_AND_DISK — one scan + one cap pass instead of
+    three. It is OFF by default because the operator returns a lazy
+    frame and cannot own the cache lifecycle (a persist here would pin
+    executor memory until the session ends); callers doing one huge
+    pass should persist-compute-unpersist themselves, or stage the
+    shingle frame to a temp table (the cluster-scale equivalent).
     """
     if max_doc_freq is not None:
         # input contract is set semantics (distinct (id, sh) rows — see

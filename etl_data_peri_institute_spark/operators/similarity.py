@@ -312,10 +312,16 @@ def hyperplane_lsh_bands(
     beyond a few thousand vectors — only usable for low-τ exploratory
     runs on bounded slices.
     """
-    if df.isEmpty():
-        return df.sparkSession.createDataFrame([], "id long, band int, bucket long")
     if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        # one probe doubles as dim inference AND empty-input check; when
+        # the caller supplies dim, NO job runs at plan-build time (an
+        # empty frame just flows through to an empty result)
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            return df.sparkSession.createDataFrame(
+                [], "id long, band int, bucket long"
+            )
+        dim = row["d"]
     n_bits = bands * bits_per_band
     spark = df.sparkSession
     # LONG-format plane table: (pos, bit, hp) — dim × n_bits rows. The

@@ -62,13 +62,35 @@ class ParquetStore:
         n = self.spark.read.parquet(stage).count()
         return stage, n
 
+    def _swap_in(self, stage: str, table: str) -> None:
+        """Replace the table directory with ``stage`` via backup-rename:
+        the old table is RENAMED aside (atomic, cheap), the stage renamed
+        in, then the backup dropped. A failure between the two renames
+        restores the backup — at no point is the only copy of the data
+        mid-``rmtree`` (the destroy-then-rename pattern loses the table
+        if the process dies between the two steps)."""
+        final = self.path(table)
+        backup = os.path.join(
+            self.root, f".{table}_backup_{os.path.basename(stage)}"
+        )
+        try:
+            if os.path.isdir(final):
+                os.replace(final, backup)
+            os.replace(stage, final)
+        except Exception:
+            if not os.path.isdir(final) and os.path.isdir(backup):
+                os.replace(backup, final)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+
     def insert(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> int:
         """Append-only INSERT (reference insert mode, etl/load.py:285).
 
-        One plan execution: stage → footer count → move the (globally
-        uniquely named) part files into the table directory.
+        One plan execution: stage → footer count → append into the
+        table directory.
 
         ``partition_by`` writes hive-style partition directories
         (``col=value/``) — the layout that makes incremental reads prune
@@ -78,25 +100,19 @@ class ParquetStore:
         by tests/test_formats.py). Partition columns should be
         low-cardinality (date, source, status) — per-key partitioning
         produces a small-file explosion."""
-        if partition_by:
-            stage, n = self._stage(df, table)
-            try:
-                if n:
-                    # staged-file read → partitioned append: the incoming
-                    # plan still ran exactly once (the re-read is a file
-                    # scan of the staged snapshot, not a plan re-run)
-                    (
-                        self.spark.read.parquet(stage)
-                        .write.mode("append")
-                        .partitionBy(*partition_by)
-                        .parquet(self.path(table))
-                    )
-            finally:
-                shutil.rmtree(stage, ignore_errors=True)
-            return n
         stage, n = self._stage(df, table)
         try:
-            if n:
+            if n and partition_by:
+                # staged-file read → partitioned append: the incoming
+                # plan still ran exactly once (the re-read is a file
+                # scan of the staged snapshot, not a plan re-run)
+                (
+                    self.spark.read.parquet(stage)
+                    .write.mode("append")
+                    .partitionBy(*partition_by)
+                    .parquet(self.path(table))
+                )
+            elif n:
                 final = self.path(table)
                 os.makedirs(final, exist_ok=True)
                 for name in os.listdir(stage):
@@ -106,41 +122,91 @@ class ParquetStore:
             shutil.rmtree(stage, ignore_errors=True)
         return n
 
-    def overwrite(self, df: DataFrame, table: str) -> int:
-        """Replace the table with ``df`` atomically (stage → swap). The
-        primitive under rollup maintenance: the replacement is computed
-        BEFORE the old table disappears, so readers never see a partial
-        state and a failed write leaves the old table intact."""
+    def overwrite(
+        self, df: DataFrame, table: str, meta_files: dict[str, str] | None = None
+    ) -> int:
+        """Replace the table with ``df`` atomically (stage → backup-
+        rename swap). The primitive under rollup maintenance: the
+        replacement is computed BEFORE the old table is touched, and the
+        swap never holds the only copy mid-delete (see _swap_in).
+
+        ``meta_files`` (name → contents) land inside the staged dir
+        before the swap, so table data and metadata (e.g. the rollup's
+        last-applied epoch marker) commit in the SAME atomic rename —
+        underscore-prefixed names are ignored by parquet readers."""
         stage, n = self._stage(df, table)
-        try:
-            final = self.path(table)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.replace(stage, final)
-        except Exception:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
+        for name, contents in (meta_files or {}).items():
+            with open(os.path.join(stage, name), "w") as fh:
+                fh.write(contents)
+        self._swap_in(stage, table)
         return n
 
-    def compact(self, table: str, target_files: int) -> int:
+    def read_meta(self, table: str, name: str) -> str | None:
+        """Read a metadata file written via overwrite(meta_files=...);
+        None when absent."""
+        p = os.path.join(self.path(table), name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return fh.read()
+
+    def compact(
+        self, table: str, target_files: int, partition_by: list[str] | None = None
+    ) -> int:
         """Small-file compaction: rewrite the table into ``target_files``
-        parquet files and atomically swap. Daily incremental inserts
-        (especially partitioned ones) accrete small files until listing
-        and per-file open dominate scan cost — the classic 100 TB table
-        maintenance chore (Delta OPTIMIZE / Iceberg rewrite_data_files;
-        this is the plain-parquet equivalent). ``repartition`` (not
-        ``coalesce``) so the rewrite redistributes evenly instead of
-        concatenating partitions on too few tasks. Returns the file
-        count after compaction."""
+        parquet files (per partition when ``partition_by`` is given) and
+        atomically swap. Daily incremental inserts (especially
+        partitioned ones) accrete small files until listing and per-file
+        open dominate scan cost — the classic 100 TB table maintenance
+        chore (Delta OPTIMIZE / Iceberg rewrite_data_files; this is the
+        plain-parquet equivalent). ``repartition`` (not ``coalesce``) so
+        the rewrite redistributes evenly instead of concatenating
+        partitions on too few tasks.
+
+        ``partition_by`` defaults to the table's detected hive layout
+        (col=value first-level dirs), so compacting a partitioned table
+        PRESERVES its pruning layout instead of flattening it; rows are
+        repartitioned on the partition columns so each partition dir
+        compacts to few files. Returns the parquet file count after
+        compaction."""
+        if partition_by is None:
+            partition_by = self._detect_partition_cols(table)
         current = self.read(table)
         tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_compact_")
-        current.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        try:
+            if partition_by:
+                (
+                    current.repartition(target_files, *partition_by)
+                    .write.mode("overwrite")
+                    .partitionBy(*partition_by)
+                    .parquet(tmp)
+                )
+            else:
+                current.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(tmp, table)
         final = self.path(table)
-        shutil.rmtree(final)
-        os.replace(tmp, final)
         return sum(
-            1 for name in os.listdir(final) if name.endswith(".parquet")
+            1
+            for _root, _dirs, files in os.walk(final)
+            for name in files
+            if name.endswith(".parquet")
         )
+
+    def _detect_partition_cols(self, table: str) -> list[str]:
+        """Infer hive partition columns from first-level col=value dirs
+        (single level — the layouts insert(partition_by=...) writes)."""
+        final = self.path(table)
+        if not os.path.isdir(final):
+            return []
+        cols = {
+            d.split("=", 1)[0]
+            for d in os.listdir(final)
+            if "=" in d and os.path.isdir(os.path.join(final, d))
+        }
+        return sorted(cols)
 
     def upsert(self, df: DataFrame, table: str, pk: str) -> int:
         """Insert-or-update on PK (reference upsert, etl/load.py:283).
@@ -162,11 +228,12 @@ class ParquetStore:
             else:
                 merged = incoming
             tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_merge_")
-            merged.write.mode("overwrite").parquet(tmp)
-            final = self.path(table)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.replace(tmp, final)
+            try:
+                merged.write.mode("overwrite").parquet(tmp)
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            self._swap_in(tmp, table)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return n

@@ -82,6 +82,16 @@ def incremental_rollup(
     checkpoint; the swap in ``ParquetStore.overwrite`` keeps readers
     consistent mid-merge.
 
+    foreachBatch is at-least-once, so the sink must be idempotent per
+    epoch: the last-applied epoch id is committed INSIDE the rollup
+    table directory in the same atomic rename as the data
+    (``meta_files``), and a replayed batch whose epoch id is already
+    recorded is skipped — the replay double-count a bare merge would
+    produce cannot happen. (The guard assumes checkpoint and rollup
+    table live and die together — epoch ids restart at 0 with a fresh
+    checkpoint, so reprocessing from scratch needs the table dropped
+    too.)
+
     ``sum_cols`` maps output column → 'sum:<col>' or 'count'. Example:
     ``{"total_value": "sum:value", "n_events": "count"}``.
     """
@@ -99,6 +109,9 @@ def incremental_rollup(
         return df.groupBy(*group_cols).agg(*aggs)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = store.read_meta(table, "_LAST_EPOCH")
+        if applied is not None and epoch_id <= int(applied):
+            return  # replayed batch (at-least-once delivery) — already merged
         p = partial(batch_df)
         if store.exists(table):
             merged = (
@@ -109,7 +122,7 @@ def incremental_rollup(
             )
         else:
             merged = p
-        store.overwrite(merged, table)
+        store.overwrite(merged, table, meta_files={"_LAST_EPOCH": str(epoch_id)})
 
     reader = spark.readStream.schema(schema)
     if glob:

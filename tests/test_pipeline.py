@@ -142,6 +142,19 @@ def test_store_compact(spark, tmp_path):
     assert after == 2
     assert store.read("t").count() == 1000
 
+    # partitioned tables compact WITHOUT losing their hive layout
+    pdf = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 2}") for i in range(100)], "k long, dt string"
+    )
+    for _ in range(3):
+        store.insert(pdf, "pt", partition_by=["dt"])
+    n_files = store.compact("pt", 1)
+    assert n_files == 2  # one per dt partition
+    back = store.read("pt")
+    assert back.count() == 300
+    plan = back.filter(F.col("dt") == "2024-01-01")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+
 
 def test_schema_evolution_merge(spark, tmp_path):
     """mergeSchema read across generations: v2 adds a column; v1 rows
@@ -155,3 +168,17 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score"}
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_store_overwrite_meta_roundtrip(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    assert store.read_meta("t", "_LAST_EPOCH") is None
+    store.overwrite(df, "t", meta_files={"_LAST_EPOCH": "7"})
+    assert store.read_meta("t", "_LAST_EPOCH") == "7"
+    # meta file is invisible to the parquet reader
+    assert store.read("t").count() == 1
+    # second overwrite replaces data and meta atomically
+    store.overwrite(df.withColumn("v", df.v * 2), "t", meta_files={"_LAST_EPOCH": "8"})
+    assert store.read_meta("t", "_LAST_EPOCH") == "8"
+    assert store.read("t").first()["v"] == 4.0
