@@ -766,3 +766,136 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# t_filter_funnel — the pre-training cleaning funnel with drop accounting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t_filter_funnel",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, n_chars, lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id,
+             CASE
+               WHEN n_words < 30 THEN 'too_short'
+               WHEN n_chars > 20000 THEN 'too_long'
+               WHEN lang NOT IN ('en', 'es') THEN 'lang_filtered'
+               WHEN distinct_ratio < 0.08 THEN 'low_diversity'
+               ELSE 'kept'
+             END AS stage
+      FROM stats
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 100.0 / (SELECT count(*) FROM documents), 2) AS pct
+    FROM staged
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+def t_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training cleaning funnel: ordered drop rules (length →
+    size → language → lexical diversity) where each doc is charged to
+    the FIRST rule it fails — exactly the per-stage accounting a corpus
+    report needs ('how much did each filter cost us'). One scan, one
+    pass of column expressions per doc, one tiny aggregation; adding a
+    rule is one more WHEN branch, and the funnel stays a single job at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stats = docs.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)) * 1.0 / F.size(words)).alias("distinct_ratio"),
+    )
+    stage = (
+        F.when(F.col("n_words") < 30, "too_short")
+        .when(F.col("n_chars") > 20000, "too_long")
+        .when(~F.col("lang").isin("en", "es"), "lang_filtered")
+        .when(F.col("distinct_ratio") < 0.08, "low_diversity")
+        .otherwise("kept")
+    )
+    total = docs.select(F.count("*").alias("__total"))
+    return (
+        stats.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(total)
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") * 100.0 / F.col("__total"), 2).alias("pct"),
+        )
+        .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------------
+# p_data_contract_report — declarative expectations over a dirty frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p_data_contract_report",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'MACHINERY') AS segment,
+             c_nationkey, c_acctbal
+      FROM customer
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        CAST(count(c_nationkey) - count(DISTINCT c_nationkey) AS BIGINT) AS v1,
+        CAST(sum(CASE WHEN segment NOT IN ('BUILDING', 'AUTOMOBILE', 'HOUSEHOLD', 'FURNITURE')
+                        OR segment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(sum(CASE WHEN c_acctbal < 0 OR c_acctbal > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM dirty
+    )
+    SELECT rule, "column", n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'not_null' AS rule, 'segment' AS "column", v0 AS n_violations FROM agg
+      UNION ALL SELECT 'unique', 'c_nationkey', v1 FROM agg
+      UNION ALL SELECT 'accepted_values', 'segment', v2 FROM agg
+      UNION ALL SELECT 'range', 'c_acctbal', v3 FROM agg
+    )
+    ORDER BY rule, "column"
+    """,
+)
+def p_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (operators/contracts.py): declarative
+    expectations — non-null, uniqueness, accepted domains, numeric
+    ranges — compiled into ONE aggregation pass producing a per-rule
+    violations report (the dbt-test / Great-Expectations shape). The
+    frame is deliberately dirtied (MACHINERY → NULL) so every rule
+    class reports real violations; negative TPC-H balances fail the
+    range rule naturally."""
+    from ..operators.contracts import contract_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("segment"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    out = contract_report(
+        dirty,
+        not_null=["segment"],
+        unique=["c_nationkey"],
+        accepted={"segment": ["BUILDING", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]},
+        ranges={"c_acctbal": (0.0, 100000.0)},
+    )
+    return out.select(
+        "rule", F.col("column"), F.col("n_violations").cast("long").alias("n_violations"), "passed"
+    ).orderBy("rule", "column")

@@ -338,3 +338,30 @@ def test_interval_overlap_join(spark):
     # closed-bound touch (10.0 == 10.0) included; key isolation holds
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_contract_report(spark):
+    import pytest
+
+    from etl_data_peri_institute_spark.operators.contracts import contract_report
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 50.0), (3, "zz", 200.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        (r["rule"], r["column"]): (r["n_violations"], r["passed"])
+        for r in contract_report(
+            df,
+            not_null=["s"],
+            unique=["k"],
+            accepted={"s": ["a", "b"]},
+            ranges={"v": (0.0, 100.0)},
+        ).collect()
+    }
+    assert out[("not_null", "s")] == (1, False)
+    assert out[("unique", "k")] == (1, False)       # k=2 twice
+    assert out[("accepted_values", "s")] == (2, False)  # None + "zz"
+    assert out[("range", "v")] == (2, False)        # -1.0 and 200.0
+    with pytest.raises(ValueError, match="no rules"):
+        contract_report(df)
