@@ -289,3 +289,44 @@ def f_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "f_datetime_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_cutoff,
+           CAST(round(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-12-31'), 0) AS BIGINT)
+             AS months_to_cutoff
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def f_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic matrix: day/month addition, month-end,
+    quarter truncation, day/month differences — all pure column
+    expressions that constant-fold and push down. Month difference uses
+    whole-month counting (DuckDB date_diff semantics) rather than
+    Spark's fractional months_between, so both engines agree on
+    calendar-boundary cases."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    d = F.to_date("o_orderdate")
+    cutoff = F.lit("1998-12-31").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.to_date(F.date_trunc("quarter", d)).alias("quarter_start"),
+        F.datediff(cutoff, d).cast("long").alias("days_to_cutoff"),
+        ((F.year(cutoff) - F.year(d)) * 12 + (F.month(cutoff) - F.month(d)))
+        .cast("long")
+        .alias("months_to_cutoff"),
+    ).orderBy("o_orderkey")
