@@ -935,3 +935,37 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["purchase_ts"],
     )
     return out.select("event_id", "user_id", "purchase_ts_asof").orderBy("event_id")
+
+
+@query(
+    "j_lateral_topk",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, round(l.l_quantity, 2) AS top_qty
+    FROM orders o,
+    LATERAL (SELECT l_linenumber, l_quantity FROM lineitem
+             WHERE l_orderkey = o.o_orderkey
+             ORDER BY l_quantity DESC, l_linenumber LIMIT 1) l
+    WHERE o.o_orderkey <= 500
+    ORDER BY o.o_orderkey
+    """,
+)
+def j_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.4+/DuckDB): for each order,
+    its heaviest line item — the per-row dependent subquery in FROM.
+    Catalyst DECORRELATES this into a ranked join (same physical shape
+    as the window top-1 the engine would write by hand), so the
+    friendly SQL costs nothing extra at scale — no per-row execution
+    ever happens."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, round(l.l_quantity, 2) AS top_qty
+        FROM lat_orders o,
+        LATERAL (SELECT l_linenumber, l_quantity FROM lat_lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_quantity DESC, l_linenumber LIMIT 1) l
+        WHERE o.o_orderkey <= 500
+        ORDER BY o.o_orderkey
+        """
+    )
