@@ -795,7 +795,7 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     )
     SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
-           round(count(*) * 100.0 / (SELECT count(*) FROM documents), 2) AS pct
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
     FROM staged
     GROUP BY stage
     ORDER BY stage
@@ -807,8 +807,9 @@ def t_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FIRST rule it fails — exactly the per-stage accounting a corpus
     report needs ('how much did each filter cost us'). One scan, one
     pass of column expressions per doc, one tiny aggregation; adding a
-    rule is one more WHEN branch, and the funnel stays a single job at
-    any corpus size."""
+    rule is one more WHEN branch, and the funnel stays a single job —
+    and a SINGLE SCAN: the percentage denominator is a window over the
+    5-row stage aggregate, not a second pass over the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     stats = docs.select(
@@ -825,16 +826,16 @@ def t_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("distinct_ratio") < 0.08, "low_diversity")
         .otherwise("kept")
     )
-    total = docs.select(F.count("*").alias("__total"))
     return (
         stats.select(stage.alias("stage"))
         .groupBy("stage")
         .agg(F.count("*").alias("n_docs"))
-        .crossJoin(total)
         .select(
             "stage",
             "n_docs",
-            F.round(F.col("n_docs") * 100.0 / F.col("__total"), 2).alias("pct"),
+            F.round(
+                F.col("n_docs") * 100.0 / F.sum("n_docs").over(W.partitionBy()), 2
+            ).alias("pct"),
         )
         .orderBy("stage")
     )

@@ -121,3 +121,12 @@ def test_tfidf_partial_agg_and_pruning(spark):
     # only doc_id and text are read from the documents table
     read = plan.split("ReadSchema")[1][:200]
     assert "lang" not in read and "source" not in read
+
+
+def test_single_scan_report_queries(spark):
+    """The funnel and the contract report must read their input exactly
+    once — profiling/validation passes over 100 TB cannot afford a
+    second scan for a denominator."""
+    for name in ["t_filter_funnel", "p_data_contract_report"]:
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, name
