@@ -45,6 +45,9 @@ def interval_overlap_join(
     rs, re_ = right_bounds
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        # end < start is not a real interval — drop it rather than let
+        # sequence() silently generate a DESCENDING bin range
+        df = df.filter(F.col(e) >= F.col(s))
         lo = F.floor(F.col(s) / bin_width).cast("long")
         hi = F.floor(F.col(e) / bin_width).cast("long")
         return df.withColumn("__bin", F.explode(F.sequence(lo, hi)))

@@ -335,6 +335,14 @@ def test_interval_overlap_join(spark):
     out = interval_overlap_join(a, b, "k", ("a_s", "a_e"), ("b_s", "b_e"), bin_width=8.0)
     got = {(r["a_id"], r["b_id"]) for r in out.collect()}
     assert got == {(10, 100), (11, 101)}
+
+    # degenerate end<start rows are dropped, not silently mis-binned
+    bad = spark.createDataFrame(
+        [(1, 99, 30.0, 0.0)], "k long, a_id long, a_s double, a_e double"
+    )
+    assert interval_overlap_join(
+        bad, b, "k", ("a_s", "a_e"), ("b_s", "b_e"), bin_width=8.0
+    ).count() == 0
     # closed-bound touch (10.0 == 10.0) included; key isolation holds
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
@@ -365,3 +373,24 @@ def test_contract_report(spark):
     assert out[("range", "v")] == (2, False)        # -1.0 and 200.0
     with pytest.raises(ValueError, match="no rules"):
         contract_report(df)
+
+
+def test_observe_metrics_without_extra_action(spark):
+    """df.observe(): pipeline counters (rows seen, nulls, sums) ride the
+    SAME job as the write/collect — at 100 TB this replaces the classic
+    'count() then write()' double execution for monitoring metrics."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("ingest_metrics")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"),
+        F.round(F.sum("v"), 2).alias("total_v"),
+    )
+    assert df.count() == 3  # the ONLY action
+    got = obs.get
+    assert got["n_rows"] == 3 and got["n_null_v"] == 1 and got["total_v"] == 40.0
