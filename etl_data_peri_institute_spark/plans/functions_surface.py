@@ -330,3 +330,40 @@ def f_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("months_to_cutoff"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "f_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CASE WHEN json_extract(props, '$.k') IS NULL THEN 0 ELSE 1 END AS has_k,
+           CAST(json_extract(props, '$.nope') AS INT) AS missing_field
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse once with
+    try_parse_json into a binary-encoded variant, then typed
+    try_variant_get extractions — the open-schema alternative to
+    from_json-with-StructType when the JSON shape drifts. Unlike
+    repeated get_json_object calls (each re-parses the string), the
+    variant is parsed once per row and probed cheaply per field;
+    missing paths yield NULL, not errors."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.try_parse_json("props")
+    return (
+        ev.select("event_id", v.alias("v"))
+        .select(
+            "event_id",
+            F.try_variant_get(F.col("v"), "$.k", "int").alias("k_val"),
+            F.try_variant_get(F.col("v"), "$.k", "int")
+            .isNotNull()
+            .cast("int")
+            .alias("has_k"),
+            F.try_variant_get(F.col("v"), "$.nope", "int").alias("missing_field"),
+        )
+        .orderBy("event_id")
+    )
