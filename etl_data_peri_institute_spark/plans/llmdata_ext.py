@@ -1,9 +1,11 @@
 """LLM-training-data operators, part 2 (north star extensions).
 
-Embedding-cosine near-dup detection (the last dedup-family modality:
-exact hash / MinHash / SimHash / n-gram Jaccard live in llmdata.py),
-sequence packing for training batches, stratified deterministic
-sampling, exact heavy hitters, and the SCD2 fold as a gate query.
+Round-2 additions beyond llmdata.py: embedding-cosine near-dup (the
+fifth dedup modality), IVF multi-probe ANN search, sequence packing,
+stratified sampling, exact heavy hitters, chunk-level dedup, TF-IDF,
+bigram LM statistics, the pre-training filter funnel, one-scan column
+profiling, correlation matrix, data-contract validation, and the
+SCD2 / snapshot-diff CDC folds as gate queries.
 
 Registered after the round-2 priority block in plans/catalog.py —
 these get local oracle verification now and driver rows next round.
