@@ -70,7 +70,10 @@ def query(name: str, oracle: str | None = None):
 # b_sessionize, t_tfidf, a_corr_matrix, p_snapshot_diff,
 # st_stream_stream_join, ts_gap_fill_ffill, ts_ohlc_hourly,
 # j_recursive_cte, a_profile_columns, f_histogram_width_bucket,
-# d_chunk_dedup, j_null_safe_join, j_interval_overlap, j_asof_forward.
+# d_chunk_dedup, j_null_safe_join, j_interval_overlap, j_asof_forward,
+# u_scalar_pandas_softsign, t_bigram_lm, b_rfm_segmentation,
+# t_filter_funnel, p_data_contract_report, f_datetime_math,
+# f_variant_json, j_lateral_topk.
 _VERIFY_FIRST: list[str] = [
     # round-1 `err` rows (array-output fix) — must flip green this round
     "m_multimodal_features",
