@@ -53,19 +53,24 @@ def contract_report(
     if not aggs:
         raise ValueError("contract_report: no rules given")
     report = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{rule}', '{col}', coalesce(v{i}, 0)" for i, (rule, col) in enumerate(labels)
+    # unpivot via explode over literal structs — no string-SQL, so rule
+    # and column names need no quoting/escaping
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(rule).alias("rule"),
+                F.lit(col).alias("column"),
+                F.coalesce(F.col(f"v{i}"), F.lit(0)).cast("long").alias("n_violations"),
+            )
+            for i, (rule, col) in enumerate(labels)
+        ]
     )
     return (
-        report.select(
-            F.expr(
-                f"stack({len(labels)}, {stack_args}) AS (rule, column, n_violations)"
-            )
-        )
+        report.select(F.explode(entries).alias("e"))
         .select(
-            "rule",
-            "column",
-            "n_violations",
-            (F.col("n_violations") == 0).alias("passed"),
+            F.col("e.rule").alias("rule"),
+            F.col("e.column").alias("column"),
+            F.col("e.n_violations").alias("n_violations"),
+            (F.col("e.n_violations") == 0).alias("passed"),
         )
     )

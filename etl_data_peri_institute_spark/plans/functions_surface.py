@@ -355,14 +355,14 @@ def f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     v = F.try_parse_json("props")
     return (
-        ev.select("event_id", v.alias("v"))
+        ev.select("event_id", "props", v.alias("v"))
         .select(
             "event_id",
             F.try_variant_get(F.col("v"), "$.k", "int").alias("k_val"),
-            F.try_variant_get(F.col("v"), "$.k", "int")
-            .isNotNull()
-            .cast("int")
-            .alias("has_k"),
+            # RAW path existence (mirrors the oracle's json_extract IS
+            # NULL) — a typed extraction would report a non-integer k as
+            # absent while the oracle reports it present
+            F.get_json_object("props", "$.k").isNotNull().cast("int").alias("has_k"),
             F.try_variant_get(F.col("v"), "$.nope", "int").alias("missing_field"),
         )
         .orderBy("event_id")

@@ -324,8 +324,10 @@ def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # the centroid table is k×dim (tiny) but its subtree aggregates the
     # whole corpus; ivf_topk references it from both the list build and
-    # the query probe — localCheckpoint computes that corpus pass ONCE
-    cents = centroids_by(emb, "label").localCheckpoint()
+    # the query probe — a LAZY localCheckpoint computes that corpus pass
+    # once per action without running a job at plan-construction time
+    # (plan-only consumers — explain reports, plan tests — stay free)
+    cents = centroids_by(emb, "label").localCheckpoint(eager=False)
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=3, n_probe=2)
     return out.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
 

@@ -855,11 +855,13 @@ def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id AS a_id, epoch(ts) AS a_s,
              epoch(ts) + value * 60 AS a_e
       FROM events WHERE event_type = 'click'
+        AND epoch(ts) + value * 60 >= epoch(ts)
     ),
     b AS (
       SELECT user_id, event_id AS b_id, epoch(ts) AS b_s,
              epoch(ts) + value * 60 AS b_e
       FROM events WHERE event_type = 'purchase'
+        AND epoch(ts) + value * 60 >= epoch(ts)
     )
     SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_overlaps
     FROM a JOIN b ON a.user_id = b.user_id
@@ -873,7 +875,9 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/intervals.py:interval_overlap_join): click activity
     windows × purchase windows per user. The oracle states the naive
     inequality join; the engine bins intervals onto a 1-hour grid and
-    equi-joins on (user, bin) — same pairs, no nested loop. The count
+    equi-joins on (user, bin) — same pairs, no nested loop; both sides
+    drop degenerate end<start intervals (empty by the closed-bounds
+    convention — the oracle guards match the operator). The count
     compare proves the binned rewrite loses/duplicates nothing."""
     from ..operators.intervals import interval_overlap_join
 
