@@ -904,3 +904,72 @@ def p_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rule", F.col("column"), F.col("n_violations").cast("long").alias("n_violations"), "passed"
     ).orderBy("rule", "column")
+
+
+# --------------------------------------------------------------------------
+# d_embedding_dedup_apply — end-to-end embedding near-dup removal
+# --------------------------------------------------------------------------
+
+
+def _embedding_dedup_oracle() -> str:
+    # reuse the near-dup pair pipeline as a CTE, then recursive closure →
+    # components → canonical filter (same fold as d_dedup_apply)
+    pair_cte = _neardup_oracle().strip().rstrip()
+    # strip the trailing SELECT/ORDER BY of the pair oracle; rebuild with
+    # the closure on top of its `dotp`/`nrm` CTEs
+    head = pair_cte[: pair_cte.rindex("SELECT d.id_a, d.id_b")]
+    return f"""
+    WITH RECURSIVE {head.lstrip()[len("WITH "):]},
+    pairs AS (
+      SELECT d.id_a, d.id_b
+      FROM dotp d
+      JOIN nrm na ON na.id = d.id_a
+      JOIN nrm nb ON nb.id = d.id_b
+      WHERE d.dp / (na.n * nb.n) >= {_ND_TAU}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, least(min(dst), src) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    LEFT JOIN comp ON e.vec_id = comp.vec_id
+    WHERE comp.vec_id IS NULL OR comp.component = e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@query("d_embedding_dedup_apply", oracle=_embedding_dedup_oracle())
+def d_embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EMBEDDING near-dup removal: banded hyperplane LSH →
+    exact-cosine pairs → connected components → keep the canonical
+    (min id) member of each near-dup cluster plus all untouched
+    vectors — the embedding-space twin of d_dedup_apply's MinHash fold,
+    composed from the same operator library. Same scale shape: pair
+    space never enumerated, component map joins back without a forced
+    broadcast."""
+    from ..operators.components import connected_components
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, tau=_ND_TAU, bands=_ND_BANDS, bits_per_band=_ND_BITS, dim=64
+    )
+    comp = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("vec_id"), "component"
+    )
+    return (
+        emb.join(comp, "vec_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("vec_id")))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
