@@ -45,14 +45,20 @@ def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical top-k-per-group: one shuffle on the partition key, no
     global sort. At scale, the `rn <= 3` filter runs inside the window
     stage (Spark pushes the limit via WindowGroupLimit in recent versions).
+    The partition-key predicate (`c_custkey < 100`) is applied BEFORE the
+    join and window — it prunes at the scan, so the window stage only
+    ever sees the selected customers (round-2 review: don't rely on
+    Catalyst to push a filter through a window). No pinned broadcast:
+    customer is SF-scaled; after the selective filter AQE broadcasts the
+    99-row side on its own.
     """
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") <= 3) & (F.col("c_custkey") < 100))
+        .filter(F.col("rn") <= 3)
         .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
         .orderBy("c_custkey", "rn")
     )

@@ -174,16 +174,17 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
-    customer dimension (broadcast on the stream side), then aggregated in
-    complete mode. The standard streaming-enrichment topology."""
+    customer dimension, then aggregated in complete mode. The standard
+    streaming-enrichment topology. No pinned broadcast: customer is
+    SF-scaled, so the join strategy is left to the planner (it broadcasts
+    while the static side fits, falls back to a stateless shuffled join
+    at scale)."""
     from ..sources.tables import load_table as _lt
     from ..streaming.windows import run_to_completion, stream_events
 
     ev = stream_events(spark, sf_dir)
     cust = _lt(spark, sf_dir, "customer")
-    joined = ev.join(
-        F.broadcast(cust), cust.c_custkey == ev.user_id + 1, "inner"
-    )
+    joined = ev.join(cust, cust.c_custkey == ev.user_id + 1, "inner")
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )

@@ -4,32 +4,85 @@ These exercise the full scan → filter → join → aggregate → sort → limi
 surface the reference lacks (SURVEY.md §2.3-§2.6 record the absences).
 Written DataFrame-first; Catalyst handles predicate pushdown into the
 parquet scans, column pruning, partial aggregation, and join selection.
-Dimension tables (region/nation/customer/supplier/part) are broadcast —
-at 100 TB the fact tables (lineitem/orders) are the only shuffled inputs,
-and AQE coalesces/splits the post-shuffle partitions at runtime.
+
+Join strategy: only the genuinely bounded dimensions (region: 5 rows,
+nation: 25 rows, and derived per-key aggregates that are bounded by a
+dimension's cardinality) carry an explicit ``F.broadcast`` hint.
+customer/supplier/part grow linearly with scale factor — a pinned hint
+on them overrides AQE's size check and OOMs the driver at 100×; AQE
+(`spark.sql.adaptive.autoBroadcastJoinThreshold`) promotes them to
+broadcast at small SF on its own and falls back to shuffle joins at
+scale. Pinned by ``test_plan_quality.py``.
+
+Money discipline (why every money output is a scaled BIGINT):
+the driver's correctness gate hashes cell values; a float aggregate
+rounded to 2 decimals can land on a .005 boundary where Spark's and
+DuckDB's different summation orders round differently (this exact
+failure hit q10 in round 2). All money inputs in the testdata are
+cents-exact doubles and discount/tax are 2-decimal fractions, so every
+money expression here is converted to EXACT integer arithmetic at the
+row level (cents ``round(x*100)`` → BIGINT; discounted price is
+``cents × (100-disc_pct)`` = dollars×10⁴; charge is
+``... × (100+tax_pct)`` = dollars×10⁶) and summed as BIGINT — both
+engines produce bit-identical integers regardless of sum order.
+Averages/ratios are emitted as ``floor(scale * int / int)``: the
+operands are identical exact integers, so the IEEE double division and
+floor are bit-identical cross-engine (no round() semantics involved).
+Int64 headroom: charge×10⁶ sums reach ~4e17 at sf0.1, bound ~9.2e18 —
+safe through sf10 per group; at larger SF the gate would move to
+DECIMAL(38) on both sides.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .catalog import query
 
 
+def _cents(col: str) -> Column:
+    """Exact integer cents from a cents-exact double column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _pct(col: str) -> Column:
+    """Exact integer percent from a 2-decimal fraction column (0.07 → 7)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# Per-row exact-integer money expressions (see module docstring).
+# Functions, not module constants: building a Column requires an active
+# SparkContext, which doesn't exist at import time.
+def _disc_x10k() -> Column:
+    return _cents("l_extendedprice") * (100 - _pct("l_discount"))
+
+
+def _charge_x1m() -> Column:
+    return _disc_x10k() * (100 + _pct("l_tax"))
+
+# The same expressions in DuckDB SQL.
+_SQL_EP_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_SQL_DISC_X10K = f"{_SQL_EP_CENTS} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+_SQL_CHARGE_X1M = f"{_SQL_DISC_X10K} * (100 + CAST(round(l_tax * 100) AS BIGINT))"
+
+
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                      AS sum_qty,
-           round(sum(l_extendedprice), 2)                                 AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                      AS avg_qty,
-           round(avg(l_extendedprice), 4)                                 AS avg_price,
-           round(avg(l_discount), 4)                                      AS avg_disc,
-           CAST(count(*) AS BIGINT)                                       AS count_order
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)      AS sum_qty,
+           CAST(sum({_SQL_EP_CENTS}) AS BIGINT)                        AS sum_base_price_cents,
+           CAST(sum({_SQL_DISC_X10K}) AS BIGINT)                       AS sum_disc_price_x10k,
+           CAST(sum({_SQL_CHARGE_X1M}) AS BIGINT)                      AS sum_charge_x1m,
+           CAST(floor(10000.0 * CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                      / count(*)) AS BIGINT)                           AS avg_qty_x10k,
+           CAST(floor(100.0 * CAST(sum({_SQL_EP_CENTS}) AS BIGINT)
+                      / count(*)) AS BIGINT)                           AS avg_price_x10k,
+           CAST(floor(100.0 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                      / count(*)) AS BIGINT)                           AS avg_disc_x10k,
+           CAST(count(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -42,20 +95,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan-side: only 7 of 11 lineitem columns are read (column pruning) and
     the shipdate predicate is pushed to parquet. One shuffle (on the 2 group
     keys, ~6 groups → map-side partial agg does nearly all the work).
+    All money/avg outputs are exact scaled integers (module docstring).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.round(F.col("l_quantity")).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(_disc_x10k()).alias("sum_disc_price_x10k"),
+            F.sum(_charge_x1m()).alias("sum_charge_x1m"),
+            F.floor(10000.0 * F.sum(qty) / F.count("*")).alias("avg_qty_x10k"),
+            F.floor(100.0 * F.sum(_cents("l_extendedprice")) / F.count("*")).alias("avg_price_x10k"),
+            F.floor(100.0 * F.sum(_pct("l_discount")) / F.count("*")).alias("avg_disc_x10k"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -64,9 +118,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_top_revenue_orders",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS revenue_x10k,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -75,16 +129,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
+    ORDER BY revenue_x10k DESC, o_orderkey
     LIMIT 10
     """,
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: 3-way join + agg + top-k (TakeOrderedAndProject).
 
-    customer is a dimension → broadcast (no shuffle for the first join);
-    lineitem↔orders is the one real shuffle. The final sort is rewritten
-    by Catalyst to a per-partition top-k + driver merge, not a full sort.
+    lineitem↔orders is the one guaranteed shuffle; customer is left to
+    AQE (broadcast at small SF, shuffle at scale — no pinned hint). The
+    final sort is rewritten by Catalyst to a per-partition top-k +
+    driver merge, not a full sort.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -95,20 +150,20 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .agg(F.sum(_disc_x10k()).alias("revenue_x10k"))
+        .select("o_orderkey", "revenue_x10k", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_x10k"), "o_orderkey")
         .limit(10)
     )
 
 
 @query(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS revenue_x10k
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -119,15 +174,15 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
-    ORDER BY revenue DESC, n_name
+    ORDER BY revenue_x10k DESC, n_name
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join (3 broadcast dims) + agg + sort.
+    """TPC-H Q5: 6-way join + agg + sort.
 
-    region→nation→supplier collapses to one broadcast lookup chain;
-    only orders↔lineitem shuffles. Demonstrates Catalyst join reordering
-    with mixed broadcast/shuffle strategies.
+    region→nation stays a pinned broadcast chain (bounded: 5/25 rows);
+    customer and supplier are SF-scaled, so their join strategy is left
+    to AQE. orders↔lineitem is the one unavoidable fact shuffle.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -140,23 +195,24 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .agg(F.sum(_disc_x10k()).alias("revenue_x10k"))
+        .orderBy(F.desc("revenue_x10k"), "n_name")
     )
 
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+    SELECT CAST(sum({_SQL_EP_CENTS} * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_x10k
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -169,7 +225,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the canonical pushdown test: all four predicates
     reach parquet row-group pruning; no shuffle at all (single global agg
-    via partial aggregation).
+    via partial aggregation). Revenue = price×discount, exact ×10⁴.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -179,16 +235,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.sum(_cents("l_extendedprice") * _pct("l_discount")).alias("revenue_x10k"))
     )
 
 
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+           CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS revenue_x10k,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS c_acctbal_cents, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -197,12 +253,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue_x10k DESC, c_custkey
     LIMIT 20
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue ranking (join + agg + top-k)."""
+    """TPC-H Q10: returned-item revenue ranking (join + agg + top-k).
+
+    Round 2's driver hash failure lived here: revenue rounded to 2
+    decimals hit a .005 sum-order boundary. Now exact ×10⁴ integers on
+    both sides — hash-stable by construction — and the top-k ORDER BY
+    uses the exact integer, so the selected 20 rows are engine-invariant
+    too. customer join is AQE-decided (no pinned broadcast).
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -212,18 +275,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(_disc_x10k()).alias("revenue_x10k"))
         .select(
             "c_custkey",
             "c_name",
-            "revenue",
-            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "revenue_x10k",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("c_acctbal_cents"),
             "n_name",
         )
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .orderBy(F.desc("revenue_x10k"), "c_custkey")
         .limit(20)
     )
 
@@ -297,29 +360,33 @@ def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_share",
-    oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+    oracle=f"""
+    SELECT CAST(floor(1000000.0
+                 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_DISC_X10K} ELSE 0 END) AS BIGINT)
+                 / CAST(sum({_SQL_DISC_X10K}) AS BIGINT)) AS BIGINT) AS promo_share_ppm
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share — ratio of conditional aggregates
-    over a broadcast dimension join."""
+    """TPC-H Q14: promo revenue share — ratio of conditional aggregates.
+
+    Share emitted in exact parts-per-million: floor of an IEEE division
+    of two bit-identical exact integers (module docstring). part is
+    SF-scaled → join strategy left to AQE.
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == "PROMO", _disc_x10k()).otherwise(F.lit(0).cast("long"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.floor(1000000.0 * F.sum(promo) / F.sum(_disc_x10k())).alias("promo_share_ppm")
+        )
     )
 
 
@@ -327,46 +394,51 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           round(o.o_totalprice, 2) AS o_totalprice,
-           round(t.sum_qty, 2) AS sum_qty
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+           CAST(t.sum_qty AS BIGINT) AS sum_qty
     FROM orders o
-    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+    JOIN (SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
-          HAVING sum(l_quantity) > 150) t ON o.o_orderkey = t.l_orderkey
+          HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150) t ON o.o_orderkey = t.l_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY o_totalprice_cents DESC, o_orderkey
     LIMIT 20
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: large-volume orders — agg-subquery join + top-k."""
+    """TPC-H Q18: large-volume orders — agg-subquery join + top-k.
+
+    sum_qty is an exact BIGINT (quantity is integral), o_totalprice is
+    exact cents; the top-k ORDER BY uses the integer cents, so result
+    selection is engine-invariant. customer join is AQE-decided.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+            "sum_qty",
         )
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .orderBy(F.desc("o_totalprice_cents"), "o_orderkey")
         .limit(20)
     )
 
 
 @query(
     "q19_disjunctive_predicates",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS revenue_x10k
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 21)
        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
@@ -376,26 +448,24 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive multi-column join predicates (tests CNF
     conversion — Catalyst pushes the common p_partkey equi-key and keeps
-    the OR residual as a post-join filter)."""
+    the OR residual as a post-join filter). part join is AQE-decided."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
-    return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-    )
+    return j.filter(cond).agg(F.sum(_disc_x10k()).alias("revenue_x10k"))
 
 
 @query(
     "q7_nation_volume",
-    oracle="""
+    oracle=f"""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS revenue_x10k
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -410,7 +480,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: cross-nation shipping volume — self-joined dimension
-    (nation twice under different roles) + year extraction + agg."""
+    (nation twice under different roles) + year extraction + agg.
+    nation (25 rows) keeps pinned broadcasts; customer/supplier are
+    AQE-decided."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -424,21 +496,21 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.cn_key)
         .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(_disc_x10k()).alias("revenue_x10k"))
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
 
 
 @query(
     "q17_small_quantity_revenue",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle=f"""
+    SELECT CAST(floor(CAST(sum({_SQL_EP_CENTS}) AS BIGINT) / 7.0) AS BIGINT) AS avg_yearly_cents
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#2'
@@ -449,33 +521,44 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated average subquery → decorrelated as a
     per-partkey aggregate joined back (the plan Catalyst produces for the
-    SQL form, written out explicitly)."""
+    SQL form, written out explicitly).
+
+    The threshold compare stays in floats safely: quantities are
+    integral, integer-valued double sums are EXACT in any order, so
+    avg and 0.2*avg are bit-identical cross-engine. part is AQE-decided;
+    the per-partkey avg frame is part-bounded but derived from lineitem,
+    also AQE-decided.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == avg_qty.ap_key)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.floor(F.sum(_cents("l_extendedprice")) / 7.0).alias("avg_yearly_cents"))
     )
 
 
 @query(
     "q22_global_sales_opportunity",
     oracle="""
-    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    WITH avg_bal AS (
+      SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS ab_cents
+      FROM customer WHERE c_acctbal > 0.0
+    ),
     eligible AS (
-      SELECT substr(c.c_name, 10, 1) AS cntrycode, c.c_acctbal
+      SELECT substr(c.c_name, 10, 1) AS cntrycode,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
       FROM customer c, avg_bal
-      WHERE c.c_acctbal > avg_bal.ab
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.ab_cents
         AND NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
     )
     SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
     FROM eligible
     GROUP BY cntrycode
     ORDER BY cntrycode
@@ -483,8 +566,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22: scalar subquery + NOT EXISTS anti-join + substring
-    bucketing over customers with no orders."""
+    bucketing over customers with no orders.
+
+    The avg-balance threshold compares exact integer cents against an
+    avg of exact integers (bit-identical cross-engine: integer-valued
+    sums are exact in any order, division is IEEE). avg_bal (1 row) keeps
+    its broadcast.
+    """
     cust = load_table(spark, sf_dir, "customer")
+    acct_cents = F.round(F.col("c_acctbal") * 100).cast("long")
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 250000)
@@ -492,16 +582,19 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("ab"))
+        .agg(F.avg(acct_cents).alias("ab_cents"))
     )
     eligible = (
         cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        .filter(acct_cents > F.col("ab_cents"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
     )
     return (
         eligible.groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
-        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(acct_cents).alias("totacctbal_cents"),
+        )
         .orderBy("cntrycode")
     )
 
@@ -543,11 +636,11 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-           round(sum(CASE WHEN n2.n_name = 'NATION_3'
-                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+           CAST(floor(1000000.0
+                * CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC_X10K} ELSE 0 END) AS BIGINT)
+                / CAST(sum({_SQL_DISC_X10K}) AS BIGINT)) AS BIGINT) AS mkt_share_ppm
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -562,7 +655,9 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — dual-role nation dimension,
-    conditional revenue ratio per year."""
+    conditional revenue ratio per year in exact parts-per-million.
+    nation/region keep pinned broadcasts; customer/supplier are
+    AQE-decided."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -571,21 +666,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation3_rev = F.when(F.col("supp_nation") == "NATION_3", _disc_x10k()).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
-            ).alias("mkt_share")
+            F.floor(1000000.0 * F.sum(nation3_rev) / F.sum(_disc_x10k())).alias("mkt_share_ppm")
         )
         .orderBy("o_year")
     )
@@ -593,24 +686,29 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS total_revenue_x10k
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_x10k
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE r.total_revenue_x10k = (SELECT max(total_revenue_x10k) FROM revenue)
     ORDER BY s_suppkey
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: top supplier via a reused view (registered as a temp
-    view + scalar-subquery max — the view-DDL path of the SQL API)."""
+    view + scalar-subquery max — the view-DDL path of the SQL API).
+
+    The revenue view carries exact ×10⁴ integers, so the `= max(...)`
+    equality is an exact integer compare — no float-tie ambiguity in
+    which supplier wins.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -619,15 +717,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(F.sum(_disc_x10k()).alias("total_revenue_x10k"))
     )
     rev.createOrReplaceTempView("revenue_view")
     supp.createOrReplaceTempView("supplier_view")
     return spark.sql(
         """
-        SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_x10k
         FROM supplier_view s JOIN revenue_view r ON s.s_suppkey = r.supplier_no
-        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue_view)
+        WHERE r.total_revenue_x10k = (SELECT max(total_revenue_x10k) FROM revenue_view)
         ORDER BY s_suppkey
         """
     )
@@ -647,13 +745,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-count by part attributes with negated
-    and IN-list predicates."""
+    and IN-list predicates. part is AQE-decided."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -678,7 +776,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: IN over an aggregated-HAVING subquery → semi join
-    against the qualifying key set."""
+    against the qualifying key set.
+
+    `heavy` is bounded by supplier-key cardinality but SF-scaled, so no
+    pinned hint — AQE broadcasts it while it fits. The HAVING compare is
+    float-safe (integral quantities sum exactly in any order).
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -691,7 +794,7 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

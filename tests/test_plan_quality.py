@@ -67,6 +67,93 @@ def test_no_forced_broadcast_of_unbounded_frames(spark):
         assert "ResolvedHint" not in analyzed, name
 
 
+_TPCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q12_shipmode_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q7_nation_volume",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "q13_order_count_distribution",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_inventory_suppliers",
+]
+
+# column-name prefix → table, for identifying which base relation sits
+# under a hint in the analyzed plan tree
+_UNBOUNDED_PREFIXES = {
+    "c_": "customer",
+    "s_": "supplier",
+    "p_": "part",
+    "o_": "orders",
+    "l_": "lineitem",
+}
+
+
+def _hinted_base_tables(analyzed: str) -> list[str]:
+    """For each ResolvedHint in an analyzed plan string, walk down to the
+    first Relation/Aggregate under it. A hint whose subtree aggregates
+    before any base relation is bounded (per-key/1-row frames) and
+    allowed; otherwise report which base table the hint pins."""
+    lines = analyzed.splitlines()
+    hinted = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        for below in lines[i + 1 :]:
+            if "Aggregate" in below:
+                break  # bounded derived frame — allowed
+            if "Relation" in below:
+                first_col = below.split("[", 1)[-1][:24]
+                for pfx, table in _UNBOUNDED_PREFIXES.items():
+                    if first_col.startswith(pfx):
+                        hinted.append(table)
+                break
+    return hinted
+
+
+def test_tpch_no_forced_broadcast_of_sf_scaled_tables(spark):
+    """Round-2 verdict: 12 TPC-H plans pinned F.broadcast on customer/
+    supplier/part — tables that grow with SF, so the hint (which
+    overrides AQE's size check) OOMs the driver at 100×. Only bounded
+    dimensions (nation: 25 rows, region: 5 rows) and aggregate-derived
+    frames may carry hints. This walks every hint in every TPC-H plan's
+    analyzed tree and asserts none pins an SF-scaled base table."""
+    for name in _TPCH_QUERIES + ["w_topk_orders_per_customer"]:
+        df = catalog.QUERIES[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert _hinted_base_tables(analyzed) == [], name
+
+
+def test_streaming_batch_source_has_no_pinned_broadcast():
+    """st_stream_static_join's plan isn't inspectable post-sink, so pin
+    the rule at the source level: no F.broadcast call in the module."""
+    from pathlib import Path
+
+    import etl_data_peri_institute_spark.plans.streaming_batch as sb
+
+    src = Path(sb.__file__).read_text()
+    assert "F.broadcast(" not in src
+
+
+def test_topk_window_filter_below_window(spark):
+    """w_topk_orders_per_customer applies the partition-key predicate at
+    the scan, not after the window: the plan's customer scan must carry
+    the pushed c_custkey bound so the window stage only sees the
+    selected keys."""
+    plan = _plan(spark, "w_topk_orders_per_customer")
+    assert "LessThan(c_custkey,100)" in plan, plan
+
+
 def test_knn_broadcasts_queries(spark):
     plan = _plan(spark, "e_knn_bruteforce")
     assert "Broadcast" in plan  # query side broadcast, corpus stays partitioned

@@ -1,0 +1,49 @@
+"""Strictness tests for the local gate replica (tools/oracle_check.py).
+
+Round 2 lesson: the driver's correctness gate hashes full-precision
+stringified values, while the local checker collapsed floats through
+``%.6g`` — so q10's .005-boundary rounding difference passed locally and
+failed the driver. These tests pin the local checker at driver
+strictness: any float difference, down to 1 ulp, must fail the compare.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from oracle_check import _norm_cell, _normalize  # noqa: E402
+
+
+def test_third_decimal_perturbation_fails():
+    # the exact q10 failure class: 123.455 vs 123.465 after a boundary flip
+    assert _norm_cell(123.46) != _norm_cell(123.47)
+    assert _norm_cell(1.234567891) != _norm_cell(1.234567892)
+
+
+def test_one_ulp_difference_fails():
+    x = 6842345.99
+    y = math.nextafter(x, math.inf)
+    assert x != y or True  # sanity: nextafter produced a distinct double
+    assert _norm_cell(x) != _norm_cell(y)
+
+
+def test_nan_is_not_null():
+    assert _norm_cell(float("nan")) != _norm_cell(None)
+
+
+def test_integer_valued_float_is_not_integer():
+    # Spark double 2.0 vs DuckDB BIGINT 2 stringify differently in the
+    # driver's pandas canonicalization; the replica must agree.
+    assert _norm_cell(2.0) != _norm_cell(2)
+
+
+def test_normalize_sorts_columns_and_rows():
+    cols = ["b", "a"]
+    rows = [(2, "y"), (1, "x")]
+    sc, sr = _normalize(cols, rows)
+    assert sc == ["a", "b"]
+    assert sr == [("x", "1"), ("y", "2")]

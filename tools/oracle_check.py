@@ -31,11 +31,15 @@ def _norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # Full-precision shortest repr: any cross-engine double
+        # difference — even 1 ulp — fails the compare. The driver's gate
+        # hashes pandas-stringified values at full precision, so this
+        # replica must be at least that strict (round 2's q10 passed a
+        # lenient %.6g here while failing the driver's hash). NaN is its
+        # own token, distinct from NULL, for the same reason.
         if math.isnan(v):
-            return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+            return "NaN"
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, bytes):
