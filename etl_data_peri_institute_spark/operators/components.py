@@ -39,43 +39,52 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
 
-    for i in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", F.col("component"))
-            ).alias("component"),
-        )
-        # truncate lineage every few iterations — at large edge counts the
-        # accumulated join DAG otherwise grows linearly with iterations
-        new_labels = (
-            new_labels.localCheckpoint(eager=True) if (i + 1) % 4 == 0 else new_labels.cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        prev, labels = labels, new_labels
-        prev.unpersist()
-        if changed == 0:
-            break
-    else:
-        # min-label propagation converges in O(graph diameter) rounds;
-        # returning unconverged labels silently would mis-assign
-        # components, so make it loud (callers pass a bigger budget or
-        # precompute with large-star/small-star contraction)
-        raise RuntimeError(
-            f"connected_components: labels still changing after "
-            f"{max_iterations} iterations — graph diameter exceeds the "
-            f"iteration budget; raise max_iterations"
-        )
-    sym.unpersist()
+    # try/finally so the raise path doesn't leak executor storage: sym
+    # and the last cached labels frame would otherwise stay pinned for
+    # the session's lifetime after repeated failures
+    converged = False
+    try:
+        for i in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = labels.join(neighbor_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            # truncate lineage every few iterations — at large edge counts the
+            # accumulated join DAG otherwise grows linearly with iterations
+            new_labels = (
+                new_labels.localCheckpoint(eager=True) if (i + 1) % 4 == 0 else new_labels.cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            prev, labels = labels, new_labels
+            prev.unpersist()
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # min-label propagation converges in O(graph diameter) rounds;
+            # returning unconverged labels silently would mis-assign
+            # components, so make it loud (callers pass a bigger budget or
+            # precompute with large-star/small-star contraction)
+            raise RuntimeError(
+                f"connected_components: labels still changing after "
+                f"{max_iterations} iterations — graph diameter exceeds the "
+                f"iteration budget; raise max_iterations"
+            )
+    finally:
+        sym.unpersist()
+        if not converged:
+            labels.unpersist()
     return labels

@@ -10,7 +10,7 @@ Contract: input is any DataFrame with (id_col, text_col).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,7 +94,6 @@ def jaccard_pairs(
     min_jaccard: float = 0.1,
     max_doc_freq: float | int | None = 0.05,
     doc_freq_floor: int = 128,
-    materialize: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all docs sharing ≥1 shingle.
 
@@ -115,14 +114,17 @@ def jaccard_pairs(
     Scale shapes: the cap is applied as an anti-join against the HOT
     set (shingles over the cap) — tiny by construction (stop shingles),
     so it broadcasts at any corpus size; the keep-set semi-join variant
-    would build an unbounded side. The capped shingle frame feeds three
-    consumers (per-doc counts, both self-join sides); ``materialize``
-    persists it MEMORY_AND_DISK — one scan + one cap pass instead of
-    three. It is OFF by default because the operator returns a lazy
-    frame and cannot own the cache lifecycle (a persist here would pin
-    executor memory until the session ends); callers doing one huge
-    pass should persist-compute-unpersist themselves, or stage the
-    shingle frame to a temp table (the cluster-scale equivalent).
+    would build an unbounded side.
+
+    Single-pipeline shape (round-3 rework): the per-doc set size |A|
+    rides along as a window count over ``id`` instead of a separate
+    counts frame, so the (capped) shingle frame feeds exactly TWO
+    consumers — the two self-join sides — whose subplans are identical,
+    and Spark's ReusedExchange serves both from ONE shuffle write.
+    The old shape (separate counts frame + two count-joins) scanned the
+    shingle derivation three times and joined twice more; this one
+    needs no persist/cache to be single-scan, so there is no cache
+    lifecycle to manage at any scale.
     """
     if max_doc_freq is not None:
         # input contract is set semantics (distinct (id, sh) rows — see
@@ -138,23 +140,23 @@ def jaccard_pairs(
         else:
             hot = doc_freq.filter(F.col("__df") > max_doc_freq)
         shingles = shingles.join(hot.select("sh"), "sh", "left_anti")
-    if materialize:
-        from pyspark.storagelevel import StorageLevel
-
-        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = shingles.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
+    sized = shingles.withColumn(
+        "n", F.count("*").over(Window.partitionBy("id"))
+    )
+    a, b = sized.alias("a"), sized.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            # n is constant within an id; max() is just the reduction shape
+            F.max(F.col("a.n")).alias("n_a"),
+            F.max(F.col("b.n")).alias("n_b"),
+        )
     )
-    ca, cb = counts.alias("ca"), counts.alias("cb")
-    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        inter.join(ca, F.col("id_a") == F.col("ca.id"))
-        .join(cb, F.col("id_b") == F.col("cb.id"))
-        .filter(jac > min_jaccard)
+        inter.filter(jac > min_jaccard)
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
 

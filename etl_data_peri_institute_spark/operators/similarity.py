@@ -274,7 +274,20 @@ def hyperplane_lsh_signatures(
     if dim is None:
         row = df.select(F.size(vec_col).alias("d")).first()
         if row is None:  # empty input: no vectors, no buckets
-            return spark.createDataFrame([], "id long, bucket long")
+            # derive the id type from the input so empty and non-empty
+            # inputs yield the SAME schema (string doc ids would
+            # otherwise break downstream unions only in the empty case)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("id", df.schema[id_col].dataType),
+                        StructField("bucket", LongType()),
+                    ]
+                ),
+            )
         dim = row["d"]
 
     # the hyperplane matrix is materialized ONCE (dim × n_bits rows, not
@@ -318,8 +331,18 @@ def hyperplane_lsh_bands(
         # empty frame just flows through to an empty result)
         row = df.select(F.size(vec_col).alias("d")).first()
         if row is None:
+            # id type mirrors the input (see hyperplane_lsh_signatures)
+            from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
             return df.sparkSession.createDataFrame(
-                [], "id long, band int, bucket long"
+                [],
+                StructType(
+                    [
+                        StructField("id", df.schema[id_col].dataType),
+                        StructField("band", IntegerType()),
+                        StructField("bucket", LongType()),
+                    ]
+                ),
             )
         dim = row["d"]
     n_bits = bands * bits_per_band

@@ -176,11 +176,18 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the shingle itself, so only docs sharing a shingle ever pair
     up (common-shingle skew is the known hazard at scale — salt or drop
     ultra-frequent shingles; here the synthetic vocab keeps it bounded).
+
+    ``max_doc_freq=None`` is passed EXPLICITLY: the pinned DuckDB oracle
+    states uncapped Jaccard, and the engine's capped default would make
+    parity depend on the data's shingle-frequency distribution (the cap
+    silently changes both the pair set and the denominator once any
+    shingle clears the floor). Production dedup callers keep the capped
+    default — the cap is the scale guard, this query is the parity pin.
     """
     from ..operators.dedup import jaccard_pairs, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(word_shingles(docs), min_jaccard=0.1)
+    pairs = jaccard_pairs(word_shingles(docs), min_jaccard=0.1, max_doc_freq=None)
     return (
         pairs.select(
             F.col("id_a").alias("doc_a"),

@@ -99,7 +99,19 @@ class ParquetStore:
         matching directories (``PartitionFilters`` in the scan, pinned
         by tests/test_formats.py). Partition columns should be
         low-cardinality (date, source, status) — per-key partitioning
-        produces a small-file explosion."""
+        produces a small-file explosion.
+
+        Layout guard: inserting flat into a partitioned table (or vice
+        versa, or with different partition columns) raises instead of
+        silently producing a mixed layout that breaks pruning and
+        readback. Note the hive round-trip dtype caveat: partition
+        values live in directory NAMES, and Spark re-infers their type
+        on read (a string ``dt`` column written as ``dt=2024-01-01/``
+        comes back as ``date`` under the default
+        ``spark.sql.sources.partitionColumnTypeInference``) — choose
+        partition columns whose inferred type is the stored type, or
+        disable inference session-wide."""
+        self._check_layout(table, partition_by)
         stage, n = self._stage(df, table)
         try:
             if n and partition_by:
@@ -195,6 +207,23 @@ class ParquetStore:
             if name.endswith(".parquet")
         )
 
+    def _check_layout(self, table: str, partition_by: list[str] | None) -> None:
+        """Raise when a write's partition layout disagrees with the
+        table's existing hive layout — a mismatch silently flattens (or
+        fragments) the directory structure and corrupts partition
+        pruning for every later reader."""
+        if not self.exists(table):
+            return
+        existing = self._detect_partition_cols(table)
+        requested = sorted(partition_by or [])
+        if existing != requested:
+            raise ValueError(
+                f"ParquetStore layout mismatch for table {table!r}: "
+                f"existing partition columns {existing} != requested "
+                f"{requested}; rewrite the table (overwrite/compact) to "
+                f"change its layout"
+            )
+
     def _detect_partition_cols(self, table: str) -> list[str]:
         """Infer hive partition columns from first-level col=value dirs
         (single level — the layouts insert(partition_by=...) writes)."""
@@ -214,13 +243,17 @@ class ParquetStore:
         Incoming is staged once (snapshot), then: anti-join keeps
         non-colliding target rows; union with the staged incoming; write
         to a temp dir and swap so a failed write never corrupts the
-        table (poor-man's MERGE INTO; see module docstring).
+        table (poor-man's MERGE INTO; see module docstring). A
+        partitioned table keeps its hive layout: the merged rewrite is
+        re-partitioned on the detected partition columns instead of
+        flattening them.
         """
         stage, n = self._stage(df, table)
         try:
             if not n:
                 return 0
             incoming = self.spark.read.parquet(stage)
+            part_cols = self._detect_partition_cols(table)
             if self.exists(table):
                 current = self.read(table)
                 kept = current.join(incoming.select(pk).distinct(), pk, "left_anti")
@@ -229,7 +262,10 @@ class ParquetStore:
                 merged = incoming
             tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_merge_")
             try:
-                merged.write.mode("overwrite").parquet(tmp)
+                writer = merged.write.mode("overwrite")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(tmp)
             except Exception:
                 shutil.rmtree(tmp, ignore_errors=True)
                 raise

@@ -131,6 +131,29 @@ def test_hyperplane_lsh_empty_and_explicit_dim(spark):
     assert inferred[1] == inferred[2]  # identical vectors share a bucket
 
 
+def test_hyperplane_lsh_empty_schema_matches_id_type(spark):
+    """Empty and non-empty inputs must yield the SAME schema — a string
+    doc-id corpus that happens to be empty (e.g. one partition of a
+    union) would otherwise break downstream unions/joins."""
+    from etl_data_peri_institute_spark.operators.similarity import (
+        hyperplane_lsh_bands,
+        hyperplane_lsh_signatures,
+    )
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    nonempty = spark.createDataFrame(
+        [("doc-1", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    assert (
+        hyperplane_lsh_signatures(empty).schema
+        == hyperplane_lsh_signatures(nonempty).schema
+    )
+    assert (
+        hyperplane_lsh_bands(empty, bands=2, bits_per_band=4).schema
+        == hyperplane_lsh_bands(nonempty, bands=2, bits_per_band=4).schema
+    )
+
+
 def test_embedding_neardup_pairs(spark):
     from etl_data_peri_institute_spark.operators.similarity import (
         embedding_neardup_pairs,

@@ -81,6 +81,39 @@ def test_upsert_empty_noop(spark, tmp_path):
     assert not store.exists("t")
 
 
+def test_insert_layout_mismatch_raises(spark, tmp_path):
+    """A flat insert into a partitioned table (or vice versa, or with
+    different partition columns) must raise — a silent mixed layout
+    breaks partition pruning for every later reader."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame([("2024-01-01", 1), ("2024-01-02", 2)], "dt string, v int")
+    store.insert(df, "t", partition_by=["dt"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        store.insert(df, "t")  # flat into partitioned
+    with pytest.raises(ValueError, match="layout mismatch"):
+        store.insert(df, "t", partition_by=["v"])  # different columns
+    store.insert(df, "flat")
+    with pytest.raises(ValueError, match="layout mismatch"):
+        store.insert(df, "flat", partition_by=["dt"])  # partitioned into flat
+
+
+def test_upsert_preserves_partition_layout(spark, tmp_path):
+    """Upsert over a partitioned table must rewrite WITH the partition
+    columns, not flatten the directory layout."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df1 = spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("b", "2024-01-02", 2)], "pk string, dt string, v int"
+    )
+    store.insert(df1, "t", partition_by=["dt"])
+    df2 = spark.createDataFrame(
+        [("b", "2024-01-02", 99), ("c", "2024-01-03", 3)], "pk string, dt string, v int"
+    )
+    store.upsert(df2, "t", "pk")
+    assert store._detect_partition_cols("t") == ["dt"]
+    rows = {r["pk"]: r["v"] for r in store.read("t").collect()}
+    assert rows == {"a": 1, "b": 99, "c": 3}
+
+
 def test_audit_csv_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([("x", None), ("y", "2")], "a string, b string")
     path = audit_csv(df, str(tmp_path / "audit"), "rejects")
