@@ -116,7 +116,9 @@ _VERIFY_FIRST: list[str] = [
     "st_stream_stream_join",
     "ts_gap_fill_ffill",
     "ts_ohlc_hourly",
-    # plan-only changes this round (46-50: hint removal / filter reorder)
+    # new this round
+    "b_temperature_mixture",
+    # plan-only changes this round (hint removal / filter reorder)
     "w_topk_orders_per_customer",
     "st_stream_static_join",
     "q16_supplier_part_counts",

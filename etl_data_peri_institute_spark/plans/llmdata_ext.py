@@ -973,3 +973,75 @@ def d_embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# b_temperature_mixture — temperature-weighted language/source mixing
+# --------------------------------------------------------------------------
+
+
+def _temperature_mixture_oracle() -> str:
+    h = _hex4_to_int_sql("md5(CAST(d.doc_id AS VARCHAR))")
+    return f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY lang
+    ),
+    stats AS (SELECT max(n_s) AS n_max FROM counts),
+    rates AS (
+      SELECT c.lang,
+             CAST(floor(65536 * LEAST(
+               1.0, 0.25 * sqrt(CAST(s.n_max AS DOUBLE) / c.n_s))) AS INT) AS thr
+      FROM counts c, stats s
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ({h}) < r.thr
+    ORDER BY d.doc_id
+    """
+
+
+@query("b_temperature_mixture", oracle=_temperature_mixture_oracle())
+def b_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling: each language keeps docs at
+    a rate proportional to the inverse square root of its frequency,
+    anchored so the DOMINANT language samples at the base rate — the
+    standard low-resource upweighting step (temperature alpha = 0.5)
+    when assembling a multilingual training mix from a skewed crawl.
+
+    Determinism discipline: the per-language rate is
+    min(1, base * sqrt(n_max / n_s)) — n_max is an integer max (exact),
+    the ratio/sqrt/floor chain operates on bit-identical doubles in both
+    engines (sqrt is IEEE-exact, no libm transcendental, and unlike a
+    sum-normalized softmax there is NO order-dependent float sum across
+    strata) — and membership is decided by an integer 16-bit content
+    hash against the floored threshold, so the selected set is stable
+    across engines, retries, and partitionings.
+
+    Scale shape: the rate table is one row per language (bounded,
+    aggregate-derived — AQE broadcasts it), the membership filter is a
+    pure column predicate, and the only shuffle is the tiny counts
+    groupBy. A 100 TB corpus pays one scan plus a per-row hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    stats = counts.agg(F.max("n_s").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(stats)).select(
+        "lang",
+        F.floor(
+            65536
+            * F.least(
+                F.lit(1.0),
+                0.25 * F.sqrt(F.col("n_max").cast("double") / F.col("n_s")),
+            )
+        )
+        .cast("int")
+        .alias("thr"),
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    return (
+        docs.join(rates, "lang")
+        .filter(h16 < F.col("thr"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -21,7 +21,7 @@ DuckDB's different summation orders round differently (this exact
 failure hit q10 in round 2). All money inputs in the testdata are
 cents-exact doubles and discount/tax are 2-decimal fractions, so every
 money expression here is converted to EXACT integer arithmetic at the
-row level (cents ``round(x*100)`` → BIGINT; discounted price is
+row level (cents ``floor(x*100 + 0.5)`` → BIGINT; discounted price is
 ``cents × (100-disc_pct)`` = dollars×10⁴; charge is
 ``... × (100+tax_pct)`` = dollars×10⁶) and summed as BIGINT — both
 engines produce bit-identical integers regardless of sum order.
@@ -43,13 +43,20 @@ from .catalog import query
 
 
 def _cents(col: str) -> Column:
-    """Exact integer cents from a cents-exact double column."""
-    return F.round(F.col(col) * 100).cast("long")
+    """Exact integer cents from a cents-exact double column.
+
+    floor(x*100 + 0.5), not round(): Spark's round() goes through a
+    per-value BigDecimal (measurably slower in the agg hot loop), while
+    floor is a plain codegen intrinsic. For cents-exact inputs x*100
+    lands within ~1e-9 of an integer — never at a .5 boundary — so the
+    +0.5/floor recovers that exact integer for positive AND negative
+    values, identically in Spark and DuckDB."""
+    return F.floor(F.col(col) * 100 + 0.5)
 
 
 def _pct(col: str) -> Column:
     """Exact integer percent from a 2-decimal fraction column (0.07 → 7)."""
-    return F.round(F.col(col) * 100).cast("long")
+    return F.floor(F.col(col) * 100 + 0.5)
 
 
 # Per-row exact-integer money expressions (see module docstring).
@@ -63,24 +70,24 @@ def _charge_x1m() -> Column:
     return _disc_x10k() * (100 + _pct("l_tax"))
 
 # The same expressions in DuckDB SQL.
-_SQL_EP_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
-_SQL_DISC_X10K = f"{_SQL_EP_CENTS} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-_SQL_CHARGE_X1M = f"{_SQL_DISC_X10K} * (100 + CAST(round(l_tax * 100) AS BIGINT))"
+_SQL_EP_CENTS = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_SQL_DISC_X10K = f"{_SQL_EP_CENTS} * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+_SQL_CHARGE_X1M = f"{_SQL_DISC_X10K} * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))"
 
 
 @query(
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)      AS sum_qty,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)      AS sum_qty,
            CAST(sum({_SQL_EP_CENTS}) AS BIGINT)                        AS sum_base_price_cents,
            CAST(sum({_SQL_DISC_X10K}) AS BIGINT)                       AS sum_disc_price_x10k,
            CAST(sum({_SQL_CHARGE_X1M}) AS BIGINT)                      AS sum_charge_x1m,
-           CAST(floor(10000.0 * CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           CAST(floor(10000.0 * CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
                       / count(*)) AS BIGINT)                           AS avg_qty_x10k,
            CAST(floor(100.0 * CAST(sum({_SQL_EP_CENTS}) AS BIGINT)
                       / count(*)) AS BIGINT)                           AS avg_price_x10k,
-           CAST(floor(100.0 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           CAST(floor(100.0 * CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
                       / count(*)) AS BIGINT)                           AS avg_disc_x10k,
            CAST(count(*) AS BIGINT)                                    AS count_order
     FROM lineitem
@@ -98,7 +105,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     All money/avg outputs are exact scaled integers (module docstring).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.round(F.col("l_quantity")).cast("long")
+    qty = F.floor(F.col("l_quantity") + 0.5)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -211,7 +218,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT CAST(sum({_SQL_EP_CENTS} * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+    SELECT CAST(sum({_SQL_EP_CENTS} * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS revenue_x10k
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -244,7 +251,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
            CAST(sum({_SQL_DISC_X10K}) AS BIGINT) AS revenue_x10k,
-           CAST(round(c.c_acctbal * 100) AS BIGINT) AS c_acctbal_cents, n.n_name
+           CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_cents, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -283,7 +290,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "revenue_x10k",
-            F.round(F.col("c_acctbal") * 100).cast("long").alias("c_acctbal_cents"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5).alias("c_acctbal_cents"),
             "n_name",
         )
         .orderBy(F.desc("revenue_x10k"), "c_custkey")
@@ -394,12 +401,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
            CAST(t.sum_qty AS BIGINT) AS sum_qty
     FROM orders o
-    JOIN (SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+    JOIN (SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
-          HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150) t ON o.o_orderkey = t.l_orderkey
+          HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 150) t ON o.o_orderkey = t.l_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     ORDER BY o_totalprice_cents DESC, o_orderkey
     LIMIT 20
@@ -415,7 +422,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"))
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5)).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -427,7 +434,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).alias("o_totalprice_cents"),
             "sum_qty",
         )
         .orderBy(F.desc("o_totalprice_cents"), "o_orderkey")
@@ -546,14 +553,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS ab_cents
+      SELECT avg(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS ab_cents
       FROM customer WHERE c_acctbal > 0.0
     ),
     eligible AS (
       SELECT substr(c.c_name, 10, 1) AS cntrycode,
-             CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
       FROM customer c, avg_bal
-      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.ab_cents
+      WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) > avg_bal.ab_cents
         AND NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
     )
@@ -574,7 +581,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     its broadcast.
     """
     cust = load_table(spark, sf_dir, "customer")
-    acct_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    acct_cents = F.floor(F.col("c_acctbal") * 100 + 0.5)
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 250000)
