@@ -118,6 +118,9 @@ _VERIFY_FIRST: list[str] = [
     "ts_ohlc_hourly",
     # new this round
     "b_temperature_mixture",
+    "q21_waiting_supplier_shape",
+    "a_median_percentiles",
+    "t_quality_percentile_filter",
     # plan-only changes this round (hint removal / filter reorder)
     "w_topk_orders_per_customer",
     "st_stream_static_join",

@@ -1045,3 +1045,45 @@ def b_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t_quality_percentile_filter — per-language relative quality cut
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t_quality_percentile_filter",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, lang
+    FROM ranked
+    WHERE pr >= 0.5
+    ORDER BY doc_id
+    """,
+)
+def t_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality filtering: keep each language's top
+    half by a quality proxy (here n_chars; production swaps in the
+    t_quality_score composite). An ABSOLUTE quality threshold applied
+    to a multilingual crawl silently deletes low-resource languages
+    whose score distribution sits lower — the per-stratum percentile
+    cut is the standard fix, and pairs with b_temperature_mixture in
+    the mix-assembly stage.
+
+    Determinism: percent_rank = (rank-1)/(n-1) is a ratio of exact
+    integers — bit-identical cross-engine — and the ORDER BY carries
+    doc_id as the unique tiebreak. One shuffle on the stratum key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

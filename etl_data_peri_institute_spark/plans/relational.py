@@ -979,3 +979,53 @@ def j_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey
         """
     )
+
+
+@query(
+    "a_median_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(floor(100 * median(l_quantity)) AS BIGINT) AS median_qty_x100,
+           CAST(floor(100 * percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)) AS BIGINT) AS p25_qty_x100,
+           CAST(floor(100 * percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)) AS BIGINT) AS p75_qty_x100,
+           CAST(floor(100 * (percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                             - percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity))) AS BIGINT) AS iqr_x100
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / quartiles / IQR per group (percentile_cont
+    semantics — linear interpolation between order statistics).
+
+    Determinism discipline: quantities are integral, the interpolation
+    fraction at p ∈ {.25, .5, .75} is a dyadic rational, so every
+    interpolated value is exactly representable — both engines produce
+    bit-identical doubles, and the ×100 floor emits integers for the
+    hash compare.
+
+    Scale shape: Spark's exact percentile aggregate buffers per-group
+    values; per-group cardinality here is bounded by the distinct
+    quantity domain after partial aggregation. At unbounded-domain 100
+    TB scale the approximate twin (a_approx_sketches'
+    approx_percentile, t-digest) is the right tool; this query is the
+    exact-semantics member of that pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.floor(100 * F.median("l_quantity")).alias("median_qty_x100"),
+            F.floor(100 * F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty_x100"),
+            F.floor(100 * F.percentile("l_quantity", F.lit(0.75))).alias("p75_qty_x100"),
+            F.floor(
+                100
+                * (
+                    F.percentile("l_quantity", F.lit(0.75))
+                    - F.percentile("l_quantity", F.lit(0.25))
+                )
+            ).alias("iqr_x100"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -805,3 +805,81 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q21_waiting_supplier_shape",
+    oracle="""
+    WITH los AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM los l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 SHAPE on the available columns: suppliers who were the
+    SOLE late shipper on multi-supplier orders. The spec's
+    receiptdate/commitdate are absent from the testdata (COVERAGE.md),
+    so "late" is re-keyed to shipdate > orderdate + 90 days — the
+    operator shape (correlated EXISTS on a different-key row plus
+    NOT EXISTS on a different-key row of a derived set, then agg +
+    top-k) is the spec's, which is what this suite exercises.
+
+    Plan shape: both subqueries decorrelate to a left-semi and a
+    left-anti join against (order, supplier)-distinct frames; everything
+    shuffles on l_orderkey, so at scale the three frames co-partition
+    and AQE handles the rest. No pinned broadcasts (all sides are
+    SF-scaled).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    los = li.select("l_orderkey", "l_suppkey").distinct()
+    other = los.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp")
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("l3_key"), F.col("l_suppkey").alias("l3_supp")
+    )
+    sole_late = (
+        late.join(
+            other,
+            (late.l_orderkey == other.o2_key) & (late.l_suppkey != other.o2_supp),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("l_orderkey") == late_other.l3_key)
+            & (F.col("l_suppkey") != late_other.l3_supp),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
