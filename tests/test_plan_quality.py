@@ -86,6 +86,7 @@ _TPCH_QUERIES = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q20_excess_inventory_suppliers",
+    "q21_waiting_supplier_shape",
 ]
 
 # column-name prefix → table, for identifying which base relation sits
@@ -162,7 +163,14 @@ def test_knn_broadcasts_queries(spark):
 def test_no_cartesian_in_joins(spark):
     # every equi-join query must avoid CartesianProduct (BroadcastNestedLoop
     # is expected only for the explicit cross/range joins)
-    for name in ["q5_local_supplier_volume", "q10_returned_items", "j_full_outer"]:
+    for name in [
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "j_full_outer",
+        "q21_waiting_supplier_shape",
+        "b_temperature_mixture",
+        "t_quality_percentile_filter",
+    ]:
         assert "CartesianProduct" not in _plan(spark, name), name
 
 
