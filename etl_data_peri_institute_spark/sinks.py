@@ -207,6 +207,56 @@ class ParquetStore:
             if name.endswith(".parquet")
         )
 
+    def cluster_rewrite(
+        self, table: str, by: list[str], files_per_partition: int | None = None
+    ) -> int:
+        """Cluster the table's rows on ``by`` columns and atomically swap
+        — the plain-parquet analogue of Delta ZORDER / Iceberg
+        rewrite_sorted: ``repartitionByRange`` puts disjoint key ranges
+        in disjoint files, ``sortWithinPartitions`` orders rows inside
+        each file, so every parquet row group carries a TIGHT min/max
+        for the cluster columns and a selective filter prunes whole
+        files AND row groups before decoding anything.
+
+        This is the complement to hive partitioning: partition on the
+        low-cardinality operational key (date), cluster within on the
+        high-cardinality filter key (user/order id) — at 100 TB a point
+        lookup then touches one partition dir × a handful of row groups.
+        Statistics-based pruning needs no directory explosion, which is
+        why it's the right tool for high-cardinality keys where
+        partitioning would produce millions of tiny files.
+
+        ``files_per_partition`` bounds output file count per hive
+        partition (default: Spark's shuffle partitioning). Returns the
+        number of parquet files after the rewrite. Pruning effect pinned
+        by ``tests/test_formats.py::test_cluster_rewrite_tightens_row_groups``.
+        """
+        part_cols = self._detect_partition_cols(table)
+        current = self.read(table)
+        range_cols = part_cols + by
+        if files_per_partition is not None:
+            clustered = current.repartitionByRange(files_per_partition, *range_cols)
+        else:
+            clustered = current.repartitionByRange(*range_cols)
+        clustered = clustered.sortWithinPartitions(*(part_cols + by))
+        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_cluster_")
+        try:
+            writer = clustered.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(tmp, table)
+        final = self.path(table)
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(final)
+            for name in files
+            if name.endswith(".parquet")
+        )
+
     def _check_layout(self, table: str, partition_by: list[str] | None) -> None:
         """Raise when a write's partition layout disagrees with the
         table's existing hive layout — a mismatch silently flattens (or

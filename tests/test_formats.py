@@ -91,3 +91,50 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == fact.filter(F.col("dt") == "2024-01-05").count() > 0
+
+
+def test_cluster_rewrite_tightens_row_groups(spark, tmp_path):
+    """cluster_rewrite must produce files whose per-file cluster-column
+    ranges are (near-)disjoint, so a selective filter's footer-stats
+    pruning skips most files — the plain-parquet ZORDER analogue."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # write deliberately shuffled on the WRONG key: every file spans the
+    # full o_custkey range, so stats prune nothing
+    store.insert(orders.repartition(4, "o_orderkey"), "t")
+
+    def file_ranges(table):
+        root = store.path(table)
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(dirpath, name)).metadata
+                schema_names = meta.schema.to_arrow_schema().names
+                ci = schema_names.index("o_custkey")
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    out.append((st.min, st.max))
+        return out
+
+    before = file_ranges("t")
+    n_files = store.cluster_rewrite("t", by=["o_custkey"], files_per_partition=4)
+    after = file_ranges("t")
+    assert n_files >= 2 and len(after) >= 2
+
+    total_keys = orders.select(F.max("o_custkey")).first()[0] or 1
+    span = lambda ranges: sum(mx - mn for mn, mx in ranges) / (len(ranges) * total_keys)
+    # unclustered: every row group spans ~the whole key domain;
+    # clustered: row groups cover ~1/n_groups of it each
+    assert span(before) > 0.5, before
+    assert span(after) < 2.0 / len(after) + 0.1, after
+
+    # rows survive the rewrite
+    assert store.read("t").count() == orders.count()

@@ -160,3 +160,45 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
     incremental_rollup(**kw)
     again = {r["k"]: (r["total_v"], r["n"]) for r in store.read("rollup").collect()}
     assert again == got
+
+
+def test_rocksdb_state_store_stateful_agg(spark):
+    """The same watermarked streaming aggregation runs on the RocksDB
+    state store provider — the production backend when state outgrows
+    executor heap (100 TB-scale stateful streaming: dedup sets, session
+    maps). Results must be identical to the default HDFS-backed
+    provider; this pins that every stateful operator here is
+    provider-agnostic."""
+    from etl_data_peri_institute_spark.streaming.windows import (
+        run_to_completion,
+        stream_events,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        ev = stream_events(spark, SF).filter(F.col("user_id") < 10)
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        out = {
+            r["user_id"]: r["n"]
+            for r in run_to_completion(agg, output_mode="complete").collect()
+        }
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    batch = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
+    expected = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert out == expected and len(out) > 0
