@@ -206,3 +206,65 @@ def u_scalar_pandas_softsign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_id", softsign("value").alias("softsign")).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# u_udtf_chunk_documents — Python UDTF (Spark 4 table function, Arrow path)
+# --------------------------------------------------------------------------
+
+_UDTF_CHUNK_WORDS = 20
+
+
+@query(
+    "u_udtf_chunk_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 1
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           md5(array_to_string(
+             list_slice(words, (i - 1) * {_UDTF_CHUNK_WORDS} + 1, i * {_UDTF_CHUNK_WORDS}),
+             ' ')) AS h
+    FROM w, UNNEST(range(1, CAST(ceil(len(words) / {_UDTF_CHUNK_WORDS}.0) AS BIGINT) + 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def u_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): one input row
+    → many output rows, invoked via LATERAL in SQL. The 1-to-many
+    escape hatch for row-expanding logic that higher-order columns
+    can't express (real tokenizers, sentence splitters, parser
+    emissions); here it re-implements d_chunk_dedup's fixed-window
+    chunker so the DuckDB oracle pins the UDTF's semantics exactly.
+
+    Scale shape: UDTFs run inside the executor partition like any
+    narrow op — no shuffle, no driver involvement; Arrow moves batches
+    (useArrow=True), not rows. Python md5 == JVM md5 == DuckDB md5, so
+    the emitted hashes are engine-portable.
+    """
+    import hashlib
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, h string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text):
+            words = (text or "").split(" ")
+            for i in range(math.ceil(len(words) / _UDTF_CHUNK_WORDS) or 1):
+                chunk = " ".join(
+                    words[i * _UDTF_CHUNK_WORDS : (i + 1) * _UDTF_CHUNK_WORDS]
+                )
+                yield i, hashlib.md5(chunk.encode("utf-8")).hexdigest()
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.h
+        FROM udtf_docs d, LATERAL chunk_doc(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )

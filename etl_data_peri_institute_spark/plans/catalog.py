@@ -121,6 +121,7 @@ _VERIFY_FIRST: list[str] = [
     "q21_waiting_supplier_shape",
     "a_median_percentiles",
     "t_quality_percentile_filter",
+    "u_udtf_chunk_documents",
     # plan-only changes this round (hint removal / filter reorder)
     "w_topk_orders_per_customer",
     "st_stream_static_join",
