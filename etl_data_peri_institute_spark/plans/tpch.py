@@ -839,42 +839,37 @@ def q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT EXISTS on a different-key row of a derived set, then agg +
     top-k) is the spec's, which is what this suite exercises.
 
-    Plan shape: both subqueries decorrelate to a left-semi and a
-    left-anti join against (order, supplier)-distinct frames; everything
-    shuffles on l_orderkey, so at scale the three frames co-partition
-    and AQE handles the rest. No pinned broadcasts (all sides are
-    SF-scaled).
+    Plan shape: instead of decorrelating to semi/anti self-joins (two
+    extra shuffles of (order, supplier)-distinct frames), the EXISTS /
+    NOT EXISTS pair collapses into window counts over the order key:
+    per (order, supplier) fold the late flag, then n_suppliers and
+    n_late_suppliers as window aggregates — "sole late on a
+    multi-supplier order" is a row predicate. One fact join, one
+    aggregate, one window; the aggregate's (orderkey, suppkey)
+    partitioning feeds the orderkey window without loss of parallelism.
+    No pinned broadcasts (all sides are SF-scaled); the oracle stays in
+    the EXISTS form, pinning that both formulations agree.
     """
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = load_table(spark, sf_dir, "supplier")
-    late = (
+    is_late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late).alias("is_late"))
     )
-    los = li.select("l_orderkey", "l_suppkey").distinct()
-    other = los.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp")
-    )
-    late_other = late.select(
-        F.col("l_orderkey").alias("l3_key"), F.col("l_suppkey").alias("l3_supp")
-    )
+    w = W.partitionBy("l_orderkey")
     sole_late = (
-        late.join(
-            other,
-            (late.l_orderkey == other.o2_key) & (late.l_suppkey != other.o2_supp),
-            "left_semi",
-        )
-        .join(
-            late_other,
-            (F.col("l_orderkey") == late_other.l3_key)
-            & (F.col("l_suppkey") != late_other.l3_supp),
-            "left_anti",
-        )
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
         sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)

@@ -130,3 +130,16 @@ def test_sessionize_partition_property(spark, rows):
             else:
                 assert b["session_id"] == a["session_id"] + 1
                 assert delta > gap  # (3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(cents=st.integers(min_value=-(10**13), max_value=10**13))
+def test_cents_conversion_exact_for_any_sign(cents):
+    """The money discipline's core invariant: for ANY cents-exact double
+    (positive or negative, up to 10^11 dollars), floor(x*100 + 0.5)
+    recovers the exact integer cents — pure Python mirror of the
+    identical IEEE ops Spark codegen and DuckDB perform."""
+    import math
+
+    x = cents / 100.0  # the cents-exact double as stored in parquet
+    assert math.floor(x * 100 + 0.5) == cents
