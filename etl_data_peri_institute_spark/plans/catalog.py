@@ -117,6 +117,9 @@ _VERIFY_FIRST: list[str] = [
     "ts_gap_fill_ffill",
     "ts_ohlc_hourly",
     # new this round
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
     "b_temperature_mixture",
     "q21_waiting_supplier_shape",
     "a_median_percentiles",

@@ -878,3 +878,196 @@ def q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             s.s_name AS s_name, n.n_name AS n_name,
+             CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_cents,
+             min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS supply_cost_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AMERICA'
+      GROUP BY l.l_partkey, l.l_suppkey, s.s_name, n.n_name, s.s_acctbal
+    )
+    SELECT sp.s_acctbal_cents, sp.s_name, sp.n_name,
+           sp.partkey AS p_partkey, sp.suppkey AS s_suppkey,
+           sp.supply_cost_cents
+    FROM supply sp
+    JOIN part p ON p.p_partkey = sp.partkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size < 25
+      AND sp.supply_cost_cents = (
+        SELECT min(sp2.supply_cost_cents) FROM supply sp2
+        WHERE sp2.partkey = sp.partkey
+      )
+    ORDER BY sp.s_acctbal_cents DESC, sp.n_name, sp.s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part (correlated-min
+    subquery), adapted to the testdata schema — there is no partsupp
+    table, so the part-supplier supply relation is derived from
+    lineitem (min observed extendedprice per (part, supplier)), exactly
+    as q20 derives availability (reference has no relational joins at
+    all — SURVEY.md §2.3).
+
+    Plan shape: the correlated ``= min(...) per part`` is a window min
+    over ``partkey`` on the aggregated supply frame — no decorrelated
+    self-join, no second shuffle of lineitem. The region filter reaches
+    the supplier side BEFORE the fact join (supplier × broadcast
+    nation⋈region), so the big join's build side is pre-shrunk 1/5.
+    Money outputs are exact cents BIGINTs (module docstring); ORDER BY
+    carries (partkey, suppkey) as the deterministic tiebreak.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", _cents("s_acctbal").alias("s_acctbal_cents"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 25)
+    )
+    supply = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name", "s_acctbal_cents")
+        .agg(F.min(_cents("l_extendedprice")).alias("supply_cost_cents"))
+    )
+    min_w = W.partitionBy("l_partkey")
+    return (
+        supply.withColumn("min_cost", F.min("supply_cost_cents").over(min_w))
+        .filter(F.col("supply_cost_cents") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal_cents",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "supply_cost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal_cents"), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum({_SQL_DISC_X10K}
+                    - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l.l_quantity + 0.5) AS BIGINT) * 100
+                ) AS BIGINT) AS profit_x10k
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+    Adapted: no partsupp, so unit cost is part.p_retailprice (the only
+    per-part price in the testdata) instead of ps_supplycost — profit =
+    discounted revenue − retail_cost × qty, all in exact ×10⁴ integers.
+
+    Plan shape: the selective ``p_name LIKE`` filter prunes part BEFORE
+    its join (Catalyst pushes it into the parquet scan); part/supplier/
+    orders joins are AQE-decided (SF-scaled sides, no pinned hints);
+    nation stays a pinned broadcast (25 rows). Group-by lands on
+    (nation, year) — 25×7 groups, so partial aggregation collapses
+    nearly everything map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = _disc_x10k() - _cents("p_retailprice") * F.floor(
+        F.col("l_quantity") + 0.5
+    ) * 100
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_x10k"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH vals AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT v.p_partkey, v.value_cents
+    FROM vals v
+    WHERE v.value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM vals)
+    ORDER BY value_cents DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value exceeds 0.1% of the
+    national total (scalar-subquery threshold). Adapted: value is
+    Σ extendedprice × qty from lineitem restricted to one nation's
+    suppliers (no partsupp in the testdata).
+
+    Plan shape: ONE scan/aggregation of the filtered fact builds
+    ``vals``; the grand total is a 1-row aggregate of that same frame,
+    broadcast into the threshold filter (bounded — the only kind of
+    frame that may carry a pinned hint). The threshold compare is exact
+    integer math: ``value_cents * 1000 > total_cents`` — no float
+    fraction. Int64 headroom: value sums reach ~3e13 at sf1; ×1000 =
+    3e16 « 9.2e18, safe through ~sf100.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    row_value = _cents("l_extendedprice") * F.floor(F.col("l_quantity") + 0.5)
+    vals = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(row_value).alias("value_cents"))
+    )
+    total = vals.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )

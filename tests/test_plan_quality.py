@@ -87,6 +87,9 @@ _TPCH_QUERIES = [
     "q16_supplier_part_counts",
     "q20_excess_inventory_suppliers",
     "q21_waiting_supplier_shape",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
 ]
 
 # column-name prefix → table, for identifying which base relation sits
@@ -225,3 +228,27 @@ def test_single_scan_report_queries(spark):
     for name in ["t_filter_funnel", "p_data_contract_report"]:
         plan = _plan(spark, name)
         assert plan.count("Scan parquet") == 1, name
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark):
+    """q2's "cost = min cost per part" predicate must run as a window
+    min over the aggregated supply frame, not a decorrelated self-join
+    (which would re-shuffle a second copy of the supply aggregation).
+    Exactly one lineitem scan; no cartesian fallback."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    li_scans = [s for s in plan.split("Scan parquet ")[1:] if s.startswith("[l_")]
+    assert len(li_scans) == 1, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_join_is_broadcast_not_cartesian(spark):
+    """q11's scalar-threshold compare joins a 1-row aggregate — the plan
+    must realize it as a broadcast nested-loop over the single row, not
+    a CartesianProduct, and must scan lineitem exactly twice (vals +
+    total share the aggregation, but Spark materializes the frame per
+    branch without an explicit cache — pin the current shape so a
+    regression to 3+ scans is caught)."""
+    plan = _plan(spark, "q11_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
