@@ -120,6 +120,8 @@ _VERIFY_FIRST: list[str] = [
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",
+    "b_grouped_split",
+    "d_incremental_dedup",
     "b_temperature_mixture",
     "q21_waiting_supplier_shape",
     "a_median_percentiles",

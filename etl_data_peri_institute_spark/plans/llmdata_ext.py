@@ -1087,3 +1087,121 @@ def t_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# b_grouped_split — leakage-safe train/val/test split by group hash
+# --------------------------------------------------------------------------
+
+
+@query(
+    "b_grouped_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, source, n_chars,
+             (instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(source), 2, 1)) - 1) AS h8
+      FROM documents
+    )
+    SELECT CASE WHEN h8 < 204 THEN 'train'
+                WHEN h8 < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT)                AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT)  AS n_sources,
+           CAST(sum(n_chars) AS BIGINT)            AS n_chars_total
+    FROM tagged
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+)
+def b_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the ENTIRE group (here
+    ``source`` — a crawl domain) is assigned to one split by hashing the
+    group key, never individual documents. Document-level random splits
+    leak near-duplicate pages from the same site across train and eval;
+    group-level hashing is the standard fix (and composes with the
+    dedup family, which removes the remaining cross-site near-dups).
+
+    Deterministic: split = first md5 byte of the group key against
+    204/230 thresholds (~80/10/10) — reproducible across engines, runs,
+    and partitionings, no rand() involved. The split tag is a pure
+    column expression (no shuffle to assign); the summary here is one
+    aggregation. The md5 nibble-pair expands identically in DuckDB via
+    instr-digit lookup (same pattern as b_hash_sample's oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h8 = F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(h8 < 204, "train").when(h8 < 230, "val").otherwise("test")
+    ).alias("split")
+    return (
+        docs.groupBy(split, "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# d_incremental_dedup — dedup a new batch against the existing corpus
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, md5(array_to_string(split(text, ' ')[1:8], ' ')) AS h
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    survivors AS (
+      SELECT b.doc_id, b.h,
+             row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+      FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 10 <> 7
+          AND md5(array_to_string(split(c.text, ' ')[1:8], ' ')) = b.h
+      )
+    )
+    SELECT doc_id FROM survivors WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup: the daily-crawl workflow — drop
+    new documents whose content fingerprint already exists in the
+    corpus (anti-join on the fingerprint), then keep one survivor per
+    duplicate group WITHIN the batch (first doc_id). The batch is the
+    doc_id % 10 = 7 slice standing in for "today's crawl"; the
+    fingerprint is md5 of the first-8-word document head (the testdata
+    has no full-text exact dups, and a head fingerprint is itself a
+    real crawl-pipeline key — it catches mirror pages whose tails
+    diverge; production composes this with the full-text hash and the
+    near-dup family).
+
+    Scale shape: the corpus side reduces to DISTINCT content hashes
+    before the anti-join — one map-side-combinable aggregation of the
+    100 TB corpus, and in production that hash set is maintained as a
+    bucketed table (sources/formats.py:write_bucketed, bucketed on the
+    hash), so the daily anti-join co-locates by bucket and only the
+    day's batch shuffles. The within-batch keep-first is a window over
+    the batch only. No forced broadcasts: AQE promotes the batch side
+    when a day's crawl is small relative to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    head_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    batch = docs.filter(is_batch).select("doc_id", head_fp.alias("h"))
+    corpus = docs.filter(~is_batch).select(head_fp.alias("h")).distinct()
+    survivors = batch.join(corpus, "h", "left_anti")
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

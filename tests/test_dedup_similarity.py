@@ -249,3 +249,48 @@ def test_ivf_topk_empty_inputs(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf_topk(df, empty, cents).count() == 0  # no queries
     assert ivf_topk(empty, df, cents).count() == 0  # no corpus
+
+
+def test_grouped_split_is_group_atomic(spark):
+    """b_grouped_split's contract is that a group (source) never spans
+    two splits — the gate output is aggregated, so pin the structural
+    invariant here: tagging documents individually with the same hash
+    rule yields exactly one split per source, and every document is
+    covered."""
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    h8 = F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("int")
+    split = F.when(h8 < 204, "train").when(h8 < 230, "val").otherwise("test")
+    tagged = docs.select("source", split.alias("split"))
+    per_source = tagged.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_source.filter(F.col("n_splits") != 1).count() == 0
+    assert tagged.filter(F.col("split").isNull()).count() == 0
+
+
+def test_incremental_dedup_survivors_not_in_corpus(spark):
+    """Every d_incremental_dedup survivor's head fingerprint must be
+    absent from the corpus slice, and survivors must be unique per
+    fingerprint within the batch."""
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.plans import catalog
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    catalog.load_all()
+    sf = "/root/testdata/sf0.01"
+    out = catalog.QUERIES["d_incremental_dedup"].fn(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    head_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    fp = docs.select("doc_id", head_fp.alias("h"))
+    surv = out.join(fp, "doc_id")
+    corpus = fp.filter(F.col("doc_id") % 10 != 7).select("h").distinct()
+    assert surv.join(corpus, "h", "inner").count() == 0
+    n_surv = surv.count()
+    assert surv.select("h").distinct().count() == n_surv
+    # the testdata genuinely exercises the drop path (50-row batch)
+    assert 0 < n_surv < 50
