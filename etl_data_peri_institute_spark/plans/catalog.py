@@ -116,18 +116,32 @@ _VERIFY_FIRST: list[str] = [
     "st_stream_stream_join",
     "ts_gap_fill_ffill",
     "ts_ohlc_hourly",
-    # new this round
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "b_grouped_split",
-    "d_incremental_dedup",
-    "b_temperature_mixture",
-    "q21_waiting_supplier_shape",
+    # new this round — the driver window is EXACTLY 50 rows and the 45
+    # entries above are non-negotiable (13 re-keyed outputs + the 32 the
+    # round-2 verdict requires rows for), so only 5 of the 10 round-3
+    # additions fit. These 5 carry the riskiest cross-engine determinism
+    # patterns (percentile_cont interpolation, percent_rank windows, the
+    # Arrow UDTF surface, the EXISTS-as-window-counts collapse, the
+    # 1-row-broadcast integer-threshold compare) — verify them first:
     "a_median_percentiles",
     "t_quality_percentile_filter",
     "u_udtf_chunk_documents",
-    # plan-only changes this round (hint removal / filter reorder)
+    "q21_waiting_supplier_shape",
+    "q11_important_stock",
+    # --- driver window ends here (position 50) ---
+    # Deferred to the round-4 window (local-strict-pass only this round;
+    # their determinism patterns all have driver-green precedents:
+    # q2/q9 use the same exact-integer money discipline as the 13 above,
+    # b_grouped_split/d_incremental_dedup use b_hash_sample's md5-hex
+    # pattern (driver-green r01), b_temperature_mixture uses
+    # b_stratified_sample's rate pattern (in the 32 above)):
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "b_grouped_split",
+    "d_incremental_dedup",
+    "b_temperature_mixture",
+    # plan-only changes round 3 (hint removal / filter reorder — outputs
+    # identical to their driver-green r01/r02 rows):
     "w_topk_orders_per_customer",
     "st_stream_static_join",
     "q16_supplier_part_counts",
