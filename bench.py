@@ -41,6 +41,8 @@ HEADLINE = [
     "t_tfidf",
     # round-3 additions
     "b_temperature_mixture",
+    "q2_min_cost_supplier",
+    "d_incremental_dedup",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
