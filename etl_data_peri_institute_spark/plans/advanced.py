@@ -268,3 +268,47 @@ def u_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query(
+    "u_arrow_batch_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(strlen(text) AS BIGINT)                 AS n_bytes_utf8
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def u_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the leanest Python boundary — raw pyarrow
+    RecordBatches in and out, no pandas materialization at all. This
+    completes the Arrow escape-hatch matrix (scalar pandas UDF /
+    applyInPandas / mapInPandas / UDTF / mapInArrow); for byte- and
+    token-level batch work, skipping the Arrow→pandas conversion
+    avoids one copy per batch and all dtype coercion.
+
+    The work itself (token count, utf-8 byte length) is deliberately
+    SQL-expressible so the DuckDB oracle cross-validates the Arrow
+    round-trip with exact integers; production use is for logic that
+    ISN'T (tokenizers, binary codecs) where only the plumbing shape
+    matters.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batch_stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            toks = pc.list_value_length(pc.split_pattern(text, pattern=" "))
+            nbytes = pc.binary_length(text.cast(pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), toks.cast(pa.int64()), nbytes.cast(pa.int64())],
+                ["doc_id", "n_tokens", "n_bytes_utf8"],
+            )
+
+    return docs.mapInArrow(
+        batch_stats, schema="doc_id long, n_tokens long, n_bytes_utf8 long"
+    ).orderBy("doc_id")

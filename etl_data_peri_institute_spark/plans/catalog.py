@@ -140,6 +140,8 @@ _VERIFY_FIRST: list[str] = [
     "b_grouped_split",
     "d_incremental_dedup",
     "b_temperature_mixture",
+    "f_try_arithmetic",
+    "u_arrow_batch_stats",
     # plan-only changes round 3 (hint removal / filter reorder — outputs
     # identical to their driver-green r01/r02 rows):
     "w_topk_orders_per_customer",

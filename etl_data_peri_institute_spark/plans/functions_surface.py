@@ -367,3 +367,44 @@ def f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "f_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) / (user_id % 5)
+           END AS safe_div,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS bad_int,
+           CASE WHEN event_id > 0 THEN NULL
+                ELSE CAST(9223372036854775807 AS BIGINT)
+           END AS overflow_add
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-free arithmetic: the try_* family returns NULL
+    where strict ANSI mode would raise — division by zero, string→int
+    cast failures, and int64 overflow. At 100 TB one malformed row must
+    not kill a 10-hour job, and NULL-on-error keeps the lineage
+    filterable (count the NULLs, quarantine the rows) instead of
+    exception-driven.
+
+    Determinism: safe_div divides identical exact integers (IEEE
+    double division, bit-identical cross-engine); overflow_add pins
+    Spark's try_add NULL-on-overflow against an explicit CASE in the
+    oracle (DuckDB has no TRY arithmetic — overflow raises there).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    cents = F.floor(F.col("value") * 100 + 0.5)
+    return ev.select(
+        "event_id",
+        F.try_divide(cents, F.col("user_id") % 5).alias("safe_div"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k_int"),
+        F.expr("try_cast(event_type AS int)").alias("bad_int"),
+        F.try_add(F.lit(9223372036854775807), F.col("event_id")).alias("overflow_add"),
+    ).orderBy("event_id")
