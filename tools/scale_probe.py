@@ -1,0 +1,165 @@
+"""Measured scale validation: do the headline plans actually scale
+near-linearly, or is there a hidden super-linearity the sf0.1 bench
+can't see?
+
+Builds FK-consistent synthetic N× copies of the sf0.1 tables (entity
+keys offset per copy so joins stay 1:1 and groups multiply instead of
+deepening; document words and embedding vectors are perturbed per copy
+so the dedup/similarity operators don't see an artificial wall of
+cross-copy duplicates), times a representative query slice at 1×/3×/10×,
+and writes SCALE_PROBE.md with time-ratio vs data-ratio per query.
+
+Writes only under /tmp (never /root/testdata). Usage:
+    python tools/scale_probe.py           # build + probe + write report
+    python tools/scale_probe.py --probe   # reuse existing /tmp copies
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe"
+FACTORS = [1, 3, 10]
+
+# entity-key columns offset per copy (FK pairs share the same offset so
+# referential integrity holds copy-locally); nation/region FK columns
+# (c_nationkey, s_nationkey, n_regionkey) are left untouched — the
+# bounded dims stay single-copy, exactly as a real 100 TB warehouse
+# keeps 25 nations no matter how many facts it has.
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ["nation", "region"]
+
+QUERIES = [
+    # scan + agg / join / window families
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier_shape",
+    "w_topk_orders_per_customer",
+    "b_sessionize",
+    "j_asof_backward",
+    # LLM-data families
+    "d_exact_dedup",
+    "d_incremental_dedup",
+    "d_minhash_lsh_pairs",
+    "t_quality_score",
+    "e_lsh_buckets",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    for n in FACTORS:
+        dest = f"{OUT}/x{n}"
+        os.makedirs(dest, exist_ok=True)
+        for t in SINGLE_COPY:
+            load_table(spark, BASE, t).write.mode("overwrite").parquet(
+                f"{dest}/{t}.parquet"
+            )
+        for t, keys in OFFSET_KEYS.items():
+            # load_table normalizes the TIMESTAMP(NANOS) events column;
+            # the written copies are then plain MICROS timestamps
+            df = load_table(spark, BASE, t)
+            offsets = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+            copies = []
+            for i in range(n):
+                c = df
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * offsets[k]))
+                if t == "documents" and i > 0:
+                    # disjoint word space per copy: near-dup structure is
+                    # preserved WITHIN a copy, absent ACROSS copies — the
+                    # realistic shape for a larger crawl
+                    pfx = f"c{i}_"
+                    c = c.withColumn(
+                        "text",
+                        F.concat(
+                            F.lit(pfx),
+                            F.regexp_replace(F.col("text"), " ", f" {pfx}"),
+                        ),
+                    )
+                if t == "embeddings" and i > 0:
+                    # small deterministic per-copy rotation-ish shift keeps
+                    # vectors valid but not identical across copies
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding", lambda x: (x + F.lit(i * 1e-3)).cast("float")
+                        ),
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+        print(f"built {dest}")
+
+
+def probe(spark) -> list[tuple[str, dict[int, float]]]:
+    from etl_data_peri_institute_spark.plans import catalog
+
+    catalog.load_all()
+    rows = []
+    for name in QUERIES:
+        fn = catalog.QUERIES[name].fn
+        times: dict[int, float] = {}
+        for n in FACTORS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, f"{OUT}/x{n}").collect()
+                best = min(best, time.perf_counter() - t0)
+            times[n] = round(best, 3)
+        rows.append((name, times))
+        print(name, times)
+    return rows
+
+
+def main() -> None:
+    from etl_data_peri_institute_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    if "--probe" not in sys.argv:
+        build(spark)
+    rows = probe(spark)
+    lines = [
+        "# SCALE_PROBE — measured scaling, synthetic 3x / 10x of sf0.1",
+        "",
+        "`python tools/scale_probe.py` builds FK-consistent key-offset",
+        "copies of the sf0.1 tables under /tmp/scale_probe (documents get",
+        "disjoint per-copy word spaces, embeddings a per-copy shift, the",
+        "bounded dims nation/region stay single-copy) and times each",
+        "query end-to-end, best of 2, local[32]. `ratio` = t(10x)/t(1x);",
+        "near-linear plans should show ratio <= ~10 (sub-linear is",
+        "common while fixed per-query overhead still dominates at 1x).",
+        "",
+        "| query | t(1x) s | t(3x) s | t(10x) s | ratio 10x |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t in rows:
+        ratio = round(t[10] / t[1], 1) if t[1] else float("nan")
+        lines.append(f"| {name} | {t[1]} | {t[3]} | {t[10]} | {ratio} |")
+    Path("SCALE_PROBE.md").write_text("\n".join(lines) + "\n")
+    print("wrote SCALE_PROBE.md")
+
+
+if __name__ == "__main__":
+    main()
