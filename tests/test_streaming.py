@@ -202,3 +202,34 @@ def test_rocksdb_state_store_stateful_agg(spark):
         for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert out == expected and len(out) > 0
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark: the state-BOUNDED streaming dedup.
+    Plain dropDuplicates keeps every key seen in state forever (state =
+    distinct-key count — unbounded on a 100 TB stream); the
+    WithinWatermark variant evicts keys older than the watermark, so
+    state tracks the dedup horizon instead. Results on this bounded
+    source must equal batch per-key firsts for keys duplicated within
+    the horizon (the testdata's dup (user_id, event_type) pairs all fall
+    inside a generous watermark here, so streamed == batch distinct)."""
+    from etl_data_peri_institute_spark.streaming.windows import (
+        run_to_completion,
+        stream_events,
+    )
+
+    ev = stream_events(spark, SF).filter(F.col("user_id") < 10)
+    deduped = ev.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_to_completion(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    ).collect()
+    batch = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
