@@ -252,3 +252,20 @@ def test_q11_threshold_join_is_broadcast_not_cartesian(spark):
     plan = _plan(spark, "q11_important_stock")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_join_strategy_hints_respected(spark):
+    """Engine control surface: when a caller DOES need to override the
+    planner (the inverse of the no-forced-broadcast rule), per-join
+    strategy hints must reach the physical plan — merge → SortMergeJoin,
+    shuffle_hash → ShuffledHashJoin. These are the sanctioned knobs for
+    the rare case AQE's choice is wrong (e.g. forcing SMJ when the build
+    side OOMs hash tables at 100 TB)."""
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+    shj = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
