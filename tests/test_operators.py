@@ -427,3 +427,73 @@ def test_observe_metrics_without_extra_action(spark):
     assert df.count() == 3  # the ONLY action
     got = obs.get
     assert got["n_rows"] == 3 and got["n_null_v"] == 1 and got["total_v"] == 40.0
+
+
+def test_grouped_apply_in_arrow_matches_agg(spark):
+    """groupBy().applyInArrow (Spark 4): grouped-map at the raw Arrow
+    level — the grouped sibling of mapInArrow, no pandas conversion.
+    Cross-checked against the built-in aggregation it reimplements."""
+    import pyarrow as pa
+
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "value"
+    )
+
+    def totals(key, table):
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": [key[0]],
+                "n": [table.num_rows],
+                "cents": [int(round(pc.sum(table.column("value")).as_py() * 100))],
+            }
+        )
+
+    arrow = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .applyInArrow(totals, schema="event_type string, n long, cents long")
+        .collect()
+    }
+    from pyspark.sql import functions as F
+
+    builtin = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert arrow == builtin
+
+
+def test_pandas_api_on_spark_parity(spark):
+    """The reference IS a pandas ETL — pyspark.pandas runs its idioms
+    (read → value_counts / groupby-agg) distributed, unchanged. This
+    pins that a reference user's pandas muscle memory keeps working on
+    this engine while the execution becomes a Spark plan."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        pdf = ps.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        counts = pdf["lang"].value_counts().sort_index().to_dict()
+    expected = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == expected
