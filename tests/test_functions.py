@@ -155,3 +155,26 @@ def test_phone_e164_and_code(spark):
     s = _one(spark, "+51 987-654-321", phone_country(F.col("v")))
     assert s["codigo_pais"] == "51" and s["numero_e164"] == "+51987654321"
     assert _one(spark, "abc", digits_only(F.col("v"))) == ""
+
+
+def test_sql_scalar_function_matches_column_expr(spark):
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURN):
+    the engine's exact-cents money discipline exposed to pure-SQL users
+    as a named function, pinned equal to the Python-side _cents column
+    expression over real data."""
+    from etl_data_peri_institute_spark.plans.tpch import _cents
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li.createOrReplaceTempView("li_sqlfn")
+    via_sql = spark.sql(
+        "SELECT sum(cents(l_extendedprice)) AS s FROM li_sqlfn"
+    ).first()["s"]
+    from pyspark.sql import functions as F
+
+    via_col = li.agg(F.sum(_cents("l_extendedprice")).alias("s")).first()["s"]
+    assert via_sql == via_col
