@@ -66,8 +66,9 @@ def query(name: str, oracle: str | None = None):
 # round 2's driver hash FAIL; the other 12 changed schema, so their
 # r01/r02 green rows are stale). Positions 14-45 are the 32 names with
 # no driver row in CORRECTNESS_r01 or _r02 (computed from the artifacts,
-# not by hand). Positions 46-50 are plan-only changes this round
-# (results identical, re-verified as a belt-and-braces check).
+# not by hand). Positions 46-50 are the 5 round-3 additions with the
+# riskiest determinism patterns; the rest of the round-3 additions and
+# the plan-only changes sit past the window (see the inline comments).
 _VERIFY_FIRST: list[str] = [
     # TPC-H money-output rewrite (13 — results re-keyed to exact integers)
     "q10_returned_items",
