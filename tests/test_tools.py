@@ -47,3 +47,18 @@ def test_normalize_sorts_columns_and_rows():
     sc, sr = _normalize(cols, rows)
     assert sc == ["a", "b"]
     assert sr == [("x", "1"), ("y", "2")]
+
+
+def test_verify_first_names_resolve_and_are_unique():
+    """_VERIFY_FIRST drives which queries get driver-verification rows
+    (the artifact records only the first 50 registry entries). load_all
+    silently skips unknown names, so a typo would silently deprioritize
+    a query — pin that every listed name resolves and none repeats."""
+    from etl_data_peri_institute_spark.plans import catalog
+
+    catalog.load_all()
+    missing = [n for n in catalog._VERIFY_FIRST if n not in catalog.QUERIES]
+    assert missing == []
+    assert len(set(catalog._VERIFY_FIRST)) == len(catalog._VERIFY_FIRST)
+    # the 50-row window must be fully used (no wasted slots)
+    assert len(catalog._VERIFY_FIRST) >= 50
