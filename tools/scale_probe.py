@@ -57,6 +57,7 @@ QUERIES = [
     "d_exact_dedup",
     "d_incremental_dedup",
     "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs",
     "t_quality_score",
     "e_lsh_buckets",
 ]
