@@ -1,0 +1,79 @@
+"""Iterative graph algorithms as DataFrame loops: PageRank.
+
+Companion to operators/components.py (connected components): the same
+driver-side-loop / executor-side-data pattern — each iteration is a
+join + aggregate expressed declaratively, the driver only decides WHEN
+to stop, never touches row data, and lineage is truncated periodically
+so the DAG stays bounded.
+
+Scale shape (100 TB edge list): per iteration, one shuffle keyed on the
+edge source (rank/out-degree lookup) and one keyed on the destination
+(contribution sum). Degrees are computed once and cached. Rank state is
+node-sized, not edge-sized. GraphX/Pregel does the same dataflow with
+message combiners; on the DataFrame API the map-side partial sum of
+``groupBy(dst).sum`` IS the combiner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)`` for a FIXED
+    iteration count. Returns (id, rank).
+
+    Every node is assumed to appear as a source at least once (true for
+    any symmetrized graph — callers with genuine sinks add self-loops or
+    accept the dropped dangling mass). Fixed-iteration semantics keep
+    the result a pure deterministic function of the edge set, which is
+    what lets a SQL oracle replay it; convergence-threshold stopping is
+    a trivial driver-side variant (compare successive ranks, as
+    connected_components does).
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = edges.select(F.col("src").alias("id")).distinct().cache()
+    n = nodes.count()  # one job; node-sized frame, reused every iteration
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("rank"))
+    base = (1.0 - damping) / n
+    try:
+        for i in range(iterations):
+            contribs = (
+                ranks.join(edges, ranks.id == edges.src)
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            new_ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            # same lineage discipline as connected_components: cache each
+            # iterate, checkpoint periodically so the plan doesn't grow
+            # linearly with the iteration count
+            new_ranks = (
+                new_ranks.localCheckpoint(eager=True)
+                if (i + 1) % 4 == 0
+                else new_ranks.cache()
+            )
+            prev, ranks = ranks, new_ranks
+            if i > 0:
+                prev.unpersist()
+    finally:
+        deg.unpersist()
+        nodes.unpersist()
+    return ranks

@@ -160,10 +160,13 @@ def load_all() -> None:
     from . import (  # noqa: F401
         advanced,
         behavioral,
+        entity,
         functions_surface,
+        graphs,
         llmdata,
         llmdata_ext,
         parity,
+        quality_ext,
         relational,
         streaming_batch,
         textops,
