@@ -269,3 +269,45 @@ def test_join_strategy_hints_respected(spark):
     assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
     shj = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
     assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_filter_runtime_join_filter_injects(spark):
+    """Runtime row-level filtering: for a selective dim-side join, the
+    optimizer must be able to build a bloom filter from the filtered
+    build side and push a might_contain probe into the fact scan —
+    at 100 TB this prunes the probe-side shuffle input BEFORE the join
+    (the default applicationSideScanSizeThreshold of 10 GB means it
+    only fires on genuinely large probes in production; the test lowers
+    it to exercise the rewrite itself)."""
+    import pyspark.sql.functions as F
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        part = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#13")
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
