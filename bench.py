@@ -43,6 +43,10 @@ HEADLINE = [
     "b_temperature_mixture",
     "q2_min_cost_supplier",
     "d_incremental_dedup",
+    # round-4 additions
+    "j_fuzzy_join_blocked",
+    "g_pagerank_suppliers",
+    "t_inverted_index",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -24,6 +24,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    dedupe: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` for a FIXED
     iteration count. Returns (id, rank).
@@ -36,7 +37,21 @@ def pagerank(
     a trivial driver-side variant (compare successive ranks, as
     connected_components does).
     """
-    edges = edges.select("src", "dst").distinct()
+    # the edge list is consumed 2 + iterations times (nodes, degrees,
+    # every contribution join) — cache it or its upstream plan (often an
+    # expensive fact-table join) re-executes per consumer. At cluster
+    # scale use StorageLevel.MEMORY_AND_DISK via .persist() if the edge
+    # set outgrows executor memory; the loop structure is unchanged.
+    # ``dedupe=False`` skips the edge-level distinct for callers whose
+    # edge list is distinct BY CONSTRUCTION (e.g. both directions of an
+    # already-distinct pair set with disjoint src/dst key spaces) — at
+    # fact-table edge counts that distinct is a full shuffle of the
+    # widest frame in the algorithm, and skipping it when provably
+    # redundant is the single biggest win
+    edges = edges.select("src", "dst")
+    if dedupe:
+        edges = edges.distinct()
+    edges = edges.cache()
     nodes = edges.select(F.col("src").alias("id")).distinct().cache()
     n = nodes.count()  # one job; node-sized frame, reused every iteration
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
@@ -73,7 +88,13 @@ def pagerank(
             prev, ranks = ranks, new_ranks
             if i > 0:
                 prev.unpersist()
+        # no action runs inside the loop, so the iteration caches are
+        # still lazy here — materialize the FINAL ranks (node-sized)
+        # before releasing the edge/degree caches, or the caller's first
+        # action would replay the whole lineage against uncached inputs
+        ranks = ranks.localCheckpoint(eager=True)
     finally:
         deg.unpersist()
         nodes.unpersist()
+        edges.unpersist()
     return ranks

@@ -80,9 +80,15 @@ def g_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-3) and the top-k orders by the ROUNDED value with id tiebreak.
 
     Scale shape: see operators/graph.pagerank — per iteration two
-    edge-keyed shuffles with map-side combine, node-sized state. The
-    node-id prefix ('c'/'s') disambiguates the bipartite key spaces
-    without a struct key."""
+    edge-keyed shuffles with map-side combine, node-sized state.
+    Iteration keys are BIGINT node ids (2·custkey / 2·suppkey+1 — the
+    parity bit disambiguates the bipartite key spaces), an order of
+    magnitude cheaper to shuffle/compare than string-prefixed ids; the
+    oracle-facing 'c'/'s' label is rebuilt only on the 20-row output.
+    The pair set is deduped once on the narrow int pair; both directions
+    of it are distinct by construction (disjoint src parities), so the
+    operator's edge-level distinct — a full shuffle of the widest frame
+    — is skipped via ``dedupe=False``."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -90,15 +96,18 @@ def g_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    c = (2 * F.col("o_custkey")).cast("long")
+    s = (2 * F.col("l_suppkey") + 1).cast("long")
     edges = pairs.select(c.alias("src"), s.alias("dst")).unionByName(
         pairs.select(s.alias("src"), c.alias("dst"))
     )
-    ranks = pagerank(edges, iterations=_ITERATIONS, damping=_DAMPING)
+    ranks = pagerank(edges, iterations=_ITERATIONS, damping=_DAMPING, dedupe=False)
     return (
-        ranks.filter(F.col("id").startswith("s"))
-        .select("id", F.round("rank", 8).alias("rank_r8"))
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(
+            F.concat(F.lit("s"), ((F.col("id") - 1) / 2).cast("long").cast("string")).alias("id"),
+            F.round("rank", 8).alias("rank_r8"),
+        )
         .orderBy(F.desc("rank_r8"), "id")
         .limit(20)
     )

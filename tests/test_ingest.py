@@ -95,3 +95,66 @@ def test_infer_column_types(spark):
     assert rows[1]["n_int"] == -42        # trimmed before cast
     assert rows[1]["txt"] == "b"          # values trimmed
     assert rows[2]["mixed"] is None       # empty → NULL
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python Data Source: distributed sheet-grid scan
+# --------------------------------------------------------------------------
+
+
+def _write_grid_csv(path, rows):
+    import csv
+
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        csv.writer(fh).writerows(rows)
+
+
+def test_sheetgrid_datasource_parallel_scan(spark, tmp_path):
+    from etl_data_peri_institute_spark.sources.pydatasource import (
+        SheetGridDataSource,
+    )
+
+    # two worksheet exports with drifting physical headers: sheet_b is
+    # missing 'Estado' and has a blank + duplicate header cell
+    _write_grid_csv(
+        tmp_path / "sheet_a.csv",
+        [["title junk"], ["Nombre", "Estado"], ["ana", "ok"], ["", ""], ["bo", "x"]],
+    )
+    _write_grid_csv(
+        tmp_path / "sheet_b.csv",
+        [["title junk"], ["Nombre", "", "Nombre"], ["cleo", "z1", "z2"]],
+    )
+    spark.dataSource.register(SheetGridDataSource)
+    df = (
+        spark.read.format("sheetgrid")
+        .option("path", str(tmp_path))
+        .option("columns", "Nombre,Estado")
+        .option("header_row", 2)
+        .load()
+    )
+    assert df.columns == ["_sheet", "_row_idx", "Nombre", "Estado"]
+    # one input partition per worksheet file
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r._sheet, r._row_idx): (r.Nombre, r.Estado) for r in df.collect()}
+    # blank row dropped, per-file row indexes, missing column → NULL
+    assert rows == {
+        ("sheet_a", 0): ("ana", "ok"),
+        ("sheet_a", 2): ("bo", "x"),
+        ("sheet_b", 0): ("cleo", None),
+    }
+
+
+def test_sheetgrid_datasource_requires_columns(spark, tmp_path):
+    from etl_data_peri_institute_spark.sources.pydatasource import (
+        SheetGridDataSource,
+    )
+
+    _write_grid_csv(tmp_path / "s.csv", [["h"], ["Nombre"], ["x"]])
+    spark.dataSource.register(SheetGridDataSource)
+    with pytest.raises(Exception, match="columns"):
+        (
+            spark.read.format("sheetgrid")
+            .option("path", str(tmp_path))
+            .load()
+            .collect()
+        )
