@@ -1,8 +1,8 @@
 """Corpus-quality and sampling operators, round 4: inverted index,
 rule-based quality report, weighted sampling, winsorized statistics,
-per-document LM perplexity.
+per-document LM perplexity, median/MAD outliers, equi-depth histogram.
 
-All five follow the repo's determinism discipline: integer predicates
+All follow the repo's determinism discipline: integer predicates
 where possible (the quality rules are pure integer comparisons — no
 doubles at all), content-hash-driven sampling (never rand()), and
 rounded-then-tiebroken ordering wherever a float feeds a top-k boundary.
@@ -372,3 +372,117 @@ def t_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return nll.orderBy(F.desc("avg_nll_bits"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# a_robust_outliers — median/MAD outlier detection, exact in cents-space
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a_robust_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (SELECT event_type, median(cents) AS med FROM c GROUP BY event_type),
+    d AS (
+      SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS adev
+      FROM c JOIN m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(2 * max(d.med) AS BIGINT) AS med_cents_x2,
+           CAST(4 * max(mad.mad) AS BIGINT) AS mad_cents_x4,
+           CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def a_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: |x − median| > 3·MAD — the
+    median/MAD rule that, unlike mean/stddev z-scores, isn't dragged by
+    the outliers it's hunting.
+
+    Determinism discipline: all statistics run in INTEGER CENTS
+    (round(value·100) — the repo's money rule). Median of integers
+    interpolates at most to .5, MAD of those to .25 — every intermediate
+    is an exactly-representable double with NO order-dependent sums, so
+    both engines agree bit-for-bit and the ×2/×4 outputs are exact
+    BIGINTs.
+
+    Scale shape: two group-keyed exact medians (per-group value buffers —
+    the approx_percentile sketch replaces them at unbounded group sizes,
+    same pairing as a_median_percentiles) plus one broadcast-sized
+    per-group stats join back onto the rows; a 100 TB fact pays two
+    scans, no global sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    m = c.groupBy("event_type").agg(F.median("cents").alias("med"))
+    d = c.join(m, "event_type").withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+    mad = d.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        d.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (2 * F.max("med")).cast("long").alias("med_cents_x2"),
+            (4 * F.max("mad")).cast("long").alias("mad_cents_x4"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# f_equidepth_histogram — exact equal-count buckets (ntile)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f_equidepth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def f_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-depth histogram (8 buckets) over line-item prices —
+    the equi-DEPTH twin of f_histogram_width_bucket's fixed-width bins.
+
+    Determinism discipline: the ntile ordering carries a full tiebreak
+    (value, orderkey, linenumber), so bucket membership is a total-order
+    function of the data; lo/hi are raw stored doubles (no arithmetic —
+    identical bits on both engines).
+
+    Scale shape: an unpartitioned ntile is a GLOBAL sort into one window
+    partition — correct-but-serial, the exact-semantics member of its
+    pair. At 100 TB the bucket CUTS come from approx_percentile (one
+    pass, t-digest sketch) and rows bucket by comparison against the
+    broadcast cuts; this query is the exactness baseline the sketch is
+    judged against (same exact/approx pairing as a_median_percentiles
+    vs a_approx_sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    r = li.select(
+        F.col("l_extendedprice").alias("v"), F.ntile(8).over(w).alias("bucket")
+    )
+    return (
+        r.groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("bucket")
+    )

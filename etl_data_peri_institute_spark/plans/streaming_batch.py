@@ -263,3 +263,4 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+

@@ -165,3 +165,19 @@ def test_conversion_funnel_monotone(spark):
     rows = {r.step: r.n_users for r in _run(spark, "b_conversion_funnel").collect()}
     assert rows["view"] >= rows["click_after_view"] >= rows["purchase_after_click"]
     assert rows["view"] > 0
+
+
+def test_robust_outliers_integer_outputs(spark):
+    for r in _run(spark, "a_robust_outliers").collect():
+        assert r.n_outliers < r.n  # the rule can't flag a majority
+        assert r.mad_cents_x4 >= 0 and r.med_cents_x2 > 0
+
+
+def test_equidepth_histogram_depths_and_edges(spark):
+    rows = _run(spark, "f_equidepth_histogram").collect()
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    # equal depth: counts differ by at most 1; edges are non-decreasing
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

@@ -3,6 +3,8 @@ equals the batch plan; stateful session windows in streaming mode."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_data_peri_institute_spark.sources.tables import load_table
@@ -233,3 +235,54 @@ def test_drop_duplicates_within_watermark_bounds_state(spark):
         .collect()
     )
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+
+
+def test_transform_with_state_running_totals(spark):
+    """Spark 4 transformWithStateInPandas running totals == batch agg.
+    The new API's driver worker needs google.protobuf + the RocksDB
+    state store; skip where the environment lacks them (this image
+    ships no protobuf — the operator itself is the production path)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf (not in image)")
+
+    from etl_data_peri_institute_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+    from etl_data_peri_institute_spark.streaming.windows import (
+        run_to_completion,
+        stream_events,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        ev = stream_events(spark, SF).filter(F.col("user_id") < 10)
+        out = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in run_to_completion(
+                running_user_totals_tws(ev), output_mode="update"
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, r.tv)
+            for r in load_table(spark, SF, "events")
+            .filter(F.col("user_id") < 10)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert out == batch
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
