@@ -60,6 +60,11 @@ QUERIES = [
     "d_ngram_jaccard_pairs",
     "t_quality_score",
     "e_lsh_buckets",
+    # round-4 additions: iterative graph, blocked fuzzy join, index build
+    "g_pagerank_suppliers",
+    "j_fuzzy_join_blocked",
+    "t_inverted_index",
+    "b_conversion_funnel",
 ]
 
 
