@@ -31,19 +31,36 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Parquet TIMESTAMP(NANOS) columns (events.ts in the testdata) are not
-# natively readable by Spark; read them as raw nanos and convert to a
-# microsecond TimestampType (same truncation DuckDB applies).
+# Timestamp normalization at the load boundary. The testdata has been
+# generated with two different physical types across driver rounds:
+#   * TIMESTAMP(NANOS): unreadable natively by Spark — read as raw nanos
+#     (legacy conf) and convert to microsecond TimestampType (the same
+#     truncation DuckDB applies);
+#   * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+#     TIMESTAMP_NTZ, which rejects arithmetic casts (e.g. to double)
+#     that the plans rely on — cast to the session TimestampType (the
+#     session is pinned to UTC, so the instant is the NTZ wall-clock
+#     read as UTC, exactly DuckDB's naive-timestamp semantics).
+# Both normalize to TimestampType(UTC) so every downstream plan sees one
+# stable type regardless of which generator produced the files.
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TimestampType cast below reads the wall-clock in the
+    # session zone; pin UTC so it matches DuckDB's naive timestamps even
+    # under a driver-owned session that didn't go through session.py.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 

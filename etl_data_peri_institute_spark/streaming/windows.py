@@ -30,9 +30,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # re-apply the nanos normalization on the stream
-    if dict(stream.dtypes)["ts"] == "bigint":
+    # re-apply the batch reader's ts normalization on the stream
+    dt = dict(stream.dtypes)["ts"]
+    if dt == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(*batch.columns)
 
 
