@@ -28,6 +28,55 @@ def test_roundtrip(spark, tmp_path, fmt):
     assert a == b
 
 
+def test_load_table_normalizes_event_ts_physical_types(spark, tmp_path):
+    """The testdata generator has emitted events.ts as TIMESTAMP(NANOS)
+    in some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) — read
+    by Spark 4 as TIMESTAMP_NTZ — in others. load_table must normalize
+    BOTH to the session TimestampType with the same instant (UTC
+    wall-clock, DuckDB's naive-timestamp semantics), so downstream
+    plans see one stable type whichever generator produced the files."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    wall = [
+        datetime.datetime(2024, 1, 5, 12, 30, 15, 123456),
+        datetime.datetime(2024, 2, 9, 0, 0, 1, 500000),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    instants = {}
+    for unit, sub in (("ns", "nanos"), ("us", "micros_ntz")):
+        d = tmp_path / sub
+        d.mkdir()
+        table = pa.table({**cols, "ts": pa.array(wall, pa.timestamp(unit))})
+        pq.write_table(table, d / "events.parquet")
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+            sub,
+            df.schema["ts"].dataType,
+        )
+        # compare epoch micros — session-TZ-independent instant identity
+        instants[sub] = [
+            r[0]
+            for r in df.orderBy("event_id")
+            .select(F.unix_micros("ts"))
+            .collect()
+        ]
+    assert instants["nanos"] == instants["micros_ntz"]
+    epoch = datetime.datetime(1970, 1, 1)
+    assert instants["nanos"] == [
+        round((w - epoch).total_seconds() * 1_000_000) for w in wall
+    ]
+
+
 def test_unsupported_format_raises(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/tmp/x", "avro")
