@@ -449,3 +449,75 @@ def embedding_neardup_pairs(
         .filter(cosine(F.col("__va"), F.col("__vb")) >= tau)
         .select("id_a", "id_b")
     )
+
+
+def sq_int8_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantize float vectors to int8 codes with per-dimension
+    min/max calibration — the memory-bound ANN scale path (4× smaller
+    than f32; integer dot products are SIMD-friendly and, for the
+    engine's purposes, EXACTLY reproducible — no float summation order
+    anywhere in the ranking).
+
+    code(v) = round((v - mn_d) * 254 / (mx_d - mn_d)) - 127  ∈ [-127, 127]
+
+    Returns (id, codes array<int>). The calibration stats are one
+    per-dimension aggregate over the corpus (dim-sized, broadcast back);
+    the repack to arrays is one groupBy on the vector id. At 100 TB both
+    shuffles are the narrow long-format frame (id, pos, code) — there is
+    no per-pair work here; downstream search joins the CODE arrays,
+    which is the whole point of quantizing first.
+    """
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select("id", "pos", F.col("val").cast("double").alias("val"))
+    stats = pos.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                (F.col("val") - F.col("mn")) * 254.0 / (F.col("mx") - F.col("mn"))
+            ).cast("int")
+            - 127
+        )
+        .alias("code")
+    )
+    codes_long = pos.join(F.broadcast(stats), "pos").select("id", "pos", code)
+    return codes_long.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "code"))), lambda x: x["code"]
+        ).alias("codes")
+    )
+
+
+def sq_int8_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k by integer dot product over int8 codes (both
+    frames as produced by sq_int8_codes). Broadcast the query codes, one
+    corpus pass, per-query window top-k — the brute-force shape but on
+    4×-compressed exactly-reproducible integers. Output
+    (query_id, rank, neighbor_id, dot)."""
+    q = query_codes.select(F.col("id").alias("query_id"), F.col("codes").alias("__q"))
+    c = corpus_codes.select(F.col("id").alias("neighbor_id"), F.col("codes").alias("__c"))
+    dot = F.aggregate(
+        F.zip_with("__q", "__c", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )

@@ -408,3 +408,50 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(event_type AS int)").alias("bad_int"),
         F.try_add(F.lit(9223372036854775807), F.col("event_id")).alias("overflow_add"),
     ).orderBy("event_id")
+
+
+@query(
+    "f_max_by_min_by",
+    oracle="""
+    SELECT n.n_name AS nation,
+           max_by(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 10000000 + c.c_custkey)
+             AS richest_customer,
+           min_by(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 10000000 + c.c_custkey)
+             AS poorest_customer,
+           CAST(max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_acctbal_cents,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def f_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates: per nation, the customer holding the
+    highest / lowest account balance — ``max_by``/``min_by`` (Spark
+    3.3+, same names in DuckDB) instead of the classic self-join or
+    row_number subquery, so the answer comes out of ONE map-side-
+    combining aggregate with no window shuffle.
+
+    Determinism: max_by ties are engine-order-dependent, so the ordering
+    key is made unique by construction — exact cents (the repo's money
+    discipline) scaled past the key domain plus c_custkey as an embedded
+    tiebreak (higher custkey wins among equal balances, in both engines,
+    because the composite is a single integer compare).
+
+    Scale shape: one shuffle on the group key; the argmax state per
+    group is O(1) (current best key + payload), unlike the row_number
+    alternative whose window must sort every group member."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000 + F.col("c_custkey")
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max_by("c_name", key).alias("richest_customer"),
+            F.min_by("c_name", key).alias("poorest_customer"),
+            F.max(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("max_acctbal_cents"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("nation")
+    )

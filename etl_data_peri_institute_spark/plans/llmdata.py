@@ -26,7 +26,7 @@ as its own oracle-checked operator on a bounded doc range).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -722,4 +722,150 @@ def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return keep.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")).orderBy(
         "doc_id"
+    )
+
+
+@query(
+    "e_sq_int8_topk",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    stats AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM pos GROUP BY pos),
+    codes AS (
+      SELECT vec_id, p.pos,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(round((p.val - s.mn) * 254.0 / (s.mx - s.mn)) AS INT) - 127
+             END AS code
+      FROM pos p JOIN stats s ON p.pos = s.pos
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS dot
+      FROM codes q JOIN codes c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, dot
+    FROM (SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM dots) t
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def e_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN memory path: int8 scalar quantization (per-dimension min/max
+    calibration) + integer-dot top-k (operators/similarity.py:
+    sq_int8_codes/sq_int8_topk). Completes the ANN family: brute-force
+    (exact baseline), IVF (compute path), LSH (bucketing path), SQ
+    (memory path — 4× compression, and the ranking sum is exact
+    integer arithmetic, so Spark and DuckDB agree bit-for-bit with no
+    rounding discipline needed).
+
+    The quantization arithmetic is the same parse tree on both engines
+    (float selections, one multiply/divide chain, round-half-away on
+    non-negative operands); everything after it is integers."""
+    from ..operators.similarity import sq_int8_codes, sq_int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sq_int8_codes(emb)
+    out = sq_int8_topk(codes, codes.filter(F.col("id") < 5), k=5)
+    return out.orderBy("query_id", "rank")
+
+
+@query(
+    "d_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(min(dst), src) AS component
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS cluster_size,
+             sum(d.n_chars) OVER (PARTITION BY c.component) AS total_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           doc_id AS survivor_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM ranked WHERE rn = 1
+    ORDER BY component
+    """,
+)
+def d_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection: within each near-dup cluster
+    (LSH candidates → connected components) keep the BEST member — here
+    the longest document with doc_id tiebreak — instead of
+    d_dedup_apply's min-id canonical. The production pattern for "which
+    duplicate do we keep": any quality key (classifier score, source
+    priority, recency) slots into the same ordering; the ranking is a
+    window over cluster members only (cluster-sized frames, not
+    corpus-sized).
+
+    Scale shape: identical to d_dedup_apply up to the component map;
+    the survivor pick adds one cluster-keyed window over the members
+    join — the frame is bounded by documents that HAVE a near-duplicate
+    (a small corpus fraction after upstream exact dedup)."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures as mh_sigs, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(
+        mh_sigs(word_shingles(docs, distinct=False), hash_fn="md5"),  # oracle pins md5
+        bands=4,
+        rows_per_band=2,
+    )
+    comp = connected_components(edges).select(F.col("id").alias("doc_id"), "component")
+    members = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = W.partitionBy("component")
+    return (
+        members.select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("cluster_size"),
+            F.sum("n_chars").over(wc).alias("total_chars"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").alias("survivor_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("component")
     )

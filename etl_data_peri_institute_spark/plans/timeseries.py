@@ -138,3 +138,116 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, CAST(day AS DATE) AS day
+      FROM bounds, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                          CAST(d1 AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS t(day)
+    ),
+    ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    daily AS (SELECT user_id, day, value AS day_close FROM ranked WHERE rn = 1),
+    grid AS (
+      SELECT s.user_id, s.day, d.day_close,
+             last_value(d.day_close IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(CASE WHEN d.day_close IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             first_value(d.day_close IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(CASE WHEN d.day_close IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id, day,
+           CAST(round(
+             (CASE
+                WHEN day_close IS NOT NULL THEN day_close
+                WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                  prev_val + (next_val - prev_val)
+                    * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                       / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+                ELSE coalesce(prev_val, next_val)
+              END) * 10000) AS BIGINT) AS interp_e4,
+           CAST(CASE WHEN day_close IS NULL THEN 0 ELSE 1 END AS INT) AS observed
+    FROM grid
+    ORDER BY user_id, day
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto the per-user daily grid: gaps between
+    two observations take the time-weighted blend of the bracketing
+    daily closes; leading/trailing gaps fall back to nearest-fill. The
+    harder sibling of ts_gap_fill_ffill — the standard resampler for
+    numeric sensors/metrics where forward-fill injects staircases.
+
+    Determinism discipline: prev/next values are window SELECTIONS (no
+    sums), so both engines see bit-identical doubles; the blend
+    ``prev + (next - prev) * (dd1 / dd2)`` is written with the same
+    parse tree on both sides (IEEE-754 ops are deterministic given
+    identical operand order), and the output is scaled-integer e4 units
+    — floats never reach the hash, per the repo's money discipline.
+
+    Scale shape: identical to ts_gap_fill_ffill — spine bounded by
+    entity-count × calendar days, one user_id shuffle serves the join
+    and all four fill windows (same partition key, Catalyst collapses
+    them into one Window node pair)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    rank_w = W.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.to_date("ts").alias("day"), F.col("value").alias("day_close"))
+    )
+    w_prev = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_next = W.partitionBy("user_id").orderBy("day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_day = F.when(F.col("day_close").isNotNull(), F.col("day"))
+    grid = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_close",
+        F.last("day_close", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("day_close", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    blend = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        F.datediff("day", "prev_day").cast("double")
+        / F.datediff("next_day", "prev_day").cast("double")
+    )
+    interp = (
+        F.when(F.col("day_close").isNotNull(), F.col("day_close"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(), blend
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        F.round(interp * 10000).cast("bigint").alias("interp_e4"),
+        F.when(F.col("day_close").isNull(), 0).otherwise(1).cast("int").alias("observed"),
+    ).orderBy("user_id", "day")

@@ -294,3 +294,45 @@ def test_incremental_dedup_survivors_not_in_corpus(spark):
     assert surv.select("h").distinct().count() == n_surv
     # the testdata genuinely exercises the drop path (50-row batch)
     assert 0 < n_surv < 50
+
+
+def test_sq_int8_codes_bounds_and_identity(spark):
+    from etl_data_peri_institute_spark.operators.similarity import (
+        sq_int8_codes,
+        sq_int8_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, -1.0]),
+            (2, [0.0, 1.0, -1.0]),   # identical to 1 → identical codes
+            (3, [1.0, 0.0, 1.0]),
+            (4, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r["id"]: r["codes"] for r in sq_int8_codes(df).collect()}
+    assert codes[1] == codes[2]
+    assert all(len(c) == 3 for c in codes.values())
+    assert all(-127 <= v <= 127 for c in codes.values() for v in c)
+    # per-dim extremes map to the code range endpoints
+    assert codes[3][0] == 127 and codes[1][0] == -127
+    # identical vectors are each other's top match by integer dot
+    cdf = sq_int8_codes(df)
+    top = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sq_int8_topk(cdf, cdf.filter(F.col("id") <= 2), k=1).collect()
+    }
+    assert top[(1, 1)] == 2 and top[(2, 1)] == 1
+
+
+def test_sq_constant_dimension_codes_zero(spark):
+    from etl_data_peri_institute_spark.operators.similarity import sq_int8_codes
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r["id"]: r["codes"] for r in sq_int8_codes(df).collect()}
+    # dim 0 is constant across the corpus: mx == mn → code 0, not NULL/NaN
+    assert codes[1][0] == 0 and codes[2][0] == 0

@@ -497,3 +497,39 @@ def test_pandas_api_on_spark_parity(spark):
         .collect()
     }
     assert counts == expected
+
+
+def test_ts_interpolate_linear_hand_checked(spark, tmp_path):
+    """Interior gaps take the exact time-weighted blend; edges fall back
+    to nearest-fill; observed days pass through verbatim."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_data_peri_institute_spark.plans import catalog
+
+    catalog.load_all()
+    d = lambda day: datetime.datetime(2024, 1, day, 12, 0, 0)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([d(1), d(5)], pa.timestamp("us")),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([10.0, 30.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, tmp_path / "events.parquet")
+    rows = {
+        r["day"].day: (r["interp_e4"], r["observed"])
+        for r in catalog.QUERIES["ts_interpolate_linear"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        1: (100000, 1),   # observed 10.0
+        2: (150000, 0),   # 10 + (30-10) * 1/4 = 15.0
+        3: (200000, 0),   # 20.0
+        4: (250000, 0),   # 25.0
+        5: (300000, 1),   # observed 30.0
+    }
