@@ -311,3 +311,49 @@ def test_bloom_filter_runtime_join_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sq_topk_broadcasts_queries_not_corpus(spark):
+    """e_sq_int8_topk: the query-code side (5 vectors) must be the
+    broadcast side of the non-equi pair join — the corpus-code side
+    stays partitioned (at 100 TB broadcasting it is fatal); and the
+    calibration-stats join broadcasts the dim-sized stats frame."""
+    plan = _plan(spark, "e_sq_int8_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_plans_no_cartesian_no_forced_broadcast(spark):
+    """This round's additions: the cluster-representative component map
+    and the interpolation spine join are data-sized — no forced
+    broadcast hints; every join stays equi-keyed."""
+    for name in [
+        "d_cluster_representative",
+        "ts_interpolate_linear",
+        "f_max_by_min_by",
+    ]:
+        df = catalog.QUERIES[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_max_by_is_partial_aggregated(spark):
+    """f_max_by_min_by must map-side-combine: the argmax state flows
+    through a partial aggregate before the group-key shuffle, not a
+    window sort of every group member."""
+    plan = _plan(spark, "f_max_by_min_by")
+    assert "partial_max_by" in plan or "partial_max" in plan, plan[:3000]
+    assert "Window" not in plan
+
+
+def test_interpolation_windows_share_one_shuffle(spark):
+    """ts_interpolate_linear's four fill windows all partition on
+    user_id ordered by day — Catalyst must serve them from ONE window
+    sort pair (forward + reverse frame), not four separate exchanges:
+    at 100 TB each extra exchange is a full pass over the spine."""
+    import re
+
+    plan = _plan(spark, "ts_interpolate_linear")
+    spine_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert spine_exchanges <= 3, f"expected <=3 user_id exchanges, got {spine_exchanges}"
