@@ -47,6 +47,9 @@ HEADLINE = [
     "j_fuzzy_join_blocked",
     "g_pagerank_suppliers",
     "t_inverted_index",
+    # round-5 additions
+    "e_sq_int8_topk",
+    "ts_interpolate_linear",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -65,6 +65,10 @@ QUERIES = [
     "j_fuzzy_join_blocked",
     "t_inverted_index",
     "b_conversion_funnel",
+    # round-5 additions: SQ codes+search, spine interpolation, cluster pick
+    "e_sq_int8_topk",
+    "ts_interpolate_linear",
+    "d_cluster_representative",
 ]
 
 
