@@ -89,13 +89,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2)
     )
 
 
-def jaccard_pairs(
+def shingle_intersections(
     shingles: DataFrame,
-    min_jaccard: float = 0.1,
     max_doc_freq: float | int | None = 0.05,
     doc_freq_floor: int = 128,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for all docs sharing ≥1 shingle.
+    """Shared core of the exact set-overlap verifiers: per doc pair
+    sharing ≥1 shingle, the intersection size and both set sizes —
+    ``(id_a, id_b, n_common, n_a, n_b)``. jaccard_pairs and
+    containment_pairs are thin filters over this frame; the cap, skew,
+    and single-pipeline notes below apply to all of them.
 
     Shuffle-joins on the shingle value; ultra-frequent shingles are the
     skew hazard — one stop-word shingle shared by 10% of a crawl corpus
@@ -144,7 +147,7 @@ def jaccard_pairs(
         "n", F.count("*").over(Window.partitionBy("id"))
     )
     a, b = sized.alias("a"), sized.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
@@ -154,10 +157,47 @@ def jaccard_pairs(
             F.max(F.col("b.n")).alias("n_b"),
         )
     )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float = 0.1,
+    max_doc_freq: float | int | None = 0.05,
+    doc_freq_floor: int = 128,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all docs sharing ≥1 shingle —
+    ``(id_a, id_b, jaccard)`` above the threshold. See
+    shingle_intersections for the cap/skew/single-pipeline design."""
+    inter = shingle_intersections(shingles, max_doc_freq, doc_freq_floor)
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        inter.filter(jac > min_jaccard)
-        .select("id_a", "id_b", jac.alias("jaccard"))
+    return inter.filter(jac > min_jaccard).select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    min_containment: float = 0.8,
+    max_doc_freq: float | int | None = 0.05,
+    doc_freq_floor: int = 128,
+) -> DataFrame:
+    """Asymmetric set containment — the near-SUBSET detector Jaccard
+    misses: a boilerplate header fully contained in a long page, or a
+    quoted document embedded in a larger one, scores
+    |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard is tiny (the union is
+    dominated by the long side). The standard companion to Jaccard in
+    crawl dedup (containment/overlap coefficient).
+
+    Output ``(subset_id, superset_id, n_common, containment)`` for pairs
+    at or above the threshold; the smaller set is the subset side (ties
+    keep the a-side, i.e. the lower id, deterministically). Same
+    shuffle shape and skew cap as jaccard_pairs."""
+    inter = shingle_intersections(shingles, max_doc_freq, doc_freq_floor)
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    a_is_subset = F.col("n_a") <= F.col("n_b")
+    return inter.filter(cont >= min_containment).select(
+        F.when(a_is_subset, F.col("id_a")).otherwise(F.col("id_b")).alias("subset_id"),
+        F.when(a_is_subset, F.col("id_b")).otherwise(F.col("id_a")).alias("superset_id"),
+        "n_common",
+        cont.alias("containment"),
     )
 
 

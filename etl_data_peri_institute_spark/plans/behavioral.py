@@ -249,3 +249,75 @@ def b_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "w_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, min(day) AS start_day
+      FROM isl GROUP BY user_id, grp
+    ),
+    ranked AS (
+      SELECT user_id, len, start_day,
+             max(len) OVER (PARTITION BY user_id) AS longest,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks
+      FROM streaks
+    )
+    SELECT user_id, max(longest) AS longest_streak, max(n_streaks) AS n_streaks,
+           min(CASE WHEN len = longest THEN start_day END) AS longest_start
+    FROM ranked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands variant on the DISTINCT-day grid (b_sessionize
+    islands on time gaps within a day; this islands on calendar-day
+    runs). Island key = epoch-day minus the per-user day row_number —
+    constant within a consecutive run, strictly decreasing across gaps.
+
+    Deterministic throughout: integer day arithmetic, earliest start
+    day breaks longest-streak ties. Scale shape: one user_id shuffle
+    serves the distinct, the row_number window, the streak groupBy and
+    the final per-user reduction (same key end-to-end — Catalyst reuses
+    the partitioning; the frames strictly shrink at every step)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grp = F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long") - F.row_number().over(
+        W.partitionBy("user_id").orderBy("day")
+    )
+    streaks = (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"), F.min("day").alias("start_day"))
+    )
+    wu = W.partitionBy("user_id")
+    ranked = streaks.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.max("len").over(wu).alias("longest"),
+        F.count("*").over(wu).alias("n_streaks"),
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max("longest").alias("longest_streak"),
+            F.max("n_streaks").alias("n_streaks"),
+            F.min(F.when(F.col("len") == F.col("longest"), F.col("start_day"))).alias(
+                "longest_start"
+            ),
+        )
+        .orderBy("user_id")
+    )

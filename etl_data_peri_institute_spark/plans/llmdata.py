@@ -869,3 +869,49 @@ def d_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "d_containment_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN ca.n <= cb.n THEN i.doc_a ELSE i.doc_b END AS subset_id,
+           CASE WHEN ca.n <= cb.n THEN i.doc_b ELSE i.doc_a END AS superset_id,
+           i.n_common,
+           round(i.n_common * 1.0 / least(ca.n, cb.n), 4) AS containment
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / least(ca.n, cb.n) >= 0.8
+    ORDER BY subset_id, superset_id
+    """,
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset pairs by shingle containment ≥ 0.8
+    (operators/dedup.py:containment_pairs) — catches boilerplate and
+    quoted-document embedding that Jaccard misses because the union is
+    dominated by the long side. ``max_doc_freq=None`` for oracle parity,
+    same as d_ngram_jaccard_pairs (production keeps the capped default).
+
+    Determinism: containment is a ratio of exact integers computed with
+    the same expression on both engines, rounded to 4; the subset side
+    is chosen by integer size compare with a deterministic tie rule
+    (a-side = lower id)."""
+    from ..operators.dedup import containment_pairs, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        word_shingles(docs), min_containment=0.8, max_doc_freq=None
+    )
+    return pairs.select(
+        "subset_id",
+        "superset_id",
+        "n_common",
+        F.round("containment", 4).alias("containment"),
+    ).orderBy("subset_id", "superset_id")

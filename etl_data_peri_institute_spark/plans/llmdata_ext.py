@@ -1205,3 +1205,52 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "b_shard_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+    ),
+    t AS (SELECT doc_id, n_chars, hk,
+                 ntile(8) OVER (ORDER BY hk, doc_id) AS shard FROM h)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(hk) AS min_hash,
+           max(hk) AS max_hash
+    FROM t GROUP BY shard ORDER BY shard
+    """,
+)
+def b_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sharding + per-shard manifest: assign every doc
+    to one of 8 shards by content-independent key hash, report each
+    shard's row count, byte mass, and hash-range boundaries — the
+    write-path planning step before a 100 TB corpus export (training
+    jobs want equal-sized, deterministically addressed shards, and the
+    manifest is what a loader consumes).
+
+    The gate query pins the ASSIGNMENT SEMANTICS with ntile over the
+    hash order (exactly reproducible in SQL); the production write path
+    is ``df.repartitionByRange(n, hk).write`` — the same hash-range
+    contiguous shards, but range boundaries come from Spark's sampled
+    range partitioner (distributed, no global window sort). md5 of the
+    id string is engine-portable and decouples shard membership from
+    insertion order."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    t = docs.select("doc_id", "n_chars", hk.alias("hk")).withColumn(
+        "shard", F.ntile(8).over(W.orderBy("hk", "doc_id"))
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("hk").alias("min_hash"),
+            F.max("hk").alias("max_hash"),
+        )
+        .select(F.col("shard").cast("int").alias("shard"), "n_docs", "total_chars", "min_hash", "max_hash")
+        .orderBy("shard")
+    )

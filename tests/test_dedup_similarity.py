@@ -336,3 +336,47 @@ def test_sq_constant_dimension_codes_zero(spark):
     codes = {r["id"]: r["codes"] for r in sq_int8_codes(df).collect()}
     # dim 0 is constant across the corpus: mx == mn → code 0, not NULL/NaN
     assert codes[1][0] == 0 and codes[2][0] == 0
+
+
+def test_containment_pairs_detects_near_subset(spark):
+    from etl_data_peri_institute_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, base),                                   # subset doc
+            (2, base + " iota kappa " + "x y z " * 10),  # superset: contains all of 1's shingles
+            (3, "p q r s t u v w"),                      # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(word_shingles(df), min_containment=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc 1 is the smaller set → subset side; containment is exactly 1.0
+    assert (r["subset_id"], r["superset_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    # jaccard for the same pair is far below the containment score: the
+    # asymmetric detector catches what the symmetric one misses
+    from etl_data_peri_institute_spark.operators.dedup import jaccard_pairs
+
+    jac = {(x["id_a"], x["id_b"]): x["jaccard"] for x in jaccard_pairs(
+        word_shingles(df), min_jaccard=0.0).collect()}
+    assert jac[(1, 2)] < 0.8
+
+
+def test_containment_equal_sizes_keeps_lower_id_as_subset(spark):
+    from etl_data_peri_institute_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    same = "m n o p q r"
+    df = spark.createDataFrame(
+        [(7, same), (4, same)], "doc_id long, text string"
+    )
+    r = containment_pairs(word_shingles(df), min_containment=0.8).collect()[0]
+    assert (r["subset_id"], r["superset_id"]) == (4, 7)
