@@ -51,10 +51,19 @@ def pagerank(
     edges = edges.select("src", "dst")
     if dedupe:
         edges = edges.distinct()
-    edges = edges.cache()
-    nodes = edges.select(F.col("src").alias("id")).distinct().cache()
+    # fold the out-degree into the edge frame ONCE: the degree groupBy +
+    # join shuffle the edge list a single time up front, and the cached
+    # result comes out hash-partitioned on src — so each iteration's
+    # contribution join only shuffles the NODE-sized rank frame against
+    # it (the edge side, the wide one, never moves again). The
+    # alternative — a separate deg frame joined per iteration —
+    # re-shuffles edge-sized data every round: 2×iterations extra wide
+    # shuffles at 100 TB edge counts.
+    raw = edges.cache()
+    nodes = raw.select(F.col("src").alias("id")).distinct().cache()
     n = nodes.count()  # one job; node-sized frame, reused every iteration
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    deg = raw.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = raw.join(deg, "src").select("src", "dst", "outdeg").cache()
 
     ranks = nodes.select("id", (F.lit(1.0) / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -62,7 +71,6 @@ def pagerank(
         for i in range(iterations):
             contribs = (
                 ranks.join(edges, ranks.id == edges.src)
-                .join(deg, "src")
                 .select(
                     F.col("dst").alias("id"),
                     (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -94,7 +102,7 @@ def pagerank(
         # action would replay the whole lineage against uncached inputs
         ranks = ranks.localCheckpoint(eager=True)
     finally:
-        deg.unpersist()
         nodes.unpersist()
         edges.unpersist()
+        raw.unpersist()
     return ranks
