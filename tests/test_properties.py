@@ -143,3 +143,89 @@ def test_cents_conversion_exact_for_any_sign(cents):
 
     x = cents / 100.0  # the cents-exact double as stored in parquet
     assert math.floor(x * 100 + 0.5) == cents
+
+
+@st.composite
+def tiny_corpus(draw):
+    """Small random corpora over a tiny vocabulary so shingle overlaps
+    actually occur."""
+    vocab = ["a", "b", "c", "d", "e"]
+    n_docs = draw(st.integers(2, 5))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(3, 10))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n_words))))
+    return docs
+
+
+def _ref_shingle_sets(docs):
+    out = {}
+    for i, text in docs:
+        w = text.split(" ")
+        out[i] = {" ".join(w[k : k + 3]) for k in range(len(w) - 2)}
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(tiny_corpus())
+def test_containment_and_jaccard_match_set_reference(spark, docs):
+    """Both exact verifiers agree with the pure-Python set computation
+    on random corpora, and containment >= jaccard pairwise (the overlap
+    coefficient's defining inequality)."""
+    from etl_data_peri_institute_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = word_shingles(df)
+    got_jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, min_jaccard=0.0, max_doc_freq=None).collect()
+    }
+    got_cont = {
+        tuple(sorted((r["subset_id"], r["superset_id"]))): r["containment"]
+        for r in containment_pairs(sh, min_containment=0.0, max_doc_freq=None).collect()
+    }
+    ref = _ref_shingle_sets(docs)
+    ids = sorted(ref)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            inter = len(ref[x] & ref[y])
+            if inter == 0:
+                assert (x, y) not in got_jac and (x, y) not in got_cont
+                continue
+            jac = inter / len(ref[x] | ref[y])
+            cont = inter / min(len(ref[x]), len(ref[y]))
+            assert abs(got_jac[(x, y)] - jac) < 1e-9
+            assert abs(got_cont[(x, y)] - cont) < 1e-9
+            assert got_cont[(x, y)] >= got_jac[(x, y)] - 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_sq_codes_preserve_per_dimension_order(spark, vecs):
+    """Scalar quantization is monotone per dimension: if v1[d] <= v2[d]
+    then code1[d] <= code2[d] — the property that makes int8 ranking a
+    faithful approximation of the float ranking."""
+    from etl_data_peri_institute_spark.operators.similarity import sq_int8_codes
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    codes = {r["id"]: r["codes"] for r in sq_int8_codes(df).collect()}
+    floats = {i: v for i, v in enumerate(vecs)}
+    for a in codes:
+        for b in codes:
+            for d in range(3):
+                if floats[a][d] <= floats[b][d]:
+                    assert codes[a][d] <= codes[b][d]
