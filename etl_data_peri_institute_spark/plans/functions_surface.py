@@ -414,9 +414,9 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_max_by_min_by",
     oracle="""
     SELECT n.n_name AS nation,
-           max_by(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 10000000 + c.c_custkey)
+           max_by(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 1000000000 + c.c_custkey)
              AS richest_customer,
-           min_by(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 10000000 + c.c_custkey)
+           min_by(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 1000000000 + c.c_custkey)
              AS poorest_customer,
            CAST(max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_acctbal_cents,
            CAST(count(*) AS BIGINT) AS n_customers
@@ -443,7 +443,7 @@ def f_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative whose window must sort every group member."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000 + F.col("c_custkey")
+    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * 1000000000 + F.col("c_custkey")
     return (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))

@@ -732,13 +732,13 @@ def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ),
-    stats AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM pos GROUP BY pos),
+    stats AS (SELECT max(abs(val)) AS gmax FROM pos),
     codes AS (
       SELECT vec_id, p.pos,
-             CASE WHEN s.mx = s.mn THEN 0
-                  ELSE CAST(round((p.val - s.mn) * 254.0 / (s.mx - s.mn)) AS INT) - 127
+             CASE WHEN s.gmax = 0 THEN 0
+                  ELSE CAST(round(p.val * 127.0 / s.gmax) AS INT)
              END AS code
-      FROM pos p JOIN stats s ON p.pos = s.pos
+      FROM pos p CROSS JOIN stats s
     ),
     dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -757,8 +757,10 @@ def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN memory path: int8 scalar quantization (per-dimension min/max
-    calibration) + integer-dot top-k (operators/similarity.py:
+    """ANN memory path: int8 symmetric scalar quantization (global
+    max-abs scale — the form that preserves inner-product order; see
+    the operator docstring for why per-dim affine would not) +
+    integer-dot top-k (operators/similarity.py:
     sq_int8_codes/sq_int8_topk). Completes the ANN family: brute-force
     (exact baseline), IVF (compute path), LSH (bucketing path), SQ
     (memory path — 4× compression, and the ranking sum is exact

@@ -315,8 +315,9 @@ def test_sq_int8_codes_bounds_and_identity(spark):
     assert codes[1] == codes[2]
     assert all(len(c) == 3 for c in codes.values())
     assert all(-127 <= v <= 127 for c in codes.values() for v in c)
-    # per-dim extremes map to the code range endpoints
-    assert codes[3][0] == 127 and codes[1][0] == -127
+    # global max-abs (1.0 here) maps to ±127; zero maps to 0 (symmetric
+    # encoding — no per-dim offset)
+    assert codes[3][0] == 127 and codes[1][2] == -127 and codes[1][0] == 0
     # identical vectors are each other's top match by integer dot
     cdf = sq_int8_codes(df)
     top = {
@@ -326,16 +327,16 @@ def test_sq_int8_codes_bounds_and_identity(spark):
     assert top[(1, 1)] == 2 and top[(2, 1)] == 1
 
 
-def test_sq_constant_dimension_codes_zero(spark):
+def test_sq_all_zero_corpus_codes_zero(spark):
     from etl_data_peri_institute_spark.operators.similarity import sq_int8_codes
 
     df = spark.createDataFrame(
-        [(1, [5.0, 1.0]), (2, [5.0, 2.0])],
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
     codes = {r["id"]: r["codes"] for r in sq_int8_codes(df).collect()}
-    # dim 0 is constant across the corpus: mx == mn → code 0, not NULL/NaN
-    assert codes[1][0] == 0 and codes[2][0] == 0
+    # degenerate all-zero corpus: gmax == 0 → code 0, not NULL/NaN
+    assert codes[1] == [0, 0] and codes[2] == [0, 0]
 
 
 def test_containment_pairs_detects_near_subset(spark):
@@ -380,3 +381,47 @@ def test_containment_equal_sizes_keeps_lower_id_as_subset(spark):
     )
     r = containment_pairs(word_shingles(df), min_containment=0.8).collect()[0]
     assert (r["subset_id"], r["superset_id"]) == (4, 7)
+
+
+def test_sq_topk_recall_vs_exact_on_testdata(spark):
+    """The int8-quantized ranking must track the exact ranking OF ITS
+    OWN METRIC (inner product — SQ over raw vectors approximates MIPS)
+    on the real embedding distribution: SQ top-1 agrees with the exact
+    float-dot top-1 for most queries, and the exact top-1 always sits in
+    the SQ top-5. The cosine top-1 (a different metric when norms vary)
+    must still be recalled by the SQ top-5."""
+    from etl_data_peri_institute_spark.operators.similarity import (
+        knn_bruteforce,
+        sq_int8_codes,
+        sq_int8_topk,
+    )
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    exact_dot1 = {}
+    for q in range(20):
+        best = max(
+            ((nid, sum(a * b for a, b in zip(vecs[q], v))) for nid, v in vecs.items() if nid != q),
+            key=lambda t: (t[1], -t[0]),
+        )
+        exact_dot1[q] = best[0]
+    codes = sq_int8_codes(emb)
+    sq = sq_int8_topk(codes, codes.filter(F.col("id") < 20), k=5).collect()
+    sq5: dict = {}
+    sq1 = {}
+    for r in sq:
+        sq5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["rank"] == 1:
+            sq1[r["query_id"]] = r["neighbor_id"]
+    assert set(exact_dot1) == set(sq5)
+    dot_recall5 = sum(exact_dot1[q] in sq5[q] for q in exact_dot1) / len(exact_dot1)
+    dot_recall1 = sum(exact_dot1[q] == sq1[q] for q in exact_dot1) / len(exact_dot1)
+    assert dot_recall5 == 1.0, f"exact-dot top-1 missing from SQ top-5: {dot_recall5}"
+    assert dot_recall1 >= 0.8, f"SQ top-1 vs exact-dot too low: {dot_recall1}"
+    cos1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_bruteforce(emb, emb.filter(F.col("vec_id") < 20), k=1).collect()
+    }
+    cos_recall5 = sum(cos1[q] in sq5[q] for q in cos1) / len(cos1)
+    assert cos_recall5 == 1.0, f"cosine top-1 missing from SQ top-5: {cos_recall5}"
