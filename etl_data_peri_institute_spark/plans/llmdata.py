@@ -917,3 +917,82 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         F.round("containment", 4).alias("containment"),
     ).orderBy("subset_id", "superset_id")
+
+
+@query(
+    "d_simhash_hamming_pairs",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {votes} FROM tokens GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes),
+    bands AS (
+      SELECT doc_id, fp, b AS band,
+             CAST(floor(fp / power(16, b)) AS BIGINT) % 16 AS nib
+      FROM fps, UNNEST([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a, b.doc_id AS doc_b, b.fp AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """.format(votes=_simhash_sql()[0], fp=_simhash_sql()[1]),
+)
+def d_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT hamming-≤3 SimHash pairs without the O(n²) compare: split
+    the 16-bit fingerprint into 4 nibble bands — by pigeonhole, any two
+    fingerprints within hamming distance 3 share at least one untouched
+    band, so the (band, nibble) self-join proposes a candidate superset
+    and bit_count(xor) verifies exactly. The standard scale recipe for
+    SimHash pairing (Manku et al.'s rotated-table scheme, banded);
+    production widens to 64 bits / 8 bands with xxhash64 fingerprints.
+
+    Integer arithmetic end-to-end — fingerprints, nibbles, xor popcount
+    — so cross-engine parity needs no rounding discipline. Scale shape:
+    one fingerprint aggregate (token-keyed, map-side combined), one
+    narrow 4×-exploded band shuffle, candidate buckets bounded by band
+    selectivity (16 values × band count), one integer verify per
+    candidate."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    votes = ", ".join(
+        f"sum(CASE WHEN (shiftright(v, {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
+    )
+    return spark.sql(
+        f"""
+        WITH tokens AS (
+          SELECT doc_id,
+                 CAST(conv(substr(md5(word), 1, 4), 16, 10) AS BIGINT) AS v
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
+        ),
+        votes AS (
+          SELECT doc_id, {votes} FROM tokens GROUP BY doc_id
+        ),
+        fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes),
+        bands AS (
+          SELECT doc_id, fp, b AS band,
+                 CAST(shiftright(fp, 4 * b) AS BIGINT) % 16 AS nib
+          FROM fps LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+                          b.doc_id AS doc_b, b.fp AS fp_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(fp_a ^ fp_b) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(fp_a ^ fp_b) <= 3
+        ORDER BY doc_a, doc_b
+        """
+    )
