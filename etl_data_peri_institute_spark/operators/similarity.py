@@ -525,3 +525,57 @@ def sq_int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def ivf_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN stack, composed: IVF coarse probing bounds the
+    candidate set (per-query work = probed-list size, not corpus size),
+    then int8 SQ integer dots rank the candidates (4× less memory
+    traffic per candidate than float re-rank, and exactly
+    reproducible). ``codes`` must come from sq_int8_codes over the SAME
+    corpus so query and corpus codes share one calibration — quantizing
+    the query set separately would rank in a different code space.
+
+    Output (query_id, rank, neighbor_id, dot). FAISS calls this
+    IVF-SQ8; the float exact-cosine variant is ivf_topk (higher
+    per-candidate cost, no quantization error — the recall/cost dial is
+    n_probe there, n_probe AND code width here)."""
+    lists = top_centroids(corpus, cents, 1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "c_label"
+    )
+    probes = top_centroids(queries, cents, n_probe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), "c_label"
+    )
+    cand = (
+        probes.join(lists, "c_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qc = codes.select(F.col("id").alias("query_id"), F.col("codes").alias("__q"))
+    cc = codes.select(F.col("id").alias("neighbor_id"), F.col("codes").alias("__c"))
+    dot = F.aggregate(
+        F.zip_with("__q", "__c", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        cand.join(qc, "query_id")
+        .join(cc, "neighbor_id")
+        .select("query_id", "neighbor_id", dot.alias("dot"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )

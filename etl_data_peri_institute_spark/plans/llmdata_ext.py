@@ -1254,3 +1254,79 @@ def b_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("shard").cast("int").alias("shard"), "n_docs", "total_chars", "min_hash", "max_hash")
         .orderBy("shard")
     )
+
+
+@query(
+    "e_ivf_sq_topk",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY label, pos
+    ),
+    cdots AS (
+      SELECT p.vec_id, c.c_label,
+             sum(p.val * c.cval) AS dot,
+             sqrt(sum(p.val * p.val)) AS vn,
+             sqrt(sum(c.cval * c.cval)) AS cn
+      FROM pos p JOIN centroids c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.c_label
+    ),
+    ranked AS (
+      SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / (vn * cn) DESC, c_label) AS rn
+      FROM cdots
+    ),
+    lists AS (SELECT vec_id AS neighbor_id, c_label FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c_label FROM ranked WHERE rn <= 2 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l ON p.c_label = l.c_label
+      WHERE l.neighbor_id <> p.query_id
+    ),
+    stats AS (SELECT max(abs(val)) AS gmax FROM pos),
+    codes AS (
+      SELECT vec_id, p.pos,
+             CASE WHEN s.gmax = 0 THEN 0
+                  ELSE CAST(round(p.val * 127.0 / s.gmax) AS INT)
+             END AS code
+      FROM pos p CROSS JOIN stats s
+    ),
+    qdots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(sum(CAST(a.code AS BIGINT) * b.code) AS BIGINT) AS dot
+      FROM cand c
+      JOIN codes a ON a.vec_id = c.query_id
+      JOIN codes b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, dot
+    FROM (SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM qdots) t
+    WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def e_ivf_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack composed end-to-end (FAISS IVF-SQ8
+    shape): IVF coarse probing bounds per-query work to the probed
+    lists, int8 symmetric SQ codes rank the candidates with exact
+    integer dots (operators/similarity.py:ivf_sq_topk). One corpus
+    calibration, one corpus list-build pass, candidates shuffled on the
+    list label — the per-candidate re-rank touches 4× less data than
+    the float variant (e_ivf_topk) and its ranking is bit-for-bit
+    reproducible across engines."""
+    from ..operators.similarity import centroids_by, ivf_sq_topk, sq_int8_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_by(emb, "label").localCheckpoint(eager=False)
+    codes = sq_int8_codes(emb).localCheckpoint(eager=False)
+    out = ivf_sq_topk(emb, emb.filter(F.col("vec_id") < 5), cents, codes, k=3, n_probe=2)
+    return out.orderBy("query_id", "rank")
