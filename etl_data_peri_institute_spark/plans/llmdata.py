@@ -952,7 +952,12 @@ def d_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, so the (band, nibble) self-join proposes a candidate superset
     and bit_count(xor) verifies exactly. The standard scale recipe for
     SimHash pairing (Manku et al.'s rotated-table scheme, banded);
-    production widens to 64 bits / 8 bands with xxhash64 fingerprints.
+    production MUST widen to 64 bits / 8 bands (xxhash64 fingerprints):
+    the scale probe measured that at 500k docs the 16-bit space is ~8
+    docs dense per exact code, so the hamming-≤3 PAIR SET itself grows
+    quadratically — resolution has to grow with corpus size for the
+    output (not the plan) to stay near-linear. 16 bits here is the
+    cross-engine parity pin (DuckDB-portable integer arithmetic).
 
     Integer arithmetic end-to-end — fingerprints, nibbles, xor popcount
     — so cross-engine parity needs no rounding discipline. Scale shape:
