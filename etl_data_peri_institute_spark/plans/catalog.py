@@ -151,6 +151,19 @@ _VERIFY_FIRST: list[str] = [
     "q20_excess_inventory_suppliers",
     "q13_order_count_distribution",
 ]
+# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from the next CORRECTNESS
+# artifact when it lands): every name above that received a green row
+# drops out; the round-4 additions (j_fuzzy_join_blocked,
+# j_fuzzy_resolve_rows, t_inverted_index, t_gopher_quality_rules,
+# b_weighted_sample, f_winsorized_stats, t_doc_perplexity,
+# g_pagerank_suppliers, b_conversion_funnel, a_robust_outliers,
+# f_equidepth_histogram) and round-5 additions (e_sq_int8_topk,
+# ts_interpolate_linear, d_cluster_representative, f_max_by_min_by,
+# d_containment_pairs, w_activity_streaks, b_shard_manifest,
+# d_simhash_hamming_pairs, e_ivf_sq_topk) — all local-strict-pass only
+# — take the freed slots, riskiest determinism patterns first
+# (g_pagerank's rounded-double ordering, t_doc_perplexity's float
+# cross-entropy, f_winsorized_stats, ts_interpolate_linear's blend).
 
 
 def load_all() -> None:
