@@ -1001,3 +1001,86 @@ def d_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_a, doc_b
         """
     )
+
+
+@query(
+    "t_shingle_novelty",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty
+    FROM shingles s JOIN firsts f ON f.sh = s.sh
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def t_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty scoring: per document, the fraction of its 3-gram
+    shingles whose FIRST appearance (lowest doc_id — ingestion order)
+    is this document. The diversity/redundancy metric a training-data
+    pipeline tracks alongside dedup: a crawl whose novelty curve decays
+    is re-crawling itself. Novelty 1.0 = entirely new content;
+    0.0 = everything seen before.
+
+    Scale shape: one shingle-keyed groupBy for first-appearance (map-
+    side combined min), one join back on the shingle, one doc-keyed
+    reduction — all narrow frames; the ratio is exact-integer / exact-
+    integer, rounded identically on both engines."""
+    from ..operators.dedup import word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / F.count("*"), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "b_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes,
+           round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 4)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def b_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the partition-level health
+    report a crawl pipeline emits before spending near-dup compute:
+    a source whose dup_rate jumps is re-serving cached pages. One
+    groupBy on source with a distinct-hash count (hash first — the
+    128-bit md5 shuffles instead of the full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(h).alias("n_distinct"),
+            (F.count("*") - F.countDistinct(h)).alias("n_dupes"),
+            F.round((F.count("*") - F.countDistinct(h)) / F.count("*"), 4).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -357,3 +357,33 @@ def test_interpolation_windows_share_one_shuffle(spark):
     plan = _plan(spark, "ts_interpolate_linear")
     spine_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
     assert spine_exchanges <= 3, f"expected <=3 user_id exchanges, got {spine_exchanges}"
+
+
+def test_round5_late_plans_no_cartesian_no_forced_broadcast(spark):
+    """The simhash band self-join, IVF-SQ candidate join, novelty
+    join-back, and shard window must stay equi-keyed with no forced
+    broadcasts of data-sized frames. e_ivf_sq_topk is exempt from the
+    hint check: its only hints are the k×dim centroid table and the
+    1-row SQ calibration scalar — bounded frames, not data-sized (the
+    same exemption as d_embedding_neardup's hyperplane matrix)."""
+    for name in [
+        "d_simhash_hamming_pairs",
+        "e_ivf_sq_topk",
+        "t_shingle_novelty",
+        "b_dedup_rate_by_source",
+        "d_containment_pairs",
+        "w_activity_streaks",
+        "b_shard_manifest",
+    ]:
+        assert "CartesianProduct" not in _plan(spark, name), name
+    for name in [
+        "d_simhash_hamming_pairs",
+        "t_shingle_novelty",
+        "b_dedup_rate_by_source",
+        "d_containment_pairs",
+        "w_activity_streaks",
+        "b_shard_manifest",
+    ]:
+        df = catalog.QUERIES[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
