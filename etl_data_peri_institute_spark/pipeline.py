@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from datetime import date, timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.integrity import (
@@ -156,6 +156,23 @@ def run_pipeline(
     todays_raw.unpersist()
     matriculas.unpersist()
     return result
+
+
+def observed_stage(
+    df: DataFrame, name: str, metrics: dict[str, "F.Column"]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach free single-pass metrics to a pipeline stage via Spark's
+    Observation API: the named aggregates are computed DURING whatever
+    action first consumes ``df`` — no second scan, unlike the
+    ``.count()``-for-logging pattern, which at 100 TB doubles the read
+    cost of every audited stage. After an action runs, ``obs.get``
+    returns the metric dict.
+
+    Metrics must be aggregate expressions (count/sum/min/max/...);
+    typical stage telemetry is row count + null counts + key bounds.
+    """
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs
 
 
 def _read_grid_csv(path: str) -> Grid:

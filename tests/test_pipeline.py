@@ -182,3 +182,27 @@ def test_store_overwrite_meta_roundtrip(spark, tmp_path):
     store.overwrite(df.withColumn("v", df.v * 2), "t", meta_files={"_LAST_EPOCH": "8"})
     assert store.read_meta("t", "_LAST_EPOCH") == "8"
     assert store.read("t").first()["v"] == 4.0
+
+
+def test_observed_stage_metrics_single_pass(spark):
+    """observed_stage piggybacks stage telemetry on the consuming action
+    — row count, null count, and key bounds arrive without a second
+    scan of the input."""
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.pipeline import observed_stage
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k int, v string"
+    )
+    staged, obs = observed_stage(
+        df,
+        "stage1",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.col("v").isNull().cast("int")),
+            "max_k": F.max("k"),
+        },
+    )
+    assert staged.filter(F.col("k") > 0).count() == 3  # the one action
+    assert obs.get == {"n_rows": 3, "n_null_v": 1, "max_k": 3}

@@ -76,6 +76,8 @@ QUERIES = [
     # must grow with corpus size (64-bit xxhash64 in production, which
     # restores sparsity); the gate query pins 16-bit parity semantics.
     "e_ivf_sq_topk",
+    "t_shingle_novelty",
+    "b_dedup_rate_by_source",
 ]
 
 
