@@ -124,3 +124,77 @@ def asof_join_forward(
     return carried.filter(F.col("__side") == 0).select(
         *lcols, *[f"{c}{suffix}" for c in value_cols]
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """For each left row, attach the TEMPORALLY CLOSEST right row in
+    either direction within the same ``on`` key (ties go backward — the
+    at-or-before match). The sensor-fusion variant of as-of: align a
+    reading with whichever reference sample is nearest, not merely the
+    last one.
+
+    Single-pass composition: ONE tagged union, ONE key-partitioned sort
+    serving BOTH direction windows (last-ignorenulls preceding = 
+    backward carry, first-ignorenulls following = forward carry), then a
+    per-row arithmetic pick. Same cost shape as one as-of join — one
+    shuffle on the key, no second sort, no range explosion.
+
+    Output: all left columns + ``{col}{suffix}`` per value col +
+    ``{suffix}_dir`` ('b'/'f', 'b' when unmatched both ways)."""
+    lcols = left.columns
+    vcols = list(dict.fromkeys([right_time, *value_cols]))
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in vcols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in vcols],
+    )
+    wb = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in vcols
+        ],
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in vcols
+        ],
+    )
+    probes = carried.filter(F.col("__side") == 1)
+    bt = F.col(f"__b_{right_time}")
+    ft = F.col(f"__f_{right_time}")
+    delta_b = F.col("__t").cast("double") - bt.cast("double")
+    delta_f = ft.cast("double") - F.col("__t").cast("double")
+    take_b = ft.isNull() | (bt.isNotNull() & (delta_b <= delta_f))
+    picked = [
+        F.when(take_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    direction = F.when(take_b, F.lit("b")).otherwise(F.lit("f")).alias(f"{suffix}_dir")
+    return probes.select(*lcols, *picked, direction)

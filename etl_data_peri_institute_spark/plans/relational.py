@@ -1029,3 +1029,56 @@ def a_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "j_asof_nearest",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CASE WHEN f.ts IS NULL
+                  OR (b.ts IS NOT NULL
+                      AND epoch(p.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(p.ts))
+                THEN b.ts ELSE f.ts END AS click_ts_nearest,
+           CASE WHEN f.ts IS NULL
+                  OR (b.ts IS NOT NULL
+                      AND epoch(p.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(p.ts))
+                THEN 'b' ELSE 'f' END AS nearest_dir
+    FROM purchases p
+    ASOF LEFT JOIN clicks b ON p.user_id = b.user_id AND p.ts >= b.ts
+    ASOF LEFT JOIN clicks f ON p.user_id = f.user_id AND p.ts <= f.ts
+    ORDER BY p.event_id
+    """,
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the temporally CLOSEST
+    click per user in either direction (ties backward) — the
+    sensor-fusion alignment asof_backward/forward can't express alone.
+    operators/asof.py:asof_join_nearest does both direction carries
+    from ONE tagged union and one key-partitioned sort (same single
+    shuffle as one as-of); the oracle chains DuckDB's two native ASOF
+    directions and picks with the identical epoch arithmetic."""
+    from ..operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_ts_nearest"),
+        F.col("_nearest_dir").alias("nearest_dir"),
+    ).orderBy("event_id")

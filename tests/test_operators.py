@@ -533,3 +533,31 @@ def test_ts_interpolate_linear_hand_checked(spark, tmp_path):
         4: (250000, 0),   # 25.0
         5: (300000, 1),   # observed 30.0
     }
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.operators.asof import asof_join_nearest
+
+    t = lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(50)), (3, "u", t(100)), (4, "v", t(10))],
+        "id long, k string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(7)), ("u", t(52)), ("u", t(90)), ("u", t(110))],
+        "k string, rt timestamp",
+    )
+    out = {
+        r["id"]: (r["rt_nearest"], r["_nearest_dir"])
+        for r in asof_join_nearest(
+            left, right, on="k", left_time="lt", right_time="rt", value_cols=["rt"]
+        ).collect()
+    }
+    assert out[1] == (t(7), "b")     # 3s back vs 42s forward
+    assert out[2] == (t(52), "f")    # 2s forward vs 42s back
+    assert out[3] == (t(90), "b")    # tie (10s both ways) -> backward
+    assert out[4] == (None, "b")     # no match either way
