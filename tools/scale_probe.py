@@ -78,6 +78,7 @@ QUERIES = [
     "e_ivf_sq_topk",
     "t_shingle_novelty",
     "b_dedup_rate_by_source",
+    "j_asof_nearest",
 ]
 
 
