@@ -83,8 +83,18 @@ def connected_components(
                 f"{max_iterations} iterations — graph diameter exceeds the "
                 f"iteration budget; raise max_iterations"
             )
+        # Eagerly checkpoint the converged labels (node-sized — one row per
+        # vertex, two columns) so the returned frame's lineage is a leaf.
+        # Near-dup graphs converge in 2-3 iterations, before the every-4th
+        # in-loop checkpoint fires, so without this the composed dedup plans
+        # (d_dedup_apply, d_cluster_representative, d_embedding_dedup_apply)
+        # inherit the entire LSH candidate derivation into every downstream
+        # join — measured 265 hash exchanges in the static plan vs ~10 after
+        # truncation. Mirrors the final-ranks checkpoint in graph.py.
+        final = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        return final
     finally:
         sym.unpersist()
         if not converged:
             labels.unpersist()
-    return labels
