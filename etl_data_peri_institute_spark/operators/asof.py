@@ -39,12 +39,20 @@ def asof_join_backward(
 
     Output: all left columns + ``{value_col}{suffix}`` for each value col
     (NULL when no earlier right row exists).
+
+    Duplicate-timestamp right rows: when several right rows share the
+    same (key, time), the carried row is the one with the greatest
+    content hash (``xxhash64`` over the value columns) — an arbitrary
+    but RUN-DETERMINISTIC pick; without the tiebreak, ``last`` over the
+    (time, side)-ordered window would depend on engine arrival order.
+    All value columns are carried from the same winning row.
     """
     lcols = left.columns
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
@@ -52,14 +60,16 @@ def asof_join_backward(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
+        F.xxhash64(*[F.col(c) for c in value_cols]).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     # __side 0 (reference) sorts before 1 (probe) at equal __t → backward
-    # as-of includes exact-timestamp matches
+    # as-of includes exact-timestamp matches; __tb makes the pick among
+    # duplicate-timestamp reference rows deterministic
     w = (
         W.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__tb")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = tagged_left.unionByName(tagged_right).select(
@@ -91,12 +101,18 @@ def asof_join_forward(
     at equal timestamps (so exact matches are included) and
     ``first(ignorenulls)`` over a current-row-to-unbounded-FOLLOWING
     frame pulls the nearest future reference value back. Same cost
-    profile: one key shuffle + in-partition sort."""
+    profile: one key shuffle + in-partition sort.
+
+    Duplicate-timestamp right rows: the carried row is the one with the
+    SMALLEST content hash (``first`` over the ascending-ordered
+    following frame) — arbitrary but run-deterministic, mirroring the
+    backward variant's tiebreak."""
     lcols = left.columns
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
@@ -104,14 +120,16 @@ def asof_join_forward(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__side"),
+        F.xxhash64(*[F.col(c) for c in value_cols]).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     # __side 0 (probe) sorts before 1 (reference) at equal __t → forward
-    # as-of includes exact-timestamp matches
+    # as-of includes exact-timestamp matches; __tb makes the pick among
+    # duplicate-timestamp reference rows deterministic
     w = (
         W.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__tb")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     carried = tagged_left.unionByName(tagged_right).select(
@@ -142,10 +160,23 @@ def asof_join_nearest(
     last one.
 
     Single-pass composition: ONE tagged union, ONE key-partitioned sort
-    serving BOTH direction windows (last-ignorenulls preceding = 
+    serving BOTH direction windows (last-ignorenulls preceding =
     backward carry, first-ignorenulls following = forward carry), then a
     per-row arithmetic pick. Same cost shape as one as-of join — one
     shuffle on the key, no second sort, no range explosion.
+
+    Internal carry semantics (matters if you reuse the ``__b_``/``__f_``
+    columns): right rows sort BEFORE probe rows at equal timestamps, so
+    the backward carry is at-or-before (owns exact matches) while the
+    forward carry is STRICTLY-after by construction — the opposite of
+    ``asof_join_forward``'s at-or-after. The nearest result is still
+    correct: an exact match has delta_b == 0 <= delta_f, so the backward
+    side wins the pick.
+
+    Duplicate-timestamp right rows: carried deterministically via a
+    content-hash tiebreak in the window ordering (greatest hash wins
+    backward, smallest wins forward — arbitrary but stable across runs;
+    shared with the backward/forward variants).
 
     Output: all left columns + ``{col}{suffix}`` per value col +
     ``{suffix}_dir`` ('b'/'f', 'b' when unmatched both ways)."""
@@ -155,6 +186,7 @@ def asof_join_nearest(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in vcols],
     )
@@ -162,17 +194,18 @@ def asof_join_nearest(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
+        F.xxhash64(*[F.col(c) for c in vcols]).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__v_{c}") for c in vcols],
     )
     wb = (
         W.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__tb")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wf = (
         W.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__tb")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     carried = tagged_left.unionByName(tagged_right).select(

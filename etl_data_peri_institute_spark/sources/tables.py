@@ -49,9 +49,23 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The NTZ->TimestampType cast below reads the wall-clock in the
-    # session zone; pin UTC so it matches DuckDB's naive timestamps even
-    # under a driver-owned session that didn't go through session.py.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # session zone; the engine needs UTC to match DuckDB's naive
+    # timestamps. session.py pins it at construction; a driver-owned
+    # session that didn't go through session.py may not — set it there
+    # too, but LOUDLY, because changing session.timeZone alters every
+    # subsequent timestamp parse/format in that session, not just this
+    # read.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        import warnings
+
+        warnings.warn(
+            "load_table: overriding spark.sql.session.timeZone -> UTC "
+            "(required for NTZ timestamp normalization; affects the whole "
+            "session — construct sessions via session.get_spark to pin it "
+            "up front)",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col] if col in df.columns else None

@@ -35,6 +35,47 @@ def test_asof_backward_basic(spark):
     assert out == {1: "a", 2: "b", 3: None}
 
 
+def test_asof_duplicate_timestamp_tiebreak_deterministic(spark):
+    """Several right rows at the same (key, time): the carried row is the
+    content-hash winner — stable across runs/partitionings, and ALL value
+    columns come from the same winning row (no column-wise mixing)."""
+    from etl_data_peri_institute_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame([(1, "u", 150)], "id int, k string, t int")
+    dup_rows = [("u", 100, "a", 10), ("u", 100, "b", 20), ("u", 100, "c", 30)]
+    expected = {}
+    for fn, suffix in (
+        (asof_join_backward, "_asof"),
+        (asof_join_forward, "_asof"),
+        (asof_join_nearest, "_nearest"),
+    ):
+        picks = set()
+        for perm in (dup_rows, dup_rows[::-1], [dup_rows[1], dup_rows[2], dup_rows[0]]):
+            right = spark.createDataFrame(
+                perm, "k string, rt int, val string, num int"
+            ).repartition(3)
+            if fn is asof_join_forward:
+                # forward needs a future row; shift probe before the dups
+                probe = spark.createDataFrame([(1, "u", 50)], "id int, k string, t int")
+            else:
+                probe = left
+            row = fn(
+                probe, right, on="k", left_time="t", right_time="rt",
+                value_cols=["val", "num"],
+            ).collect()[0]
+            # both carried columns must come from one physical row
+            assert {("a", 10), ("b", 20), ("c", 30)} >= {
+                (row[f"val{suffix}"], row[f"num{suffix}"])
+            }
+            picks.add((row[f"val{suffix}"], row[f"num{suffix}"]))
+        # same winner regardless of input order/partitioning
+        assert len(picks) == 1, picks
+        expected[fn.__name__] = picks.pop()
+
+
 def test_multimodal_payload_and_fake_decode(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id long, text string")
     mm = attach_binary_payload(docs)
