@@ -122,12 +122,19 @@ def shingle_intersections(
     Single-pipeline shape (round-3 rework): the per-doc set size |A|
     rides along as a window count over ``id`` instead of a separate
     counts frame, so the (capped) shingle frame feeds exactly TWO
-    consumers — the two self-join sides — whose subplans are identical,
-    and Spark's ReusedExchange serves both from ONE shuffle write.
-    The old shape (separate counts frame + two count-joins) scanned the
-    shingle derivation three times and joined twice more; this one
-    needs no persist/cache to be single-scan, so there is no cache
-    lifecycle to manage at any scale.
+    consumers — the two self-join sides — whose subplans are identical.
+    When both sides shuffle (the at-scale shape), AQE's runtime stage
+    cache serves BOTH from ONE shuffle write — the final adaptive plan
+    shows the second side as a ReusedExchange of the first
+    (pinned by ``test_shingle_intersections_single_scan_when_both_sides
+    _shuffle``; the reuse is a runtime decision, not visible in the
+    initial plan). At small inputs the stats-based planner instead
+    broadcasts the second side, re-running the (tiny) derivation —
+    cheaper there than a shuffle, and irrelevant at scale. The old
+    shape (separate counts frame + two count-joins) scanned the shingle
+    derivation three times and joined twice more; this one needs no
+    persist/cache to be single-scan, so there is no cache lifecycle to
+    manage at any scale.
     """
     if max_doc_freq is not None:
         # input contract is set semantics (distinct (id, sh) rows — see

@@ -387,3 +387,34 @@ def test_round5_late_plans_no_cartesian_no_forced_broadcast(spark):
         df = catalog.QUERIES[name].fn(spark, SF)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, name
+
+
+def test_shingle_intersections_single_scan_when_both_sides_shuffle(spark):
+    """Pin the single-pipeline claim in shingle_intersections' docstring:
+    when neither self-join side qualifies for broadcast, the two sides'
+    identical subplans must be served by ONE shuffle write (ReusedExchange)
+    — i.e. the shingle derivation is scanned once, not twice. At small SF
+    the stats-based planner instead broadcasts the second side (re-running
+    the derivation — acceptable there, it's tiny); disabling auto-broadcast
+    reproduces the at-scale shape where the claim must hold."""
+    from etl_data_peri_institute_spark.operators.dedup import (
+        shingle_intersections,
+        word_shingles,
+    )
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, SF, "documents")
+        sh = word_shingles(docs)
+        df = shingle_intersections(sh, max_doc_freq=None)
+        # the reuse is an AQE RUNTIME stage-cache decision (the initial
+        # plan shows two identical arms; materialization dedups them), so
+        # execute this queryExecution and assert on the final plan
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "ReusedExchange" in plan, "second self-join side was not served from the first side's shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
