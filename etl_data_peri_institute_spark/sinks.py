@@ -28,6 +28,7 @@ import tempfile
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -392,4 +393,63 @@ def jdbc_upsert_sql(table: str, staging: str, pk: str, cols: list[str]) -> str:
         f"INSERT INTO {table} ({col_list}) "
         f"SELECT {col_list} FROM {staging} "
         f"ON CONFLICT ({pk}) DO UPDATE SET {updates}"
+    )
+
+
+def write_sharded_corpus(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    hash_col: str = "shard_hash",
+) -> None:
+    """Production write path behind ``b_shard_manifest``'s semantics:
+    export a corpus as ``n_shards`` contiguous hash-range shards that a
+    training loader can address deterministically.
+
+    The gate query (plans/llmdata_ext.py, b_shard_manifest) pins the
+    ASSIGNMENT SEMANTICS with an exact global-window ntile — fine as a
+    correctness oracle, unusable as a write path (a single-partition
+    global sort). This is the distributed equivalent:
+    ``repartitionByRange(n_shards, hash, key)`` lets Spark's sampled
+    range partitioner pick the boundaries (reservoir sample of the keys,
+    no global sort stage), then each partition writes one file. Shards
+    are still CONTIGUOUS and non-overlapping in hash space — the same
+    layout contract — but boundary placement is sample-balanced rather
+    than exact-ntile, which is what you want at 100 TB: no stage ever
+    holds the global order.
+
+    The content-independent md5(key) hash rides along in the output as
+    ``hash_col`` so a reader can verify shard membership without
+    recomputing it.
+    """
+    sharded_frame(df, n_shards, key_col, hash_col).write.mode("overwrite").parquet(out_dir)
+
+
+def sharded_frame(
+    df: DataFrame, n_shards: int, key_col: str, hash_col: str = "shard_hash"
+) -> DataFrame:
+    """The pre-write frame of ``write_sharded_corpus`` — exposed so the
+    layout test can pin its plan shape (rangepartitioning, NO global
+    window stage)."""
+    hk = F.md5(F.col(key_col).cast("string")).alias(hash_col)
+    return df.select("*", hk).repartitionByRange(
+        n_shards, F.col(hash_col), F.col(key_col)
+    )
+
+
+def sharded_corpus_manifest(spark: SparkSession, out_dir: str, hash_col: str = "shard_hash") -> DataFrame:
+    """Manifest over a ``write_sharded_corpus`` output: one row per
+    shard file with its row count and hash-range boundaries — what a
+    loader consumes to address shards. Metadata-scale output (one row
+    per file); computed distributed via ``input_file_name``."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(hash_col).alias("min_hash"),
+            F.max(hash_col).alias("max_hash"),
+        )
+        .orderBy("min_hash")
     )

@@ -602,3 +602,33 @@ def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
     assert out[2] == (t(52), "f")    # 2s forward vs 42s back
     assert out[3] == (t(90), "b")    # tie (10s both ways) -> backward
     assert out[4] == (None, "b")     # no match either way
+
+
+def test_sharded_corpus_write_path_layout(spark, tmp_path):
+    """The production shard write path (repartitionByRange → write): no
+    global-window stage in the plan, N files, and the written files'
+    hash ranges are contiguous and non-overlapping — the layout contract
+    b_shard_manifest's exact-ntile gate query pins semantically."""
+    from etl_data_peri_institute_spark.sinks import (
+        sharded_corpus_manifest,
+        sharded_frame,
+        write_sharded_corpus,
+    )
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_in = docs.count()
+
+    # plan shape: sampled range partitioner, no Window (no global ntile)
+    plan = sharded_frame(docs, 4, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "Window" not in plan
+
+    out = str(tmp_path / "shards")
+    write_sharded_corpus(docs, out, n_shards=4, key_col="doc_id")
+    manifest = sharded_corpus_manifest(spark, out).collect()
+    assert 1 <= len(manifest) <= 4
+    assert sum(r["n_docs"] for r in manifest) == n_in
+    # contiguous, non-overlapping hash ranges in manifest (sorted) order
+    for prev, cur in zip(manifest, manifest[1:]):
+        assert prev["max_hash"] <= cur["min_hash"], (prev, cur)
