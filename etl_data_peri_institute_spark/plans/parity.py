@@ -491,3 +491,122 @@ def p_phone_country(spark: SparkSession, sf_dir: str) -> DataFrame:
         info.getField("pais").alias("pais"),
         info.getField("numero_e164").alias("numero_e164"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# O1 end-to-end DAG gate: the ONE query that exercises the actual pipeline
+# (grid ingest → transforms → FK/dedup/required-null integrity → sinks) as a
+# driver-verifiable row, not just pytest coverage. The fixture grids ship as
+# CSVs inside the package (data/grids/, round-trip-pinned against
+# tests/fixtures.py) so the DuckDB oracle reads the SAME raw cells.
+_GRID_DIR = __import__("pathlib").Path(__file__).resolve().parents[1] / "data" / "grids"
+
+_PIPELINE_E2E_ORACLE = f"""
+WITH est AS (
+  SELECT column0 AS cod
+  FROM read_csv('{_GRID_DIR}/estudiantes.csv', header=false, skip=2, all_varchar=true)
+  WHERE column0 <> ''
+),
+cur AS (
+  SELECT column0 AS cod
+  FROM read_csv('{_GRID_DIR}/cursos.csv', header=false, skip=2, all_varchar=true)
+  WHERE column0 <> ''
+),
+mraw AS (
+  SELECT c00 AS ts, c01 AS cod, c02 AS cursos, c04 AS fecha_primera,
+         c06 AS est_cod, c07 AS monto, c08 AS primera
+  FROM read_csv('{_GRID_DIR}/matriculas.csv', header=false, skip=3, all_varchar=true,
+                names=['c00','c01','c02','c03','c04','c05','c06','c07','c08','c09','c10','c11'])
+),
+mday AS (
+  SELECT * FROM mraw
+  WHERE CAST(strptime(ts, '%d/%m/%Y %H:%M:%S') AS DATE) = DATE '2024-03-14'
+),
+-- keep-LAST dedup: the engine keeps the highest ingest row index per PK;
+-- in these grids row order == timestamp order, so max-ts picks that row
+mlast AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cod ORDER BY strptime(ts, '%d/%m/%Y %H:%M:%S') DESC
+  ) AS r
+  FROM mday
+),
+mded AS (SELECT * FROM mlast WHERE r = 1 AND split_part(cursos, ' ', 1) LIKE 'P%'),
+mvalid AS (SELECT * FROM mded WHERE est_cod IN (SELECT cod FROM est)),
+pprim AS (
+  SELECT cod, COALESCE(TRY_CAST(primera AS DOUBLE), 0) AS monto, fecha_primera AS fecha
+  FROM mday WHERE cod IN (SELECT cod FROM mvalid)
+),
+praw AS (
+  SELECT column0 AS ts, column1 AS cod, column2 AS monto, column5 AS fecha
+  FROM read_csv('{_GRID_DIR}/pagos.csv', header=false, skip=6, all_varchar=true)
+),
+pday AS (
+  SELECT * FROM praw
+  WHERE CAST(strptime(ts, '%d/%m/%Y %H:%M:%S') AS DATE) = DATE '2024-03-14'
+),
+preg AS (
+  SELECT cod, COALESCE(TRY_CAST(monto AS DOUBLE), 0) AS monto, fecha
+  FROM pday WHERE cod IN (SELECT cod FROM mvalid)
+),
+pall AS (SELECT * FROM pprim UNION ALL SELECT * FROM preg),
+pfk AS (SELECT * FROM pall WHERE cod IN (SELECT cod FROM mvalid)),
+pok AS (SELECT * FROM pfk WHERE fecha IS NOT NULL AND fecha <> '')
+SELECT 'cursos' AS tbl, CAST(count(DISTINCT cod) AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS monto_cents FROM cur
+UNION ALL
+SELECT 'estudiantes', CAST(count(DISTINCT cod) AS BIGINT), CAST(NULL AS BIGINT) FROM est
+UNION ALL
+SELECT 'matriculas', CAST(count(*) AS BIGINT),
+       CAST(sum(round(COALESCE(TRY_CAST(monto AS DOUBLE), 0) * 100)) AS BIGINT) FROM mvalid
+UNION ALL
+SELECT 'pagos', CAST(count(*) AS BIGINT),
+       CAST(sum(round(monto * 100)) AS BIGINT) FROM pok
+ORDER BY tbl
+"""
+
+
+@query("p_pipeline_e2e", oracle=_PIPELINE_E2E_ORACLE)
+def p_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: the full daily DAG as one driver row (reference run_pipeline,
+    etl/pipeline.py:27-253) — grid CSVs → ingest (header offsets 2/3/6,
+    repair, empty-row drop) → five shaping transforms → keep-last dedup →
+    prefix filter → FK semi/anti splits with audits → required-null split
+    → UPSERT masters + INSERT transactionals — then a per-table summary
+    (row count + exact integer-cents money mass) read back from the
+    stored tables. The DuckDB oracle recomputes the same summary from the
+    SAME raw CSV cells independently.
+
+    The pipeline is an orchestration operator: it runs eagerly into a
+    fresh throwaway store per invocation (tempdir; a few KB — the gate
+    fixture is small by design, the operators inside are the scale-tested
+    ones)."""
+    import tempfile
+
+    from ..pipeline import _read_grid_csv, run_pipeline
+    from ..sinks import ParquetStore
+
+    grids = {
+        n: _read_grid_csv(str(_GRID_DIR / f"{n}.csv"))
+        for n in ("cursos", "estudiantes", "matriculas", "pagos")
+    }
+    store = ParquetStore(spark, tempfile.mkdtemp(prefix="p_pipeline_e2e_"))
+    run_pipeline(spark, grids, store, target_date="2024-03-14")
+
+    def summ(name: str, monto_col: str | None = None) -> DataFrame:
+        df = store.read(name)
+        cents = (
+            F.sum(F.round(F.col(monto_col) * 100)).cast("bigint")
+            if monto_col
+            else F.first(F.lit(None).cast("bigint"))
+        )
+        return df.agg(
+            F.count("*").alias("n_rows"), cents.alias("monto_cents")
+        ).select(F.lit(name).alias("tbl"), "n_rows", "monto_cents")
+
+    out = (
+        summ("cursos")
+        .unionByName(summ("estudiantes"))
+        .unionByName(summ("matriculas", "valor_matricula"))
+        .unionByName(summ("pagos", "monto_pago"))
+    )
+    return out.orderBy("tbl")

@@ -206,3 +206,19 @@ def test_observed_stage_metrics_single_pass(spark):
     )
     assert staged.filter(F.col("k") > 0).count() == 3  # the one action
     assert obs.get == {"n_rows": 3, "n_null_v": 1, "max_k": 3}
+
+
+def test_packaged_grid_csvs_match_fixtures():
+    """The packaged grid CSVs (consumed by the p_pipeline_e2e gate query
+    AND its DuckDB oracle) must stay cell-identical to the canonical
+    fixtures — otherwise the driver row and pytest cover different data."""
+    import csv
+    from pathlib import Path
+
+    import etl_data_peri_institute_spark as pkg
+
+    grid_dir = Path(pkg.__file__).parent / "data" / "grids"
+    for name, grid in ALL_GRIDS.items():
+        with open(grid_dir / f"{name}.csv", newline="") as fh:
+            on_disk = [list(row) for row in csv.reader(fh)]
+        assert on_disk == grid, name
