@@ -61,81 +61,38 @@ def query(name: str, oracle: str | None = None):
 # covers the new code) — are listed here FIRST; everything else keeps
 # its evidence from a prior round's artifact. Re-derive each round from
 # the latest CORRECTNESS_r{N}.json.
-# ROUND-3 STATE: positions 1-13 are the TPC-H queries whose money
-# outputs were rewritten to exact scaled integers this round (q10 was
-# round 2's driver hash FAIL; the other 12 changed schema, so their
-# r01/r02 green rows are stale). Positions 14-45 are the 32 names with
-# no driver row in CORRECTNESS_r01 or _r02 (computed from the artifacts,
-# not by hand). Positions 46-50 are the 5 round-3 additions with the
-# riskiest determinism patterns; the rest of the round-3 additions and
-# the plan-only changes sit past the window (see the inline comments).
+# ROUND-4 STATE: CORRECTNESS_r03 was 50/50 green, so all 50 r03 names
+# drop out. Positions 1-32 are the complete never-driver-verified list
+# (union of r01/r02/r03 greens vs the 165-query registry); position 33+
+# are this round's new operators; the remainder backfills the 50-row
+# window with r01-only-evidence names, oldest first.
 _VERIFY_FIRST: list[str] = [
-    # TPC-H money-output rewrite (13 — results re-keyed to exact integers)
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q15_top_supplier",
-    # never driver-verified (32 — r01 window overflow + round-2 additions)
-    "a_bool_aggs",
-    "j_cross_join",
-    "u_scalar_pandas_softsign",
-    "b_sessionize",
-    "b_rfm_segmentation",
-    "f_histogram_width_bucket",
-    "f_datetime_math",
-    "f_variant_json",
-    "d_embedding_neardup",
-    "d_pack_sequences",
-    "b_stratified_sample",
-    "a_heavy_hitters",
-    "e_ivf_topk",
-    "p_scd2_fold",
-    "t_tfidf",
-    "a_corr_matrix",
-    "p_snapshot_diff",
-    "a_profile_columns",
-    "d_chunk_dedup",
-    "t_bigram_lm",
-    "t_filter_funnel",
-    "p_data_contract_report",
-    "d_embedding_dedup_apply",
-    "j_recursive_cte",
-    "j_null_safe_join",
-    "j_interval_overlap",
-    "j_asof_forward",
-    "j_lateral_topk",
-    "st_stream_dedup",
-    "st_stream_stream_join",
-    "ts_gap_fill_ffill",
-    "ts_ohlc_hourly",
-    # new this round — the driver window is EXACTLY 50 rows and the 45
-    # entries above are non-negotiable (13 re-keyed outputs + the 32 the
-    # round-2 verdict requires rows for), so only 5 of the 10 round-3
-    # additions fit. These 5 carry the riskiest cross-engine determinism
-    # patterns (percentile_cont interpolation, percent_rank windows, the
-    # Arrow UDTF surface, the EXISTS-as-window-counts collapse, the
-    # 1-row-broadcast integer-threshold compare) — verify them first:
-    "a_median_percentiles",
-    "t_quality_percentile_filter",
-    "u_udtf_chunk_documents",
-    "q21_waiting_supplier_shape",
-    "q11_important_stock",
-    # --- driver window ends here (position 50) ---
-    # Deferred to the round-4 window (local-strict-pass only this round;
-    # their determinism patterns all have driver-green precedents:
-    # q2/q9 use the same exact-integer money discipline as the 13 above,
-    # b_grouped_split/d_incremental_dedup use b_hash_sample's md5-hex
-    # pattern (driver-green r01), b_temperature_mixture uses
-    # b_stratified_sample's rate pattern (in the 32 above)):
+    # ---- the 32 names with NO driver row in r01/r02/r03 (computed from
+    # the artifacts; this is the round-3 verdict's "never verified" list,
+    # complete). Riskiest cross-engine determinism patterns first:
+    "g_pagerank_suppliers",     # rounded-double rank ordering
+    "t_doc_perplexity",         # float cross-entropy accumulation
+    "f_winsorized_stats",       # percentile clamp + float means
+    "ts_interpolate_linear",    # fractional blend between spine points
+    "d_simhash_hamming_pairs",  # nibble-band LSH + xor-popcount verify
+    "e_ivf_sq_topk",            # float centroid scores pick probed lists (ADVICE)
+    "e_sq_int8_topk",           # int8 quantization boundary rounding
+    "j_asof_nearest",           # CHANGED r4: deterministic dup-ts tiebreak added
+    "w_activity_streaks",
+    "f_equidepth_histogram",
+    "a_robust_outliers",
+    "f_max_by_min_by",
+    "d_containment_pairs",
+    "d_cluster_representative", # plan changed r4 (CC checkpoint); output same
+    "t_shingle_novelty",
+    "b_dedup_rate_by_source",
+    "b_shard_manifest",
+    "t_inverted_index",
+    "t_gopher_quality_rules",
+    "b_weighted_sample",
+    "b_conversion_funnel",
+    "j_fuzzy_join_blocked",
+    "j_fuzzy_resolve_rows",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "b_grouped_split",
@@ -143,27 +100,41 @@ _VERIFY_FIRST: list[str] = [
     "b_temperature_mixture",
     "f_try_arithmetic",
     "u_arrow_batch_stats",
-    # plan-only changes round 3 (hint removal / filter reorder — outputs
-    # identical to their driver-green r01/r02 rows):
+    "m_multimodal_features",    # rows-only by design (media features)
+    "a_approx_sketches",        # rows-only by design (sketch estimates)
+    # ---- round-4 additions (driver row needed for each new operator)
+    "p_pipeline_e2e",
+    # ---- backfill to the 50-row window: oldest evidence first (r01-only
+    # greens); the two CC-composed queries lead because their PLAN changed
+    # this round (outputs identical, re-verification is cheap insurance)
+    "d_dedup_components",
+    "d_dedup_apply",
+    "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_exact_dedup",
+    "e_knn_bruteforce",
+    "e_ivf_assign",
+    "e_lsh_buckets",
+    "t_quality_score",
+    "t_langid",
+    "t_fingerprint",
+    "b_hash_sample",
+    "u_grouped_zscore_pandas",
+    "a_salted_skew_agg",
+    "a_exact_percentile",
     "w_topk_orders_per_customer",
-    "st_stream_static_join",
-    "q16_supplier_part_counts",
-    "q20_excess_inventory_suppliers",
-    "q13_order_count_distribution",
+    "p_keep_last_dedup",
 ]
-# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from the next CORRECTNESS
-# artifact when it lands): every name above that received a green row
-# drops out; the round-4 additions (j_fuzzy_join_blocked,
-# j_fuzzy_resolve_rows, t_inverted_index, t_gopher_quality_rules,
-# b_weighted_sample, f_winsorized_stats, t_doc_perplexity,
-# g_pagerank_suppliers, b_conversion_funnel, a_robust_outliers,
-# f_equidepth_histogram) and round-5 additions (e_sq_int8_topk,
-# ts_interpolate_linear, d_cluster_representative, f_max_by_min_by,
-# d_containment_pairs, w_activity_streaks, b_shard_manifest,
-# d_simhash_hamming_pairs, e_ivf_sq_topk) — all local-strict-pass only
-# — take the freed slots, riskiest determinism patterns first
-# (g_pagerank's rounded-double ordering, t_doc_perplexity's float
-# cross-entropy, f_winsorized_stats, ts_interpolate_linear's blend).
+# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
+# lands): every name above that received a green row drops out; promote
+# any name still without a driver row, then any query whose OUTPUT
+# changed since its last green row, then continue backfilling the
+# remaining r01-only-evidence names (f_array_functions, f_map_functions,
+# f_date_parts, f_null_handling, f_unpivot_stack, f_regexp_extract,
+# f_json_struct, f_like_matrix, d_simhash, t_token_count, p_* parity
+# family, w_running_revenue_per_supplier, w_lag_lead_user_events,
+# w_rank_dense_ntile, w_first_last_value, b_funnel_click_to_purchase,
+# b_cohort_retention, m_binary_metadata, a_*).
 
 
 def load_all() -> None:

