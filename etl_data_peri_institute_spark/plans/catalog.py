@@ -152,6 +152,7 @@ def load_all() -> None:
         parity,
         quality_ext,
         relational,
+        round4_ext,
         streaming_batch,
         textops,
         timeseries,
