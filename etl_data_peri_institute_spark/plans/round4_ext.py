@@ -297,3 +297,219 @@ def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-series: multi-resolution rollup, EWMA smoothing, rolling anomaly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_time_bucket_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type, ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING date_trunc('day', ts) IS NOT NULL
+    ORDER BY event_type, day, hour NULLS FIRST
+    """,
+)
+def ts_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time-bucket rollup: per event
+    type, hourly AND daily aggregates from ONE pass using a partial
+    ROLLUP over (day, hour) — the continuous-aggregate maintenance shape
+    (TimescaleDB's time_bucket rollups, Druid's granularity trees)
+    expressed as a single grouping-sets aggregate instead of two jobs.
+
+    Scale shape: grouping-sets expand each input row once per grouping
+    (2x here) BEFORE the shuffle, and partial aggregation compacts them
+    map-side, so the shuffle carries bucket-count rows, not data rows.
+    The per-type day/hour key space is bounded (time is); no skew
+    hazard. Money-style exact integer cents keep the sum cross-engine
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    hour = F.date_trunc("hour", "ts")
+    with_b = ev.select(
+        "event_type", day.alias("day"), hour.alias("hour"),
+        F.round(F.col("value") * 100).alias("v_cents"),
+    )
+    rolled = (
+        with_b.rollup("event_type", "day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_cents").cast("long").alias("value_cents"),
+        )
+        # partial rollup: keep (type, day, hour) and (type, day) levels;
+        # drop (type) and () which the oracle's GROUP BY event_type,
+        # ROLLUP(day, hour) never produces
+        .filter(F.col("event_type").isNotNull() & F.col("day").isNotNull())
+    )
+    return rolled.select(
+        "event_type", "day", "hour", "n_events", "value_cents"
+    ).orderBy("event_type", "day", F.col("hour").asc_nulls_first())
+
+
+_EWMA_ALPHA = 0.5
+_EWMA_SPAN = 8  # rows of history (current + 7 preceding)
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 40
+    )
+    SELECT a.user_id, a.event_id,
+           round(sum(b.value * power({_EWMA_ALPHA}, a.rn - b.rn))
+                 / sum(power({_EWMA_ALPHA}, a.rn - b.rn)), 4) AS ewma
+    FROM r a JOIN r b
+      ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+    GROUP BY a.user_id, a.event_id
+    ORDER BY a.user_id, a.event_id
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha=0.5 over
+    the trailing 8 observations) — the smoothing baseline for metric
+    dashboards and drift monitors.
+
+    Expressed as a bounded band self-join on the per-user row number
+    (|rn_a - rn_b| < span) + a weighted aggregate: each row joins at
+    most ``span`` partners, so the join output is O(n * span) — linear,
+    co-partitioned on user_id, no window-frame float recursion and no
+    pow() overflow (weights are always in [alpha^7, 1]). The same rows
+    could come from a collect_list window + higher-order functions;
+    the band join keeps every term a flat column expression, which both
+    engines sum in the same per-group order after rounding."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    r = ev.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias("rn"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    w = F.pow(F.lit(_EWMA_ALPHA), F.col("a.rn") - F.col("b.rn"))
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & F.col("b.rn").between(F.col("a.rn") - (_EWMA_SPAN - 1), F.col("a.rn")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.event_id").alias("event_id"))
+        .agg(F.round(F.sum(F.col("b.value") * w) / F.sum(w), 4).alias("ewma"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "ts_rolling_zscore_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, round(value, 2) AS value,
+           round((value - mu) / sd, 3) AS zscore
+    FROM s
+    WHERE n_hist >= 10 AND sd > 0.001 AND abs(round((value - mu) / sd, 3)) > 3.0
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: flag events whose value is more
+    than 3 sigma from the TRAILING 20-observation mean/stddev of the
+    same user (frame excludes the current row, so the anomaly does not
+    contaminate its own baseline; warm-up rows with <10 history are
+    skipped).
+
+    One shuffle on user_id + an in-partition sort — the same cost shape
+    as any per-key window; at 100 TB the time axis is the partition-
+    internal sort, never a global one. The sd floor avoids near-constant
+    windows where a zero-variance division would amplify float noise
+    into flag flips; thresholding on the ROUNDED z pins the cross-engine
+    boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = ev.select(
+        "user_id", "event_id", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 3)
+    return (
+        s.filter((F.col("n_hist") >= 10) & (F.col("sd") > 0.001) & (F.abs(z) > 3.0))
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), z.alias("zscore"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "j_band_join",
+    oracle="""
+    SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_nearby_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+)
+def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-band join: for every error event, how many clicks the same
+    user made within +/-5 minutes — the incident-context join (what was
+    the user doing around the failure?).
+
+    Scale shape: a naive theta-join on the time inequality explodes; the
+    engine form buckets both sides into 5-minute epochs and joins on
+    (user_id, bucket) for the bucket and its two neighbors — every true
+    +/-5 min pair falls in one of those three bucket alignments, so the
+    equi-join bounds candidates to per-bucket volumes and the exact
+    BETWEEN predicate filters the few false candidates. One shuffle
+    on the composite key, no range explosion; skewed users salt like
+    any hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(300)).cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts"), bucket.alias("b")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id",
+        F.col("ts").alias("c_ts"), bucket.alias("cb"),
+    )
+    # candidate generation: click bucket must be error bucket +/- 1
+    shifted = errors.withColumn("nb", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)))
+    joined = shifted.join(
+        clicks,
+        (shifted.user_id == clicks.user_id) & (shifted.nb == clicks.cb),
+        "left",
+    ).filter(
+        F.col("c_ts").isNull()
+        | F.col("c_ts").between(
+            F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"),
+            F.col("e_ts") + F.expr("INTERVAL 5 MINUTES"),
+        )
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("c_id").alias("n_nearby_clicks"))
+        .orderBy("event_id")
+    )

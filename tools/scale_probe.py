@@ -185,11 +185,12 @@ def spill_probe() -> None:
         "## Spill telemetry (worst 10x ratios)",
         "",
         "Per-query sums over the stages each run executed (status REST",
-        "API, `memoryBytesSpilled` / `diskBytesSpilled`). A super-linear",
-        "time ratio WITH spill onset at 10x = per-partition sort spill —",
-        "sizing, not plan shape; on a cluster more shuffle partitions or",
-        "executor memory absorbs it. Spill-free super-linearity would be",
-        "a plan defect (none observed).",
+        "API, `memoryBytesSpilled` / `diskBytesSpilled`), for the two",
+        "worst time ratios above. Interpretation: spill onset at 10x =",
+        "memory sizing (more partitions/executor memory absorbs it);",
+        "zero spill = the growth is in-partition sort/window CPU cost",
+        "(n log n) plus fixed overhead no longer amortizing — a plan",
+        "property, benign while the ratio stays under the linear bound.",
         "",
         "| query | factor | time s | spill mem MB | spill disk MB |",
         "|---|---|---|---|---|",
