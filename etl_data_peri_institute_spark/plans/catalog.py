@@ -104,6 +104,18 @@ _VERIFY_FIRST: list[str] = [
     "a_approx_sketches",        # rows-only by design (sketch estimates)
     # ---- round-4 additions (driver row needed for each new operator)
     "p_pipeline_e2e",
+    "t_contamination_check",
+    "d_decontaminate_apply",
+    "t_pii_detect",
+    "f_url_parse",
+    "ts_time_bucket_rollup",
+    "ts_ewma",
+    "ts_rolling_zscore_anomaly",
+    "j_band_join",
+    "g_triangle_count",
+    "b_bootstrap_ci",
+    "e_range_search",
+    "p_pseudonymize_kanon",
     # ---- backfill to the 50-row window: oldest evidence first (r01-only
     # greens); the two CC-composed queries lead because their PLAN changed
     # this round (outputs identical, re-verification is cheap insurance)
@@ -112,18 +124,6 @@ _VERIFY_FIRST: list[str] = [
     "d_minhash_lsh_pairs",
     "d_ngram_jaccard_pairs",
     "d_exact_dedup",
-    "e_knn_bruteforce",
-    "e_ivf_assign",
-    "e_lsh_buckets",
-    "t_quality_score",
-    "t_langid",
-    "t_fingerprint",
-    "b_hash_sample",
-    "u_grouped_zscore_pandas",
-    "a_salted_skew_agg",
-    "a_exact_percentile",
-    "w_topk_orders_per_customer",
-    "p_keep_last_dedup",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

@@ -513,3 +513,264 @@ def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("c_id").alias("n_nearby_clicks"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting on the strongest co-supply edges
+# ---------------------------------------------------------------------------
+
+_TRI_TOP_EDGES = 500
+
+
+@query(
+    "g_triangle_count",
+    oracle=f"""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS c
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT s1, s2 FROM (
+        SELECT s1, s2, row_number() OVER (ORDER BY c DESC, s1, s2) AS rn FROM w
+      ) WHERE rn <= {_TRI_TOP_EDGES}
+    ),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM e e1
+      JOIN e e2 ON e2.s1 = e1.s2
+      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    pern AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, n_triangles FROM pern
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-supply graph
+    (strongest {top-N by shared-part count} edges, oriented s1<s2) — the
+    clustering/community-density primitive (triangle-dense nodes sit in
+    tight supplier clusters; the same join shape backs clustering
+    coefficients and truss decomposition).
+
+    Scale shape: the standard compact-forward algorithm — edges oriented
+    by id so each triangle is generated EXACTLY once by a two-hop join
+    plus a closing-edge equi-join (no permutation blowup, no cartesian).
+    Cost is sum over nodes of deg^2 on the ORIENTED graph; orienting
+    low-id-first caps the quadratic term at the max oriented out-degree,
+    and the top-N edge selection is the density guard (in production:
+    a weight threshold; top-N here keeps the gate SF-independent). Three
+    shuffles total (edge build, two-hop, close).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    w = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("c"))
+    )
+    e = (
+        w.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("c").desc(), "s1", "s2")),
+        )
+        .filter(F.col("rn") <= _TRI_TOP_EDGES)
+        .select("s1", "s2")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c")
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+
+
+@query(
+    "b_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(range(0, {_BOOT_B})) AS b),
+    members AS (
+      SELECT r.b, o.o_totalprice
+      FROM orders o CROSS JOIN reps r
+      WHERE substr(md5(o.o_orderkey || ':' || r.b), 1, 1)
+            IN ('0','1','2','3','4','5','6','7')
+    ),
+    means AS (
+      SELECT b, round(avg(o_totalprice), 2) AS m FROM members GROUP BY b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+           round(min(m), 2) AS ci_low,
+           round(median(m), 2) AS ci_median,
+           round(max(m), 2) AS ci_high
+    FROM means
+    """,
+)
+def b_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value — the
+    uncertainty companion every pipeline metric report should carry.
+    Half-sampling (m-out-of-n without replacement) bootstrap: {B}
+    deterministic resamples, membership decided by a content hash of
+    (order key, resample index) — NEVER rand(), so the report is
+    reproducible across runs, engines, and retries. The resample-mean
+    spread (min/median/max over B) is the interval.
+
+    Scale shape: the cross join with the B-row resample table multiplies
+    the scan {B}x BEFORE partial aggregation, but each output row
+    reduces map-side to B running sums — the shuffle carries B rows. At
+    100 TB the multiplier is the knob: compute all B sums in ONE pass
+    via B conditional aggregates if the {B}x scan cost bites; the
+    per-resample means are order-insensitive after round(2) because the
+    summand magnitudes keep the float ulp far below the rounding grain.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    members = orders.crossJoin(reps).filter(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+            1, 1,
+        ).isin(*"01234567")
+    )
+    means = members.groupBy("b").agg(F.round(F.avg("o_totalprice"), 2).alias("m"))
+    return means.agg(
+        F.count("*").alias("n_resamples"),
+        F.round(F.min("m"), 2).alias("ci_low"),
+        F.round(F.median("m"), 2).alias("ci_median"),
+        F.round(F.max("m"), 2).alias("ci_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding range search (cosine threshold against a query set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 50),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS match_id,
+             round(
+               list_sum(list_transform(range(1, len(q.qe) + 1),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                    i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               4) AS cos_r4
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, match_id, cos_r4
+    FROM sims WHERE cos_r4 >= 0.42
+    ORDER BY query_id, match_id
+    """,
+)
+def e_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every corpus vector within a similarity
+    radius of each query (threshold 0.42 — sized to this synthetic
+    corpus, whose max off-diagonal cosine is ~0.51) — the retrieval mode dedup and
+    recall evaluation need where top-k is wrong (you want ALL matches
+    above the bar, however many).
+
+    Exact baseline shape: broadcast the bounded query set, one corpus
+    scan, JVM-side higher-order dot products, filter on the ROUNDED
+    cosine so the radius boundary cannot flip between engines. The ANN
+    scale path swaps the scan for the LSH/IVF candidate generators
+    (e_lsh_buckets / e_ivf_topk) with this same exact verify as the
+    re-rank stage."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(emb.select(F.col("vec_id").alias("match_id"), "embedding"))
+    sims = pairs.filter(F.col("match_id") != F.col("query_id")).select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("qe"), F.col("embedding")), 4).alias("cos_r4"),
+    )
+    return sims.filter(F.col("cos_r4") >= 0.42).orderBy("query_id", "match_id")
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization + k-anonymity report
+# ---------------------------------------------------------------------------
+
+_KANON_K = 45
+_PSEUDO_SALT = "fleet-salt-2024"
+
+
+@query(
+    "p_pseudonymize_kanon",
+    oracle=f"""
+    WITH p AS (
+      SELECT sha256('{_PSEUDO_SALT}:' || user_id) AS pseudo_id,
+             event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, day,
+             CAST(count(DISTINCT pseudo_id) AS BIGINT) AS n_users,
+             min(pseudo_id) AS sample_pseudo
+      FROM p GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_users, sample_pseudo
+    FROM g WHERE n_users < {_KANON_K}
+    ORDER BY event_type, day
+    """,
+)
+def p_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization + k-anonymity audit: replace user
+    ids with sha256(salt:id) (stable joins remain possible, raw ids do
+    not leave the pipeline), then report the (event_type, day) cells
+    whose distinct-pseudonym count is below k={_KANON_K} — the cells a
+    release policy must suppress or generalize before publication.
+
+    One narrow hash projection + one groupBy on the quasi-identifier
+    pair; count(DISTINCT) carries partial sets map-side. The audit
+    output is violation-sized (small by definition). Salt rotation =
+    full re-pseudonymization — a deliberate property."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        F.sha2(F.concat(F.lit(f"{_PSEUDO_SALT}:"), F.col("user_id").cast("string")), 256).alias("pseudo_id"),
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    g = p.groupBy("event_type", "day").agg(
+        F.count_distinct("pseudo_id").alias("n_users"),
+        F.min("pseudo_id").alias("sample_pseudo"),
+    )
+    return g.filter(F.col("n_users") < _KANON_K).orderBy("event_type", "day")
