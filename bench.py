@@ -50,6 +50,11 @@ HEADLINE = [
     # round-5 additions
     "e_sq_int8_topk",
     "ts_interpolate_linear",
+    # round-4 (build round 4) additions
+    "t_contamination_check",
+    "j_band_join",
+    "ts_time_bucket_rollup",
+    "g_triangle_count",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

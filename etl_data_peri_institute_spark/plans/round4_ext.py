@@ -489,17 +489,17 @@ def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = (F.unix_timestamp("ts") / F.lit(300)).cast("long")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("e_ts"), bucket.alias("b")
+        "event_id", F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), bucket.alias("b")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"), "user_id",
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"), bucket.alias("cb"),
     )
     # candidate generation: click bucket must be error bucket +/- 1
     shifted = errors.withColumn("nb", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)))
     joined = shifted.join(
         clicks,
-        (shifted.user_id == clicks.user_id) & (shifted.nb == clicks.cb),
+        (F.col("e_user") == F.col("c_user")) & (F.col("nb") == F.col("cb")),
         "left",
     ).filter(
         F.col("c_ts").isNull()
@@ -585,6 +585,12 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TRI_TOP_EDGES)
         .select("s1", "s2")
     )
+    # the edge list feeds THREE join sides; without truncation the
+    # part-pair derivation (the expensive part) is planned 3x. The frame
+    # is bounded at _TRI_TOP_EDGES rows — eager checkpoint is ~free and
+    # collapses the triangle plan to the three closing joins (same
+    # discipline as connected_components / pagerank final frames).
+    e = e.localCheckpoint(eager=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))

@@ -418,3 +418,35 @@ def test_shingle_intersections_single_scan_when_both_sides_shuffle(spark):
         assert "ReusedExchange" in plan, "second self-join side was not served from the first side's shuffle"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round4_plans_no_cartesian_no_forced_broadcast(spark):
+    """Round-4 additions: equi-keyed joins only (the band join's
+    inequality is a post-filter over the bucket equi-join; the range
+    search's BroadcastNestedLoop carries the bounded query set, which is
+    the design), and no forced broadcast of data-sized frames."""
+    for name in [
+        "t_contamination_check",
+        "d_decontaminate_apply",
+        "t_pii_detect",
+        "ts_time_bucket_rollup",
+        "ts_ewma",
+        "ts_rolling_zscore_anomaly",
+        "j_band_join",
+        "g_triangle_count",
+        "p_pseudonymize_kanon",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        df = catalog.QUERIES[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
+
+
+def test_triangle_edges_checkpointed_once(spark):
+    """The bounded edge list feeds three join sides; the checkpoint must
+    keep the expensive part-pair derivation out of the composed plan."""
+    plan = _plan(spark, "g_triangle_count")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan.count("Exchange")
