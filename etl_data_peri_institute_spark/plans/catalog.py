@@ -116,14 +116,14 @@ _VERIFY_FIRST: list[str] = [
     "b_bootstrap_ci",
     "e_range_search",
     "p_pseudonymize_kanon",
+    "d_semdedup_prune",
+    "t_importance_weights",
     # ---- backfill to the 50-row window: oldest evidence first (r01-only
     # greens); the two CC-composed queries lead because their PLAN changed
     # this round (outputs identical, re-verification is cheap insurance)
     "d_dedup_components",
     "d_dedup_apply",
     "d_minhash_lsh_pairs",
-    "d_ngram_jaccard_pairs",
-    "d_exact_dedup",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

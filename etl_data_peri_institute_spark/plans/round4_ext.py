@@ -780,3 +780,200 @@ def p_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pseudo_id").alias("sample_pseudo"),
     )
     return g.filter(F.col("n_users") < _KANON_K).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style centroid pruning) and DSIR-style
+# importance weighting — the two embedding/statistics-driven corpus
+# curation steps between raw dedup and training-mixture sampling.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.25
+
+
+@query(
+    "d_semdedup_prune",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY label, pos
+    ),
+    selfcos AS (
+      SELECT p.vec_id, p.label,
+             sum(p.val * c.cval)
+             / (sqrt(sum(p.val * p.val)) * sqrt(sum(c.cval * c.cval))) AS cos_c
+      FROM pos p JOIN centroids c ON c.c_label = p.label AND c.pos = p.pos
+      GROUP BY p.vec_id, p.label
+    ),
+    keeper AS (
+      SELECT label, vec_id AS keeper_id FROM (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label ORDER BY cos_c DESC, vec_id) AS rn
+        FROM selfcos
+      ) WHERE rn = 1
+    ),
+    paircos AS (
+      SELECT e.label, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ke.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(ke.embedding) + 1),
+                    i -> CAST(ke.embedding[i] AS DOUBLE) * CAST(ke.embedding[i] AS DOUBLE))))),
+               4) AS cos_k
+      FROM embeddings e
+      JOIN keeper k ON k.label = e.label AND e.vec_id <> k.keeper_id
+      JOIN embeddings ke ON ke.vec_id = k.keeper_id
+    )
+    SELECT k.label, k.keeper_id,
+           CAST((SELECT count(*) FROM embeddings e2 WHERE e2.label = k.label) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE p.cos_k >= {_SEMDEDUP_TAU}) AS BIGINT) AS n_pruned
+    FROM keeper k LEFT JOIN paircos p ON p.label = k.label
+    GROUP BY k.label, k.keeper_id
+    ORDER BY k.label
+    """,
+)
+def d_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each embedding cluster,
+    keep the member closest to the cluster centroid and count how many
+    other members are semantically redundant with it (cosine to the
+    keeper >= tau) — the curation step that removes paraphrase-level
+    duplicates exact and MinHash dedup cannot see. The ``label`` column
+    plays the cluster assignment (any clusterer's output; e_ivf_assign
+    produces exactly this shape).
+
+    Scale shape: centroids and keepers are cluster-count-sized
+    (broadcast); the member-to-keeper cosine is ONE corpus pass joined
+    against the keeper table — O(n) pairs, never O(n^2), because
+    redundancy is only tested against the keeper, not all pairs (the
+    SemDeDup approximation). Long-format position explode keeps all
+    math in plain aggregations; thresholding on the rounded cosine pins
+    the cross-engine boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine
+
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("cval"))
+    selfcos = (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("cval"))
+                / (F.sqrt(F.sum(F.col("v") * F.col("v"))) * F.sqrt(F.sum(F.col("cval") * F.col("cval"))))
+            ).alias("cos_c")
+        )
+    )
+    keeper = (
+        selfcos.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("label").orderBy(F.col("cos_c").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("keeper_id"))
+    )
+    keeper_emb = keeper.join(
+        emb.select(F.col("vec_id").alias("keeper_id"), F.col("embedding").alias("kemb")),
+        "keeper_id",
+    )
+    paircos = (
+        emb.join(keeper_emb, "label")
+        .filter(F.col("vec_id") != F.col("keeper_id"))
+        .select(
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("kemb")), 4).alias("cos_k"),
+        )
+    )
+    sizes = emb.groupBy("label").agg(F.count("*").alias("n_members"))
+    pruned = paircos.groupBy("label").agg(
+        F.sum(F.when(F.col("cos_k") >= _SEMDEDUP_TAU, 1).otherwise(0)).alias("n_pruned")
+    )
+    return (
+        keeper.join(sizes, "label")
+        .join(pruned, "label", "left")
+        .select(
+            "label", "keeper_id", "n_members",
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "t_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    tgt AS (SELECT w, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY w),
+    raw AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (
+      SELECT (SELECT sum(c) FROM tgt) AS t_total,
+             (SELECT sum(c) FROM raw) AS r_total,
+             (SELECT count(*) FROM raw) AS v
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(((coalesce(g.c, 0) + 1.0) / (tot.t_total + tot.v))
+                        / ((r.c + 1.0) / (tot.r_total + tot.v)))), 4) AS iw
+      FROM toks t
+      JOIN raw r ON r.w = t.w
+      LEFT JOIN tgt g ON g.w = t.w
+      CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, iw FROM scored
+    ORDER BY iw DESC, doc_id LIMIT 50
+    """,
+)
+def t_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-document average token
+    log-likelihood ratio between a TARGET distribution (here: the 'en'
+    slice plays the high-quality target) and the RAW corpus distribution
+    — add-one-smoothed unigram LMs over the shared vocabulary. High
+    weight = looks like the target; the standard data-selection score
+    for matching a pretraining mixture to a quality domain. Top-50.
+
+    Scale shape: two vocabulary-sized count tables (target + raw) built
+    by one exploded-token aggregation each (map-side combined), joined
+    back to the token stream on the word — the same bounded-vocab
+    re-join shape as t_bigram_lm. The three grand totals ride along as a
+    1-row cross join. Per-doc averages round(4) before the top-k so the
+    float summation order cannot reorder the board."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("w").agg(F.count("*").alias("tc"))
+    raw = toks.groupBy("w").agg(F.count("*").alias("rc"))
+    tot = raw.agg(
+        F.sum("rc").alias("r_total"), F.count("*").alias("v")
+    ).crossJoin(tgt.agg(F.sum("tc").alias("t_total")))
+    scored = (
+        toks.join(raw, "w")
+        .join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        ((F.coalesce("tc", F.lit(0)) + 1.0) / (F.col("t_total") + F.col("v")))
+                        / ((F.col("rc") + 1.0) / (F.col("r_total") + F.col("v")))
+                    )
+                ),
+                4,
+            ).alias("iw"),
+        )
+    )
+    return scored.orderBy(F.col("iw").desc(), "doc_id").limit(50)
