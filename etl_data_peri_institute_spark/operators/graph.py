@@ -106,3 +106,39 @@ def pagerank(
         edges.unpersist()
         raw.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    given as oriented edges ``(src, dst)`` with ``src < dst`` (one row
+    per undirected edge). Returns ``(node, n_triangles)`` for nodes in
+    at least one triangle.
+
+    Compact-forward enumeration: with every edge oriented low-id-first,
+    each triangle {a<b<c} is generated EXACTLY once as the two-hop path
+    a→b→c closed by the (a,c) edge — no permutation blowup, no
+    cartesian. Cost is Σ deg_out² over the ORIENTED graph (the classic
+    bound); the caller controls density (weight threshold / top-N edge
+    selection). The edge frame feeds three join sides, so it is eagerly
+    checkpointed when small or cached otherwise by the caller — this
+    function assumes ``edges`` is already materialization-friendly.
+    """
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

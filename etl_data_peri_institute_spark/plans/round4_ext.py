@@ -591,25 +591,10 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses the triangle plan to the three closing joins (same
     # discipline as connected_components / pagerank final frames).
     e = e.localCheckpoint(eager=True)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
-        .join(
-            e3,
-            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
-        )
-        .select(
-            F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c")
-        )
-    )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    from ..operators.graph import triangle_counts
+
     return (
-        corners.groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
+        triangle_counts(e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")))
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )

@@ -1,0 +1,107 @@
+"""Unit tests for the driver-round-4 operators: triangle counting on a
+known graph, EWMA arithmetic, bootstrap determinism, SemDeDup keeper
+invariants, band-join symmetry with the exact predicate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_triangle_counts_k4(spark):
+    """Complete graph on 4 nodes: C(4,3)=4 triangles; every node sits in
+    C(3,2)=3 of them. Input edges oriented low-id-first."""
+    from etl_data_peri_institute_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src int, dst int"
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_path_has_none(spark):
+    from etl_data_peri_institute_spark.operators.graph import triangle_counts
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src int, dst int")
+    assert triangle_counts(path).count() == 0
+
+
+def test_ewma_constant_series_is_constant(spark, tmp_path):
+    """EWMA of a constant series equals the constant regardless of span
+    position — pins the weight normalization."""
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    # build a miniature events parquet with one user, constant value
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 1, "view", 7.5, "{}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    out = QUERIES["ts_ewma"].fn(spark, d).collect()
+    assert len(out) == 12
+    assert all(abs(r["ewma"] - 7.5) < 1e-9 for r in out)
+
+
+def test_bootstrap_ci_deterministic_across_runs(spark):
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    r1 = QUERIES["b_bootstrap_ci"].fn(spark, sf).collect()[0]
+    r2 = QUERIES["b_bootstrap_ci"].fn(spark, sf).collect()[0]
+    assert r1 == r2
+    assert r1["ci_low"] <= r1["ci_median"] <= r1["ci_high"]
+    assert r1["n_resamples"] == 16
+
+
+def test_semdedup_keeper_is_cluster_member(spark):
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["d_semdedup_prune"].fn(spark, sf).collect()
+    emb = {
+        (r["label"], r["vec_id"])
+        for r in load_table(spark, sf, "embeddings").select("label", "vec_id").collect()
+    }
+    for r in out:
+        assert (r["label"], r["keeper_id"]) in emb
+        assert 0 <= r["n_pruned"] <= r["n_members"] - 1
+
+
+def test_band_join_counts_match_naive(spark, tmp_path):
+    """The bucketed band join must equal the naive inequality join on a
+    small fixture — including events exactly at the +/-5 min boundary."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (0, t(0), 1, "error", 0.0, "{}"),
+        (1, t(-300), 1, "click", 0.0, "{}"),   # exactly -5 min → included
+        (2, t(300), 1, "click", 0.0, "{}"),    # exactly +5 min → included
+        (3, t(301), 1, "click", 0.0, "{}"),    # just outside
+        (4, t(100), 2, "click", 0.0, "{}"),    # other user
+        (5, t(200), 1, "view", 0.0, "{}"),     # other type
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    out = {r["event_id"]: r["n_nearby_clicks"] for r in QUERIES["j_band_join"].fn(spark, d).collect()}
+    assert out == {0: 2}
