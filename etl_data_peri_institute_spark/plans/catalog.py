@@ -118,12 +118,11 @@ _VERIFY_FIRST: list[str] = [
     "p_pseudonymize_kanon",
     "d_semdedup_prune",
     "t_importance_weights",
-    # ---- backfill to the 50-row window: oldest evidence first (r01-only
-    # greens); the two CC-composed queries lead because their PLAN changed
-    # this round (outputs identical, re-verification is cheap insurance)
+    "t_url_canonical_dedup",
+    "ts_period_over_period",
+    # ---- backfill to the 50-row window: oldest evidence first; the
+    # CC-composed query leads because its PLAN changed this round
     "d_dedup_components",
-    "d_dedup_apply",
-    "d_minhash_lsh_pairs",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

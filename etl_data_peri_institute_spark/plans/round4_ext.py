@@ -962,3 +962,149 @@ def t_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("iw").desc(), "doc_id").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup and period-over-period comparison
+# ---------------------------------------------------------------------------
+
+_DUCK_MESSY_URLS = """
+    messy AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://CDN' || (doc_id // 4) % 5 || '.Example.org/docs/'
+                           || (doc_id // 4) || '?utm_source=feed&utm_medium=rss'
+               WHEN 1 THEN 'https://cdn' || (doc_id // 4) % 5 || '.example.org:443/docs/' || (doc_id // 4)
+               WHEN 2 THEN 'https://cdn' || (doc_id // 4) % 5 || '.example.org/docs/' || (doc_id // 4) || '/'
+               ELSE 'https://cdn' || (doc_id // 4) % 5 || '.example.org/docs/' || (doc_id // 4)
+                    || '?utm_campaign=x&fbclid=abc123'
+             END AS url
+      FROM documents
+    )
+"""
+
+
+@query(
+    "t_url_canonical_dedup",
+    oracle=f"""
+    WITH {_DUCK_MESSY_URLS},
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), ':443/', '/'),
+                   '[?&](utm_[a-z]+|fbclid)=[^&]*', '', 'g'),
+                 '\\?$', ''),
+               '/$', '') AS curl
+      FROM messy
+    )
+    SELECT curl AS canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon
+    GROUP BY curl HAVING count(*) > 1
+    ORDER BY curl
+    """,
+)
+def t_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: crawl URLs arrive in many equivalent
+    spellings (case-folded hosts, explicit default ports, trailing
+    slashes, utm_/fbclid tracking params); canonicalize, then group — the
+    crawl-frontier dedup that runs BEFORE any content is fetched, saving
+    the fetch itself. Deterministic messy variants are synthesized per
+    document (4 spellings of each logical URL) since the corpus has no
+    URL column; the canonicalizer (lowercase → strip default port →
+    strip tracking params → strip dangling ?/ trailing /) is the
+    operator under test, byte-identical on both engines.
+
+    Narrow per-row transform + one groupBy on the canonical string; the
+    keeper (min doc id) makes the survivor pick deterministic. At crawl
+    scale the canonical-URL groupBy is the frontier's primary shuffle
+    and its key distribution is domain-skewed — the usual salting
+    candidate (same note as f_url_parse's host groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lid = (F.col("doc_id") / 4).cast("long")
+    logical = lid.cast("string")
+    host_n = (lid % 5).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://CDN"), host_n, F.lit(".Example.org/docs/"), logical, F.lit("?utm_source=feed&utm_medium=rss")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://cdn"), host_n, F.lit(".example.org:443/docs/"), logical),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://cdn"), host_n, F.lit(".example.org/docs/"), logical, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn"), host_n, F.lit(".example.org/docs/"), logical, F.lit("?utm_campaign=x&fbclid=abc123")),
+        )
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), ":443/", "/"),
+                "[?&](utm_[a-z]+|fbclid)=[^&]*", ""),
+            "\\?$", ""),
+        "/$", "")
+    return (
+        docs.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("keeper_doc"))
+        .filter(F.col("n_variants") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+@query(
+    "ts_period_over_period",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, cur.h AS hour, cur.n AS n_events,
+           prev.n AS n_prev_day,
+           CAST(cur.n - prev.n AS BIGINT) AS delta
+    FROM hourly cur
+    JOIN hourly prev
+      ON prev.event_type = cur.event_type
+     AND prev.h = cur.h - INTERVAL 24 HOUR
+    ORDER BY cur.event_type, cur.h
+    """,
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison: each hour's event count vs the
+    SAME hour 24 h earlier, per event type — the dashboard/alerting
+    staple ("is this hour unusual for this hour-of-day?"). An equi
+    self-join on the shifted bucket rather than a window lag: lag-N over
+    a sparse hour axis silently compares against whatever row happens to
+    be N positions back, while the shifted-key join compares against the
+    true prior period or nothing.
+
+    Both sides reduce to bucket-count rows BEFORE the join (map-side
+    partial agg), so the join moves bounded aggregate rows, never
+    events. All-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    cur, prev = hourly.alias("cur"), hourly.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.event_type") == F.col("cur.event_type"))
+            & (F.col("prev.h") == F.col("cur.h") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select(
+            F.col("cur.event_type").alias("event_type"),
+            F.col("cur.h").alias("hour"),
+            F.col("cur.n").alias("n_events"),
+            F.col("prev.n").alias("n_prev_day"),
+            (F.col("cur.n") - F.col("prev.n")).alias("delta"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -325,6 +325,42 @@ class ParquetStore:
             shutil.rmtree(stage, ignore_errors=True)
         return n
 
+    def delete_rows(self, table: str, key: str, keys: DataFrame) -> int:
+        """Targeted deletion — the right-to-be-forgotten / takedown
+        primitive: remove every row whose ``key`` appears in ``keys``
+        (a one-column DataFrame), atomically, preserving any hive
+        partition layout. Returns the number of rows removed.
+
+        Plain-parquet emulation of ``DELETE FROM t WHERE key IN (...)``:
+        anti-join rewrite + backup-rename swap (same discipline as
+        upsert — no step holds the only copy mid-delete). The delete-key
+        set is request-sized (a takedown list, not a table), so the
+        anti-join broadcasts it; the rewrite cost is O(table), which is
+        what plain parquet costs — on Delta/Iceberg this becomes a
+        MERGE/DELETE with file-level pruning, and the surrounding
+        accounting is unchanged. Deletion counts come from parquet
+        footers (no plan re-run), and the caller should audit the count,
+        not the keys (the point is to STOP storing them)."""
+        if not self.exists(table):
+            return 0
+        current = self.read(table)
+        key_set = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+        kept = current.join(key_set, key, "left_anti")
+        part_cols = self._detect_partition_cols(table)
+        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_delete_")
+        try:
+            writer = kept.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        n_before = current.count()
+        n_after = self.spark.read.parquet(tmp).count()
+        self._swap_in(tmp, table)
+        return n_before - n_after
+
 
 def audit_csv(df: DataFrame, out_dir: str, reason: str) -> str | None:
     """S8: back up rejected rows to a timestamped CSV (reference

@@ -105,3 +105,25 @@ def test_band_join_counts_match_naive(spark, tmp_path):
     load_all()
     out = {r["event_id"]: r["n_nearby_clicks"] for r in QUERIES["j_band_join"].fn(spark, d).collect()}
     assert out == {0: 2}
+
+
+def test_delete_rows_gdpr_forget(spark, tmp_path):
+    """Targeted deletion: removes exactly the requested keys, preserves
+    hive partition layout, returns the removed count, and is a no-op for
+    absent keys/tables."""
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame(
+        [(u, f"2024-01-0{1 + u % 2}", u * 10) for u in range(6)],
+        "user_id int, dt string, v int",
+    )
+    store.insert(df, "t", partition_by=["dt"])
+    forget = spark.createDataFrame([(1,), (3,), (99,)], "user_id int")
+    assert store.delete_rows("t", "user_id", forget) == 2
+    left = {r["user_id"] for r in store.read("t").collect()}
+    assert left == {0, 2, 4, 5}
+    assert store._detect_partition_cols("t") == ["dt"]  # layout preserved
+    # idempotent: second run removes nothing
+    assert store.delete_rows("t", "user_id", forget) == 0
+    assert store.delete_rows("missing", "user_id", forget) == 0
