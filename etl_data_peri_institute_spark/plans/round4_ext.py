@@ -865,6 +865,10 @@ def d_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("label", F.col("vec_id").alias("keeper_id"))
     )
+    # cluster-count-sized frame feeding three consumers (keeper_emb, the
+    # final join, and indirectly paircos) — checkpoint so the centroid/
+    # self-cosine derivation is planned once, not per consumer
+    keeper = keeper.localCheckpoint(eager=True)
     keeper_emb = keeper.join(
         emb.select(F.col("vec_id").alias("keeper_id"), F.col("embedding").alias("kemb")),
         "keeper_id",
