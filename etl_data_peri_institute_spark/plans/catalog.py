@@ -107,7 +107,6 @@ _VERIFY_FIRST: list[str] = [
     "t_contamination_check",
     "d_decontaminate_apply",
     "t_pii_detect",
-    "f_url_parse",
     "ts_time_bucket_rollup",
     "ts_ewma",
     "ts_rolling_zscore_anomaly",
@@ -120,9 +119,12 @@ _VERIFY_FIRST: list[str] = [
     "t_importance_weights",
     "t_url_canonical_dedup",
     "ts_period_over_period",
-    # ---- backfill to the 50-row window: oldest evidence first; the
-    # CC-composed query leads because its PLAN changed this round
-    "d_dedup_components",
+    "a_ks_drift",
+    "a_psi_drift",
+    # ---- position 51+ (overflow past the ~50-row driver window): the
+    # lowest-risk round-4 addition (pure parse_url/regex, no floats, no
+    # windows) — next round's window leads with whatever misses this one
+    "f_url_parse",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

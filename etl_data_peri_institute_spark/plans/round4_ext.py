@@ -1112,3 +1112,152 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: KS statistic and PSI — the monitoring pair every
+# ML data pipeline runs between a baseline window and the current one.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "TIMESTAMP '2024-01-15 00:00:00'"
+
+
+@query(
+    "a_ks_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, round(value, 2) AS v,
+             CASE WHEN ts < {_DRIFT_SPLIT} THEN 1 ELSE 0 END AS is_base
+      FROM events
+    ),
+    per_v AS (
+      SELECT event_type, v,
+             CAST(sum(is_base) AS BIGINT) AS nb,
+             CAST(sum(1 - is_base) AS BIGINT) AS nc
+      FROM tagged GROUP BY event_type, v
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc
+      FROM per_v GROUP BY event_type
+    ),
+    ecdf AS (
+      SELECT p.event_type, p.v,
+             sum(p.nb) OVER (PARTITION BY p.event_type ORDER BY p.v) * 1.0 / t.tb AS fb,
+             sum(p.nc) OVER (PARTITION BY p.event_type ORDER BY p.v) * 1.0 / t.tc AS fc
+      FROM per_v p JOIN tot t ON t.event_type = p.event_type
+    )
+    SELECT event_type, round(max(abs(fb - fc)), 4) AS ks_stat
+    FROM ecdf GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event type:
+    max ECDF gap between the baseline period (before the split date) and
+    the current one — the nonparametric "did this metric's distribution
+    move?" monitor that needs no binning choices.
+
+    Exact, distributed: values pre-aggregate to (type, value) counts
+    (map-side combined), ECDFs are cumulative window sums over the
+    per-type value order, and the max gap is a final per-type aggregate.
+    The window sorts value-count rows (bounded by distinct values), not
+    raw events. Values are rounded to cents first so the ECDF support is
+    identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    tagged = ev.select(
+        "event_type",
+        F.round("value", 2).alias("v"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("is_base"),
+    )
+    per_v = tagged.groupBy("event_type", "v").agg(
+        F.sum("is_base").alias("nb"), F.sum(1 - F.col("is_base")).alias("nc")
+    )
+    tot = per_v.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    wcum = W.partitionBy("event_type").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    ecdf = per_v.join(tot, "event_type").select(
+        "event_type",
+        (F.sum("nb").over(wcum) / F.col("tb")).alias("fb"),
+        (F.sum("nc").over(wcum) / F.col("tc")).alias("fc"),
+    )
+    return (
+        ecdf.groupBy("event_type")
+        .agg(F.round(F.max(F.abs(F.col("fb") - F.col("fc"))), 4).alias("ks_stat"))
+        .orderBy("event_type")
+    )
+
+
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 500.0
+
+
+@query(
+    "a_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / (({_PSI_HI} - {_PSI_LO}) / {_PSI_BINS})) AS INT), 0), {_PSI_BINS - 1}) AS bin,
+             CASE WHEN ts < {_DRIFT_SPLIT} THEN 1 ELSE 0 END AS is_base
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type, bin,
+             CAST(sum(is_base) AS BIGINT) AS nb,
+             CAST(sum(1 - is_base) AS BIGINT) AS nc
+      FROM tagged GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc
+      FROM binned GROUP BY event_type
+    ),
+    terms AS (
+      SELECT b.event_type,
+             ((b.nb + 0.5) / (t.tb + 0.5 * {_PSI_BINS})) AS p,
+             ((b.nc + 0.5) / (t.tc + 0.5 * {_PSI_BINS})) AS q
+      FROM binned b JOIN tot t ON t.event_type = b.event_type
+    )
+    SELECT event_type, round(sum((p - q) * ln(p / q)), 4) AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type over 10 fixed-width
+    value bins: Σ (p−q)·ln(p/q) between the baseline and current
+    periods, add-half smoothed so empty bins stay finite — the binned
+    drift score model-monitoring dashboards alarm on (rule of thumb:
+    >0.1 shifting, >0.25 shifted).
+
+    One scan → (type, bin) counts with map-side combine → per-type
+    bounded aggregation (bins are fixed); the shuffle carries bin
+    counts only. Fixed bin edges (not quantile-derived) keep the score
+    comparable across runs and engines — the production pattern where
+    edges come from the TRAINING distribution, frozen."""
+    ev = load_table(spark, sf_dir, "events")
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    split = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / width).cast("int"), F.lit(0)),
+        F.lit(_PSI_BINS - 1),
+    )
+    tagged = ev.select(
+        "event_type", bin_.alias("bin"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("is_base"),
+    )
+    binned = tagged.groupBy("event_type", "bin").agg(
+        F.sum("is_base").alias("nb"), F.sum(1 - F.col("is_base")).alias("nc")
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    terms = binned.join(tot, "event_type").select(
+        "event_type",
+        ((F.col("nb") + 0.5) / (F.col("tb") + 0.5 * _PSI_BINS)).alias("p"),
+        ((F.col("nc") + 0.5) / (F.col("tc") + 0.5 * _PSI_BINS)).alias("q"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 4).alias("psi"))
+        .orderBy("event_type")
+    )
