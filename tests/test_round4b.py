@@ -127,3 +127,67 @@ def test_delete_rows_gdpr_forget(spark, tmp_path):
     # idempotent: second run removes nothing
     assert store.delete_rows("t", "user_id", forget) == 0
     assert store.delete_rows("missing", "user_id", forget) == 0
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_ks_drift_bounds(spark, tmp_path):
+    """Identical baseline/current distributions → KS 0; disjoint → 1."""
+    import datetime
+
+    before = datetime.datetime(2024, 1, 10)
+    after = datetime.datetime(2024, 1, 20)
+    rows = []
+    # type 'same': identical values both periods → ks 0
+    for i in range(20):
+        rows.append((i, before, 1, "same", float(i % 5), "{}"))
+        rows.append((100 + i, after, 1, "same", float(i % 5), "{}"))
+    # type 'shift': disjoint supports → ks 1
+    for i in range(20):
+        rows.append((200 + i, before, 1, "shift", 1.0 + (i % 3), "{}"))
+        rows.append((300 + i, after, 1, "shift", 100.0 + (i % 3), "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    out = {r["event_type"]: r["ks_stat"] for r in QUERIES["a_ks_drift"].fn(spark, d).collect()}
+    assert out["same"] == 0.0
+    assert out["shift"] == 1.0
+
+
+def test_psi_drift_zero_for_identical(spark, tmp_path):
+    import datetime
+
+    before = datetime.datetime(2024, 1, 10)
+    after = datetime.datetime(2024, 1, 20)
+    rows = []
+    for i in range(30):
+        rows.append((i, before, 1, "x", float(i * 7 % 400), "{}"))
+        rows.append((100 + i, after, 1, "x", float(i * 7 % 400), "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["a_psi_drift"].fn(spark, d).collect()
+    assert out[0]["psi"] == 0.0
+
+
+def test_url_canonical_groups_unify_variants(spark):
+    """Every dup group found must have 2-4 variants (the 4 deterministic
+    spellings of one logical URL) and keeper = min doc id in group."""
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["t_url_canonical_dedup"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert out, "expected dup groups"
+    for r in out:
+        assert 2 <= r["n_variants"] <= 4
+        assert r["canonical_url"].startswith("https://cdn")
+        assert "utm" not in r["canonical_url"] and ":443" not in r["canonical_url"]

@@ -79,6 +79,15 @@ QUERIES = [
     "t_shingle_novelty",
     "b_dedup_rate_by_source",
     "j_asof_nearest",
+    # driver-round-4 additions
+    "j_band_join",
+    "ts_ewma",
+    "g_triangle_count",
+    "t_contamination_check",
+    "d_semdedup_prune",
+    "t_url_canonical_dedup",
+    "a_ks_drift",
+    "a_psi_drift",
 ]
 
 
