@@ -721,7 +721,7 @@ def e_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KANON_K = 45
-_PSEUDO_SALT = "fleet-salt-2024"
+_PSEUDO_SALT = "release-salt-2024"
 
 
 @query(
