@@ -121,10 +121,12 @@ _VERIFY_FIRST: list[str] = [
     "ts_period_over_period",
     "a_ks_drift",
     "a_psi_drift",
-    # ---- position 51+ (overflow past the ~50-row driver window): the
-    # lowest-risk round-4 addition (pure parse_url/regex, no floats, no
-    # windows) — next round's window leads with whatever misses this one
+    # ---- position 51+ (overflow past the ~50-row driver window, lowest
+    # risk first): pure parse_url/regex and integer-only plans — next
+    # round's window leads with whatever misses this one
     "f_url_parse",
+    "b_last_touch_attribution",
+    "p_fd_violation_check",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

@@ -1261,3 +1261,98 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 4).alias("psi"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution and functional-dependency data-quality check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_last_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_event, last_touch
+    FROM ordered WHERE event_type = 'purchase'
+    ORDER BY user_id, purchase_event
+    """,
+)
+def b_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    PRECEDING non-purchase event type of the same user (NULL when the
+    purchase is the user's first event) — the marketing-attribution
+    primitive; first-touch and position-based models are the same carry
+    with a different frame/aggregate.
+
+    Same cost shape as the as-of join it generalizes (operators/asof.py
+    uses the identical last-ignorenulls carry over a tagged union): ONE
+    shuffle on user_id + an in-partition (ts, event_id) sort; the
+    conditional inside the carry replaces a self-join entirely. The
+    frame ends at 1 PRECEDING so a purchase can never attribute to
+    itself or a same-timestamp later event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id", "event_id", "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("last_touch"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_event"), "last_touch")
+        .orderBy("user_id", "purchase_event")
+    )
+
+
+@query(
+    "p_fd_violation_check",
+    oracle="""
+    WITH fd AS (
+      SELECT o_custkey, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_rhs,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lhs_keys,
+           CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT) AS n_violating_keys,
+           CAST(sum(n_rows) FILTER (WHERE n_rhs > 1) AS BIGINT) AS n_rows_in_violation,
+           round(count(*) FILTER (WHERE n_rhs > 1) * 1.0 / count(*), 4) AS violation_rate
+    FROM fd
+    """,
+)
+def p_fd_violation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does ``o_custkey → o_orderpriority``
+    hold? (It should NOT — customers place orders at many priorities;
+    the non-zero violation summary is the point.) The data-quality
+    primitive behind key discovery, denormalization safety checks, and
+    'is this column derivable from that one' questions: group by the
+    LHS, count distinct RHS, summarize keys where the count exceeds 1.
+
+    One groupBy on the LHS with a partial-aggregated distinct count;
+    the violation summary is a single-row reduce. At 100 TB the
+    distinct-count per key is the memory knob — swap count_distinct for
+    approx_count_distinct when the RHS cardinality per key can be huge
+    (the audit needs 'more than one', not the exact number)."""
+    orders = load_table(spark, sf_dir, "orders")
+    fd = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").alias("n_rhs"),
+        F.count("*").alias("n_rows"),
+    )
+    viol = F.col("n_rhs") > 1
+    return fd.agg(
+        F.count("*").alias("n_lhs_keys"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violating_keys"),
+        F.sum(F.when(viol, F.col("n_rows")).otherwise(0)).cast("long").alias("n_rows_in_violation"),
+        F.round(F.sum(F.when(viol, 1).otherwise(0)) / F.count("*"), 4).alias("violation_rate"),
+    )
