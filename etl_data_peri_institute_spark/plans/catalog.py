@@ -63,9 +63,9 @@ def query(name: str, oracle: str | None = None):
 # the latest CORRECTNESS_r{N}.json.
 # ROUND-4 STATE: CORRECTNESS_r03 was 50/50 green, so all 50 r03 names
 # drop out. Positions 1-32 are the complete never-driver-verified list
-# (union of r01/r02/r03 greens vs the 165-query registry); position 33+
-# are this round's new operators; the remainder backfills the 50-row
-# window with r01-only-evidence names, oldest first.
+# (union of r01/r02/r03 greens vs the 165-query registry); positions
+# 33-50 are 18 of this round's 21 additions (riskier patterns inside
+# the window); the 3 lowest-risk additions overflow to 51-53.
 _VERIFY_FIRST: list[str] = [
     # ---- the 32 names with NO driver row in r01/r02/r03 (computed from
     # the artifacts; this is the round-3 verdict's "never verified" list,
