@@ -568,6 +568,13 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-N edge selection is the density guard (in production:
     a weight threshold; top-N here keeps the gate SF-independent). Three
     shuffles total (edge build, two-hop, close).
+
+    Pair-generation strategy is MEASURED, not assumed: the per-part
+    supplier self-join (2.44 s at sf0.1) beats the
+    collect_set + nested-higher-order pair-explosion alternative
+    (4.23 s, identical 499,500-pair output) — wide per-key arrays
+    serialize/explode worse than the co-partitioned join, so the join
+    stays.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
