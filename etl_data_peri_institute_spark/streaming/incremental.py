@@ -67,6 +67,7 @@ def incremental_rollup(
     sum_cols: dict[str, str],
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    transform=None,
 ) -> None:
     """Incrementally-maintained aggregate table (materialized-view
     maintenance): each micro-batch contributes PARTIAL aggregates which
@@ -93,7 +94,10 @@ def incremental_rollup(
     too.)
 
     ``sum_cols`` maps output column → 'sum:<col>' or 'count'. Example:
-    ``{"total_value": "sum:value", "n_events": "count"}``.
+    ``{"total_value": "sum:value", "n_events": "count"}``. ``transform``
+    (optional) reshapes each micro-batch BEFORE the partial aggregation
+    (e.g. derive a bin column) — it must be deterministic, since a
+    replayed epoch re-runs it.
     """
     from pyspark.sql import functions as F
 
@@ -112,6 +116,8 @@ def incremental_rollup(
         applied = store.read_meta(table, "_LAST_EPOCH")
         if applied is not None and epoch_id <= int(applied):
             return  # replayed batch (at-least-once delivery) — already merged
+        if transform is not None:
+            batch_df = transform(batch_df)
         p = partial(batch_df)
         if store.exists(table):
             merged = (
