@@ -127,6 +127,7 @@ _VERIFY_FIRST: list[str] = [
     "f_url_parse",
     "b_last_touch_attribution",
     "p_fd_violation_check",
+    "t_duplicated_ngram_report",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

@@ -1363,3 +1363,72 @@ def p_fd_violation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(viol, F.col("n_rows")).otherwise(0)).cast("long").alias("n_rows_in_violation"),
         F.round(F.sum(F.when(viol, 1).otherwise(0)) / F.count("*"), 4).alias("violation_rate"),
     )
+
+
+@query(
+    "t_duplicated_ngram_report",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g,
+             i AS pos
+      FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    stats AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS example_doc,
+             CAST(min(pos) FILTER (WHERE doc_id = (SELECT min(doc_id) FROM grams g2 WHERE g2.g = grams.g)) AS BIGINT) AS example_pos
+      FROM grams GROUP BY g
+    )
+    SELECT g AS ngram, n_occurrences, n_docs, example_doc, example_pos
+    FROM stats WHERE n_docs >= 3
+    ORDER BY n_occurrences DESC, ngram LIMIT 30
+    """,
+)
+def t_duplicated_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring report: 8-gram word sequences appearing
+    in 3+ distinct documents, with occurrence counts and one example
+    (doc, position) — the diagnostic behind exact-substring training-data
+    dedup (memorization-prone boilerplate shows up here long before
+    document-level dedup sees it). Top-30 by occurrence count.
+
+    One posexplode pass → gram groupBy with map-side partial aggs; the
+    per-gram example position is min-over-the-min-doc (deterministic).
+    The gram key space is the skew axis at crawl scale: the hot-gram cap
+    (same discipline as the shingle doc-frequency cap) bounds any
+    group, and the report's HAVING n_docs >= k is itself the
+    production filter — singleton grams (the overwhelming majority)
+    combine away map-side and never cross the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - 7)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("w", i + k) for k in range(8)])
+    )
+    grams = (
+        words.filter(F.size("w") >= 8)
+        .select("doc_id", F.posexplode(gram).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    # example = position of the min occurrence in the min doc: encode
+    # (doc, pos) as one orderable struct-min so both come from ONE row
+    ex = F.min(F.struct("doc_id", "pos"))
+    stats = grams.groupBy("g").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        ex.alias("ex"),
+    )
+    return (
+        stats.filter(F.col("n_docs") >= 3)
+        .select(
+            F.col("g").alias("ngram"), "n_occurrences", "n_docs",
+            F.col("ex.doc_id").alias("example_doc"),
+            F.col("ex.pos").alias("example_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(30)
+    )
