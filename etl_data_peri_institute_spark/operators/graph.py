@@ -142,3 +142,39 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core via FIXED-round peeling over an undirected graph given as
+    oriented edges ``(src, dst)``, ``src < dst``: each round drops nodes
+    with degree < k and the edges touching them. Returns the surviving
+    ``(node, degree)``. Fixed ``rounds`` keeps the result a pure
+    function of the edge set (the oracle unrolls the same rounds);
+    callers must size ``rounds`` to the graph — peeling converges when a
+    round removes nothing, and an unconverged cut would overcount cores.
+
+    Each round is two small shuffles (degree groupBy + survivor
+    semi-joins) over a frame that only SHRINKS; per-round lineage is
+    truncated via localCheckpoint, so the composed plan stays flat
+    regardless of round count (the CC/PageRank discipline)."""
+    cur = edges
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("src").alias("node"))
+            .unionAll(cur.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("src").alias("node"))
+        .unionAll(cur.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -128,6 +128,7 @@ _VERIFY_FIRST: list[str] = [
     "b_last_touch_attribution",
     "p_fd_violation_check",
     "t_duplicated_ngram_report",
+    "g_kcore_decomposition",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

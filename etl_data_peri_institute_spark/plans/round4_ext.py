@@ -1432,3 +1432,83 @@ def t_duplicated_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel) on the co-supply graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 6
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round peel as a CTE chain — the same rounds the
+    Spark loop executes (converged well within the budget at the tested
+    SFs, asserted by the pytest fixpoint check)."""
+    prev = "e0"
+    stages = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        stages.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT s1 AS node FROM {prev} UNION ALL SELECT s2 FROM {prev}
+      ) GROUP BY node
+    ),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE degree >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT s1, s2 FROM {prev}
+      WHERE s1 IN (SELECT node FROM k{r}) AND s2 IN (SELECT node FROM k{r})
+    )""")
+        prev = f"e{r}"
+    chain = ",".join(stages)
+    return f"""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS c
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT s1, s2 FROM (
+        SELECT s1, s2, row_number() OVER (ORDER BY c DESC, s1, s2) AS rn FROM w
+      ) WHERE rn <= {_TRI_TOP_EDGES}
+    ),{chain}
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT s1 AS node FROM {prev} UNION ALL SELECT s2 FROM {prev}
+    ) GROUP BY node
+    ORDER BY node
+    """
+
+
+@query("g_kcore_decomposition", oracle=_kcore_oracle())
+def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the strongest co-supply edges: the maximal subgraph
+    where every surviving supplier still has >= {k} strong partners —
+    the graph-density community detector that complements triangle
+    counts (a node can sit in many triangles yet fall out of the core).
+    Fixed {rounds}-round peel (converged at the tested SFs; the pytest
+    check asserts a further round removes nothing), unrolled identically
+    in the oracle.
+
+    Each peel round's frames SHRINK monotonically and per-round lineage
+    is checkpoint-truncated, so the cost is bounded by the first
+    round's two small shuffles; the expensive part (edge-weight build)
+    is shared with g_triangle_count and runs once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    w = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("c"))
+    )
+    e = (
+        w.withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc(), "s1", "s2")))
+        .filter(F.col("rn") <= _TRI_TOP_EDGES)
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    from ..operators.graph import kcore_peel
+
+    return kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")

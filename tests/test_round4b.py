@@ -191,3 +191,52 @@ def test_url_canonical_groups_unify_variants(spark):
         assert 2 <= r["n_variants"] <= 4
         assert r["canonical_url"].startswith("https://cdn")
         assert "utm" not in r["canonical_url"] and ":443" not in r["canonical_url"]
+
+
+def test_kcore_fixpoint_and_invariants(spark):
+    """The gate's fixed 4-round peel must have CONVERGED at the tested
+    SFs (a further round removes nothing) and every survivor keeps
+    degree >= k within the core."""
+    from etl_data_peri_institute_spark.operators.graph import kcore_peel
+    from etl_data_peri_institute_spark.plans.round4_ext import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["g_kcore_decomposition"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r["degree"] >= _KCORE_K for r in out)
+
+    # fixpoint: peel one MORE round over the same graph → identical core
+    from pyspark.sql import functions as F
+    from etl_data_peri_institute_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    w = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("c"))
+    )
+    e = (
+        w.withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc(), "s1", "s2")))
+        .filter(F.col("rn") <= 500)
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    more = kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1).collect()
+    assert sorted(map(tuple, more)) == sorted((r["node"], r["degree"]) for r in out)
+
+
+def test_kcore_peels_tail_nodes(spark):
+    """Hand graph: a K5 core with a pendant chain — the chain peels
+    away, the clique survives with degree 4."""
+    from etl_data_peri_institute_spark.operators.graph import kcore_peel
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11)]
+    edges = spark.createDataFrame(k5 + chain, "src int, dst int")
+    out = {r["node"]: r["degree"] for r in kcore_peel(edges, k=4, rounds=3).collect()}
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
