@@ -1180,14 +1180,15 @@ def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = tagged.groupBy("event_type", "v").agg(
         F.sum("is_base").alias("nb"), F.sum(1 - F.col("is_base")).alias("nc")
     )
-    tot = per_v.groupBy("event_type").agg(
-        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
-    )
+    # totals as per-type WINDOW sums over the same grouped frame — no
+    # separate aggregate + join, so the (type, value) derivation is
+    # planned once and the whole query is one pipeline
     wcum = W.partitionBy("event_type").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    ecdf = per_v.join(tot, "event_type").select(
+    wall = W.partitionBy("event_type")
+    ecdf = per_v.select(
         "event_type",
-        (F.sum("nb").over(wcum) / F.col("tb")).alias("fb"),
-        (F.sum("nc").over(wcum) / F.col("tc")).alias("fc"),
+        (F.sum("nb").over(wcum) / F.sum("nb").over(wall)).alias("fb"),
+        (F.sum("nc").over(wcum) / F.sum("nc").over(wall)).alias("fc"),
     )
     return (
         ecdf.groupBy("event_type")
@@ -1255,13 +1256,12 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = tagged.groupBy("event_type", "bin").agg(
         F.sum("is_base").alias("nb"), F.sum(1 - F.col("is_base")).alias("nc")
     )
-    tot = binned.groupBy("event_type").agg(
-        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
-    )
-    terms = binned.join(tot, "event_type").select(
+    # per-type totals as window sums over the binned frame (see a_ks_drift)
+    wall = W.partitionBy("event_type")
+    terms = binned.select(
         "event_type",
-        ((F.col("nb") + 0.5) / (F.col("tb") + 0.5 * _PSI_BINS)).alias("p"),
-        ((F.col("nc") + 0.5) / (F.col("tc") + 0.5 * _PSI_BINS)).alias("q"),
+        ((F.col("nb") + 0.5) / (F.sum("nb").over(wall) + 0.5 * _PSI_BINS)).alias("p"),
+        ((F.col("nc") + 0.5) / (F.sum("nc").over(wall) + 0.5 * _PSI_BINS)).alias("q"),
     )
     return (
         terms.groupBy("event_type")
