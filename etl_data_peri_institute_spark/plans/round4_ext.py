@@ -69,36 +69,37 @@ def t_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (here: ``doc_id % 13 == 0`` plays the eval split); rows at
     or above the flag threshold.
 
-    Scale shape: one shuffle of train shingles against the distinct
-    benchmark shingle set via LEFT SEMI on the shingle value — the
-    benchmark side is eval-corpus-sized (bounded: benchmarks are MBs,
-    not TBs), so AQE broadcasts it; the train side streams. The same
-    hot-shingle doc-frequency cap as jaccard_pairs applies in production
-    (a stop-shingle would mark everything contaminated); the gate runs
-    uncapped to stay exactly SQL-expressible.
+    Single-pipeline scale shape (the jaccard-rework discipline): ONE
+    shingle derivation, a per-shingle "appears in any benchmark doc"
+    flag as a window max over the shingle key, then one per-doc groupBy
+    that counts total and flagged shingles together — two shuffles
+    total (shingle window + doc groupBy), one corpus scan, no
+    semi-join and no separate benchmark-side derivation. The same
+    hot-shingle doc-frequency cap as jaccard_pairs applies in
+    production (a stop-shingle would mark everything contaminated);
+    the gate runs uncapped to stay exactly SQL-expressible.
     """
     from ..operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs)  # (id, sh) distinct
     is_eval = F.col("id") % _EVAL_MOD == 0
-    eval_sh = sh.filter(is_eval).select("sh").distinct()
-    train = sh.filter(~is_eval)
-    sized = train.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    contam = (
-        train.join(eval_sh, "sh", "left_semi")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_contam"))
+    marked = sh.withColumn(
+        "has_eval",
+        F.max(is_eval.cast("int")).over(W.partitionBy("sh")),
     )
     scored = (
-        sized.join(contam, "id", "left")
+        marked.filter(~is_eval)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("has_eval").alias("n_contam"),
+        )
         .select(
             F.col("id").alias("doc_id"),
             "n_shingles",
-            F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
-            F.round(
-                F.coalesce("n_contam", F.lit(0)) / F.col("n_shingles"), 4
-            ).alias("contam_ratio"),
+            "n_contam",
+            F.round(F.col("n_contam") / F.col("n_shingles"), 4).alias("contam_ratio"),
         )
     )
     return scored.filter(F.col("contam_ratio") >= _CONTAM_MIN_RATIO).orderBy("doc_id")
@@ -128,22 +129,20 @@ def d_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The flagged set is contamination-sized (small); joining it back to
     the corpus is a broadcast-able semi/anti pattern, so the apply adds
-    no data-sized shuffle beyond the check itself."""
+    no data-sized shuffle beyond the check itself (which uses the same
+    single-pipeline window shape as t_contamination_check)."""
     from ..operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs)
     is_eval = F.col("id") % _EVAL_MOD == 0
-    eval_sh = sh.filter(is_eval).select("sh").distinct()
-    train_sh = sh.filter(~is_eval)
-    sized = train_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    contam = (
-        train_sh.join(eval_sh, "sh", "left_semi")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_contam"))
+    marked = sh.withColumn(
+        "has_eval", F.max(is_eval.cast("int")).over(W.partitionBy("sh"))
     )
     flagged = (
-        sized.join(contam, "id")
+        marked.filter(~is_eval)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shingles"), F.sum("has_eval").alias("n_contam"))
         .filter(F.col("n_contam") / F.col("n_shingles") >= _CONTAM_MIN_RATIO)
         .select(F.col("id").alias("doc_id"))
     )
