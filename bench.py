@@ -55,6 +55,8 @@ HEADLINE = [
     "j_band_join",
     "ts_time_bucket_rollup",
     "g_triangle_count",
+    "a_ks_drift",
+    "t_importance_weights",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -88,6 +88,10 @@ QUERIES = [
     "t_url_canonical_dedup",
     "a_ks_drift",
     "a_psi_drift",
+    "g_kcore_decomposition",
+    "t_duplicated_ngram_report",
+    "t_importance_weights",
+    "b_last_touch_attribution",
 ]
 
 
