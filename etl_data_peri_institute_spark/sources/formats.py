@@ -84,3 +84,38 @@ def write_bucketed(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Robust JSON-lines ingest: PERMISSIVE parse against the explicit
+    schema with malformed lines captured in a corrupt-record column,
+    split into (valid, quarantine). The landing-zone discipline for a
+    100 TB crawl feed: one pass, bad bytes audited (raw line preserved
+    verbatim for replay) instead of failing the job (FAILFAST) or
+    silently vanishing (DROPMALFORMED).
+
+    The returned quarantine frame is audit-ready for ``audit_csv``; the
+    valid frame drops the marker column. Spark requires the corrupt
+    column declared in the schema — this helper adds it so callers keep
+    their clean business schema."""
+    corrupt_col = "_corrupt_record"
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # caching before the split is REQUIRED for correct corrupt-record
+    # semantics: without it each branch re-parses and Spark may push the
+    # isNull filter into the parser, changing which rows materialize
+    df = df.cache()
+    valid = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return valid, quarantine

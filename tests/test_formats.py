@@ -187,3 +187,29 @@ def test_cluster_rewrite_tightens_row_groups(spark, tmp_path):
 
     # rows survive the rewrite
     assert store.read("t").count() == orders.count()
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine with the raw bytes
+    preserved; valid lines parse against the business schema."""
+    from etl_data_peri_institute_spark.sources.formats import (
+        read_json_with_quarantine,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "bad type"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    valid, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    assert {(r["id"], r["name"]) for r in valid.collect()} == {(1, "ok"), (2, "fine")}
+    raws = [r["raw_line"] for r in quarantine.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert any("NOT_A_NUMBER" in r for r in raws)
