@@ -229,3 +229,102 @@ def test_sq_codes_preserve_per_dimension_order(spark, vecs):
             for d in range(3):
                 if floats[a][d] <= floats[b][d]:
                     assert codes[a][d] <= codes[b][d]
+
+
+@st.composite
+def nearest_case(draw):
+    n_left = draw(st.integers(1, 6))
+    n_right = draw(st.integers(0, 6))
+    left = [(i, "k", draw(st.integers(0, 40))) for i in range(n_left)]
+    # unique right timestamps so the reference is unambiguous
+    rts = draw(
+        st.lists(st.integers(0, 40), min_size=n_right, max_size=n_right, unique=True)
+    )
+    right = [("k", rt, f"v{rt}") for rt in rts]
+    return left, right
+
+
+@given(nearest_case())
+@settings(max_examples=15, deadline=None)
+def test_asof_nearest_matches_bruteforce(spark, case):
+    from etl_data_peri_institute_spark.operators.asof import asof_join_nearest
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "id int, k string, t int")
+    right = (
+        spark.createDataFrame(right_rows, "k string, rt int, val string")
+        if right_rows
+        else spark.createDataFrame([], "k string, rt int, val string")
+    )
+    got = {
+        r["id"]: r["val_nearest"]
+        for r in asof_join_nearest(
+            left, right, on="k", left_time="t", right_time="rt", value_cols=["val"]
+        ).collect()
+    }
+    for i, _, t in left_rows:
+        if not right_rows:
+            assert got[i] is None
+            continue
+        # nearest by |delta|; ties go backward (at-or-before wins)
+        best = min(right_rows, key=lambda r: (abs(r[1] - t), r[1] > t))
+        assert got[i] == best[2], (t, right_rows, got[i])
+
+
+@st.composite
+def small_graph(draw):
+    n = draw(st.integers(2, 8))
+    possible = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    edges = draw(st.lists(st.sampled_from(possible), max_size=14, unique=True))
+    return edges
+
+
+@given(small_graph(), st.integers(1, 3))
+@settings(max_examples=15, deadline=None)
+def test_kcore_matches_python_peel(spark, edges, k):
+    import collections
+
+    from etl_data_peri_institute_spark.operators.graph import kcore_peel
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=k, rounds=10).collect()}
+
+    es = set(edges)
+    while True:
+        deg = collections.Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            break
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+    ref = collections.Counter()
+    for a, b in es:
+        ref[a] += 1
+        ref[b] += 1
+    assert got == dict(ref)
+
+
+@given(small_graph())
+@settings(max_examples=15, deadline=None)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from etl_data_peri_institute_spark.operators.graph import triangle_counts
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    es = set(edges)
+    nodes = {x for e in edges for x in e}
+    ref: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for x in (a, b, c):
+                ref[x] = ref.get(x, 0) + 1
+    assert got == ref
