@@ -129,6 +129,7 @@ _VERIFY_FIRST: list[str] = [
     "p_fd_violation_check",
     "t_duplicated_ngram_report",
     "g_kcore_decomposition",
+    "d_lsh_recall_report",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

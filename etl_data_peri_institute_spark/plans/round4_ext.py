@@ -1511,3 +1511,105 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
     return kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: recall of the banded MinHash candidates
+# against exact Jaccard truth — the measurement that justifies a band
+# configuration before trusting it on 100 TB.
+# ---------------------------------------------------------------------------
+
+_RECALL_TAU = 0.3
+
+
+def _lsh_recall_oracle() -> str:
+    from .llmdata import _DUCK_SHINGLES, N_MINHASH
+
+    sig_cols = ", ".join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(N_MINHASH))
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= {_RECALL_TAU}
+    ),
+    sigs AS (
+      SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth t
+                 WHERE EXISTS (SELECT 1 FROM cand c
+                               WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+                AS BIGINT) AS n_caught,
+           round((SELECT count(*) FROM truth t
+                  WHERE EXISTS (SELECT 1 FROM cand c
+                                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+                 * 1.0 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+    """
+
+
+@query("d_lsh_recall_report", oracle=_lsh_recall_oracle())
+def d_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality report: of the TRUE near-dup pairs (exact
+    Jaccard >= {tau}), what fraction do the banded MinHash candidates
+    catch? One row: (n_true, n_candidates, n_caught, recall). This is
+    the evaluation every banding config needs before running on 100 TB —
+    the band/row counts trade recall against candidate volume, and this
+    query measures the trade on a sample instead of assuming the
+    S-curve.
+
+    Scale shape: the truth side is the exact Jaccard verifier (run on a
+    SAMPLE at production scale — that is the standard recall-estimation
+    protocol, and the sample is the knob); the candidate side is the
+    production LSH path itself. The final intersection joins two
+    pair-keyed frames, both already deduplicated and pair-count-sized.
+    """
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # jaccard_pairs filters STRICTLY above its threshold; nudge down by
+    # an epsilon so truth is the at-or-above-tau set
+    truth = jaccard_pairs(
+        word_shingles(docs), min_jaccard=_RECALL_TAU - 1e-12, max_doc_freq=None
+    ).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(word_shingles(docs, distinct=False), hash_fn="md5"),
+        bands=4,
+        rows_per_band=2,
+    ).select("id_a", "id_b")
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    # one lazy plan, no driver-side counts: three 1-row aggregates
+    # cross-joined (each is a full partial-agg reduce; the cross join
+    # moves 3 rows)
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    g = caught.agg(F.count("*").alias("n_caught"))
+    return t.crossJoin(c).crossJoin(g).select(
+        "n_true", "n_candidates", "n_caught",
+        F.round(F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 4).alias("recall"),
+    )
