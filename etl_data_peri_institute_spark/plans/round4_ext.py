@@ -1613,3 +1613,115 @@ def d_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true", "n_candidates", "n_caught",
         F.round(F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of IVF multi-probe vs exact KNN
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    from .llmdata_ext import _COSINE_SQL
+
+    cos_qe = _COSINE_SQL.format(a="q.embedding", b="e.embedding")
+    return f"""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY label, pos
+    ),
+    dots AS (
+      SELECT p.vec_id, c.c_label,
+             sum(p.val * c.cval) AS dot,
+             sqrt(sum(p.val * p.val)) AS vn,
+             sqrt(sum(c.cval * c.cval)) AS cn
+      FROM pos p JOIN centroids c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.c_label
+    ),
+    ranked AS (
+      SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / (vn * cn) DESC, c_label) AS rn
+      FROM dots
+    ),
+    lists AS (SELECT vec_id AS neighbor_id, c_label FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c_label FROM ranked WHERE rn <= 2 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l ON p.c_label = l.c_label
+      WHERE l.neighbor_id <> p.query_id
+    ),
+    ivf_sims AS (
+      SELECT c.query_id, c.neighbor_id, {cos_qe} AS cos_sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    ivf_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM ivf_sims
+      ) WHERE rn <= 3
+    ),
+    exact_sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos_qe} AS cos_sim
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ),
+    exact_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM exact_sims
+      ) WHERE rn <= 3
+    )
+    SELECT CAST((SELECT count(*) FROM exact_top) AS BIGINT) AS n_truth_pairs,
+           CAST((SELECT count(*) FROM exact_top t
+                 WHERE EXISTS (SELECT 1 FROM ivf_top i
+                               WHERE i.query_id = t.query_id
+                                 AND i.neighbor_id = t.neighbor_id))
+                AS BIGINT) AS n_caught,
+           round((SELECT count(*) FROM exact_top t
+                  WHERE EXISTS (SELECT 1 FROM ivf_top i
+                                WHERE i.query_id = t.query_id
+                                  AND i.neighbor_id = t.neighbor_id))
+                 * 1.0 / (SELECT count(*) FROM exact_top), 4) AS recall_at_3
+    """
+
+
+@query("e_ivf_recall_report", oracle=_ivf_recall_oracle())
+def e_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@3: what fraction of the EXACT cosine top-3 neighbors
+    does the IVF multi-probe path (n_probe=2) return for the query set?
+    One row (n_truth_pairs, n_caught, recall_at_3) — the standard ANN
+    quality metric; n_probe trades this recall against probed-list
+    volume, and this query measures the trade instead of assuming it.
+
+    The truth side is the brute-force scan (run on a query SAMPLE at
+    production scale — the standard recall-estimation protocol); the
+    IVF side is the production search path itself. Both reduce to
+    pair-keyed top-3 frames before a semi-join and three 1-row
+    aggregates — no driver-side counting."""
+    from ..operators.similarity import centroids_by, ivf_topk, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_bruteforce(emb, queries, k=3).select("query_id", "neighbor_id")
+    cents = centroids_by(emb, "label").localCheckpoint(eager=False)
+    ivf = ivf_topk(emb, queries, cents, k=3, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    caught = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    t = exact.agg(F.count("*").alias("n_truth_pairs"))
+    g = caught.agg(F.count("*").alias("n_caught"))
+    return t.crossJoin(g).select(
+        "n_truth_pairs", "n_caught",
+        F.round(F.col("n_caught") / F.col("n_truth_pairs"), 4).alias("recall_at_3"),
+    )
