@@ -425,3 +425,32 @@ def test_sq_topk_recall_vs_exact_on_testdata(spark):
     }
     cos_recall5 = sum(cos1[q] in sq5[q] for q in cos1) / len(cos1)
     assert cos_recall5 == 1.0, f"cosine top-1 missing from SQ top-5: {cos_recall5}"
+
+
+def test_simhash_nibble_bands_have_perfect_recall(spark):
+    """Empirical pin of the pigeonhole property: for 16-bit fingerprints
+    and hamming radius <= 3, at least one of the 4 nibbles must match
+    exactly, so the band-proposed candidate set must CONTAIN every true
+    pair found by brute-force XOR-popcount."""
+    from itertools import combinations
+
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r[0], r[1])
+        for r in QUERIES["d_simhash_hamming_pairs"].fn(spark, sf).select("doc_a", "doc_b").collect()
+    }
+    # brute-force truth over the same fingerprints, via the d_simhash
+    # gate query itself (small at sf0.001)
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["d_simhash"].fn(spark, sf).collect()
+    }
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert truth <= got or truth == got

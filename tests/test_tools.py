@@ -62,3 +62,14 @@ def test_verify_first_names_resolve_and_are_unique():
     assert len(set(catalog._VERIFY_FIRST)) == len(catalog._VERIFY_FIRST)
     # the 50-row window must be fully used (no wasted slots)
     assert len(catalog._VERIFY_FIRST) >= 50
+
+
+def test_verify_first_names_all_registered():
+    """A typo in _VERIFY_FIRST silently drops the name from the driver
+    window (load_all filters to registered names) — every entry must
+    resolve to a registered query."""
+    from etl_data_peri_institute_spark.plans import catalog
+
+    catalog.load_all()
+    missing = [n for n in catalog._VERIFY_FIRST if n not in catalog.QUERIES]
+    assert missing == [], missing
