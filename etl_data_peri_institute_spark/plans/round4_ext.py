@@ -1,8 +1,17 @@
-"""Round-4 operator additions: benchmark decontamination, PII
-detection/redaction, URL parsing, multi-resolution time-bucket rollups,
-EWMA smoothing, rolling-window anomaly detection, time-band joins,
-triangle counting, deterministic bootstrap CIs, embedding range search,
-and pseudonymization with k-anonymity reporting.
+"""Round-4 operator additions.
+
+Corpus curation: benchmark decontamination (check + apply), PII
+detection/redaction, URL parse + canonicalization dedup, SemDeDup-style
+centroid pruning, DSIR-style importance weights, exact
+repeated-substring report. Monitoring: KS and PSI distribution drift,
+rolling-window z-score anomalies, period-over-period comparison,
+functional-dependency audit, bootstrap confidence intervals,
+k-anonymity reporting. Time series: multi-resolution time-bucket
+rollup, EWMA smoothing. Joins/graph: time-band join, triangle counting,
+k-core decomposition, last-touch attribution. Retrieval: cosine range
+search. Evaluation: LSH recall vs exact-Jaccard truth, ANN recall@k of
+IVF vs exact KNN — the production paths measured against their exact
+twins.
 
 All are Spark-first DataFrame/SQL compositions with DuckDB oracles;
 each docstring carries the 100 TB design note (shuffle keys, candidate
