@@ -9,7 +9,7 @@ stream's complete-mode result equals the batch aggregation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -264,3 +264,76 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
 
+
+
+@query(
+    "st_streaming_drift_psi",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / 50.0) AS INT), 0), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS is_base
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type, bin,
+             CAST(sum(is_base) AS BIGINT) AS nb,
+             CAST(sum(1 - is_base) AS BIGINT) AS nc
+      FROM tagged GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc
+      FROM binned GROUP BY event_type
+    ),
+    terms AS (
+      SELECT b.event_type,
+             ((b.nb + 0.5) / (t.tb + 0.5 * 10)) AS p,
+             ((b.nc + 0.5) / (t.tc + 0.5 * 10)) AS q
+      FROM binned b JOIN tot t ON t.event_type = b.event_type
+    )
+    SELECT event_type, round(sum((p - q) * ln(p / q)), 4) AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming drift monitoring: the CURRENT period's
+    (type, bin) counts come from a readStream aggregation driven to
+    completion (complete mode, memory sink — production: the
+    epoch-guarded foreachBatch monitor in streaming/drift.py), then PSI
+    vs the frozen batch baseline at read time. Same add-half-smoothed
+    arithmetic as the batch a_psi_drift gate query, so the one oracle
+    covers the streaming runtime too.
+
+    At scale the streaming aggregation state is bin-cardinality-sized
+    per type (bounded) — the smallest possible stateful footprint for a
+    distribution monitor."""
+    from ..streaming.drift import _bin_col, baseline_bins
+    from ..streaming.windows import run_to_completion, stream_events
+
+    split = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    baseline = baseline_bins(
+        load_table(spark, sf_dir, "events").filter(F.col("ts") < split)
+    )
+    cur_stream = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("ts") >= split)
+        .select("event_type", _bin_col("value", 0.0, 500.0, 10).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    cur = run_to_completion(cur_stream)
+    joined = baseline.join(cur, ["event_type", "bin"], "full").fillna(
+        0, subset=["n_base", "n_cur"]
+    )
+    wall = F.sum("n_base").over(W.partitionBy("event_type"))
+    wallc = F.sum("n_cur").over(W.partitionBy("event_type"))
+    terms = joined.select(
+        "event_type",
+        ((F.col("n_base") + 0.5) / (wall + 0.5 * 10)).alias("p"),
+        ((F.col("n_cur") + 0.5) / (wallc + 0.5 * 10)).alias("q"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 4).alias("psi"))
+        .orderBy("event_type")
+    )
