@@ -132,6 +132,7 @@ _VERIFY_FIRST: list[str] = [
     "d_lsh_recall_report",
     "e_ivf_recall_report",
     "st_streaming_drift_psi",
+    "b_negative_sampling",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

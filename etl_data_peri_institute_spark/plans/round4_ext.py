@@ -1734,3 +1734,88 @@ def e_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth_pairs", "n_caught",
         F.round(F.col("n_caught") / F.col("n_truth_pairs"), 4).alias("recall_at_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for contrastive/recommender training
+# ---------------------------------------------------------------------------
+
+_NEG_PER_USER = 2
+_NEG_CAND_PARTS = 100
+
+
+@query(
+    "b_negative_sampling",
+    oracle=f"""
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cand AS (
+      SELECT p FROM (
+        SELECT l_partkey AS p, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS rn
+        FROM lineitem GROUP BY l_partkey
+      ) WHERE rn <= {_NEG_CAND_PARTS}
+    ),
+    users AS (SELECT DISTINCT c FROM inter),
+    negs AS (
+      SELECT u.c, cd.p,
+             row_number() OVER (
+               PARTITION BY u.c ORDER BY md5(u.c || ':' || cd.p)
+             ) AS rn
+      FROM users u CROSS JOIN cand cd
+      WHERE NOT EXISTS (SELECT 1 FROM inter i WHERE i.c = u.c AND i.p = cd.p)
+    )
+    SELECT c AS custkey, p AS neg_partkey, CAST(rn AS INT) AS neg_rank
+    FROM negs WHERE rn <= {_NEG_PER_USER}
+    ORDER BY custkey, neg_rank
+    """,
+)
+def b_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: for every customer, {n} popular
+    parts they have NEVER purchased, picked by content-hash order — the
+    contrastive/recommender training companion to positive interaction
+    pairs. Hash-ordered (never rand()) so resampling a shard regenerates
+    identical negatives, and restricted to a bounded popular-candidate
+    set so negatives are hard (popularity-matched), not trivial.
+
+    Scale shape: the candidate set is top-N (bounded, broadcast); the
+    cross join is users x N BEFORE the anti-filter, i.e. linear in
+    users with constant factor N — never users x all-items. The
+    interaction anti-check is a co-partitioned NOT EXISTS on the
+    (user, item) key; the per-user hash-order pick is a bounded window
+    over <= N rows per user."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cand = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("n").desc(), "p")))
+        .filter(F.col("rn") <= _NEG_CAND_PARTS)
+        .select("p")
+    )
+    users = inter.select("c").distinct()
+    pairs = users.crossJoin(F.broadcast(cand))
+    negs = (
+        pairs.join(inter, ["c", "p"], "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("c").orderBy(
+                    F.md5(F.concat(F.col("c").cast("string"), F.lit(":"), F.col("p").cast("string")))
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _NEG_PER_USER)
+    )
+    return negs.select(
+        F.col("c").alias("custkey"),
+        F.col("p").alias("neg_partkey"),
+        F.col("rn").cast("int").alias("neg_rank"),
+    ).orderBy("custkey", "neg_rank")
