@@ -136,14 +136,18 @@ _VERIFY_FIRST: list[str] = [
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote
+# FIRST the round-4 overflow (positions 51+: f_url_parse,
+# b_last_touch_attribution, p_fd_violation_check,
+# t_duplicated_ngram_report, g_kcore_decomposition, d_lsh_recall_report,
+# e_ivf_recall_report, st_streaming_drift_psi, b_negative_sampling) and
 # any name still without a driver row, then any query whose OUTPUT
 # changed since its last green row, then continue backfilling the
-# remaining r01-only-evidence names (f_array_functions, f_map_functions,
-# f_date_parts, f_null_handling, f_unpivot_stack, f_regexp_extract,
-# f_json_struct, f_like_matrix, d_simhash, t_token_count, p_* parity
-# family, w_running_revenue_per_supplier, w_lag_lead_user_events,
-# w_rank_dense_ntile, w_first_last_value, b_funnel_click_to_purchase,
-# b_cohort_retention, m_binary_metadata, a_*).
+# remaining r01-only-evidence names (d_dedup_components, d_dedup_apply,
+# d_minhash_lsh_pairs, d_ngram_jaccard_pairs, d_exact_dedup,
+# e_knn_bruteforce, e_ivf_assign, e_lsh_buckets, t_quality_score,
+# t_langid, t_fingerprint, b_hash_sample, u_grouped_zscore_pandas,
+# a_salted_skew_agg, a_exact_percentile, f_* function surface, the p_*
+# parity family, and the w_* window family).
 
 
 def load_all() -> None:
