@@ -182,9 +182,16 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
 
         head_best: dict[str, float] = {}
         base_best: dict[str, float] = {}
+        head_passes: list[float] = []
+        base_passes: list[float] = []
         for _ in range(AB_PASSES):
-            for root, best in ((head_root, head_best), (wt, base_best)):
-                for n, dt in _run_side(root, spark, shared, sf_dir).items():
+            for root, best, passes in (
+                (head_root, head_best, head_passes),
+                (wt, base_best, base_passes),
+            ):
+                times = _run_side(root, spark, shared, sf_dir)
+                passes.append(round(sum(times.values()), 3))
+                for n, dt in times.items():
                     best[n] = min(best.get(n, float("inf")), dt)
         head_total = sum(head_best.values())
         base_total = sum(base_best.values())
@@ -194,6 +201,10 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
             "ab_head_total": round(head_total, 3),
             "ab_baseline_total": round(base_total, 3),
             "ab_delta_pct": round((head_total - base_total) / base_total * 100, 2),
+            # per-pass raw totals, interleaved in time (H,B,H,B,...): the
+            # spread across passes IS the run's own noise estimate
+            "ab_head_passes": head_passes,
+            "ab_baseline_passes": base_passes,
         }
     except Exception as exc:  # noqa: BLE001 — A/B is best-effort telemetry
         return {"ab_delta_pct": None, "ab_error": f"{type(exc).__name__}: {exc}"[:200]}
