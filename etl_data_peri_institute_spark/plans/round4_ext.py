@@ -563,7 +563,7 @@ _TRI_TOP_EDGES = 500
 )
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the supplier co-supply graph
-    (strongest {top-N by shared-part count} edges, oriented s1<s2) — the
+    (strongest top-500-by-shared-part-count edges, oriented s1<s2) — the
     clustering/community-density primitive (triangle-dense nodes sit in
     tight supplier clusters; the same join shape backs clustering
     coefficients and truss decomposition).
@@ -645,17 +645,17 @@ _BOOT_B = 16
 def b_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence interval for the mean order value — the
     uncertainty companion every pipeline metric report should carry.
-    Half-sampling (m-out-of-n without replacement) bootstrap: {B}
+    Half-sampling (m-out-of-n without replacement) bootstrap: B=16
     deterministic resamples, membership decided by a content hash of
     (order key, resample index) — NEVER rand(), so the report is
     reproducible across runs, engines, and retries. The resample-mean
     spread (min/median/max over B) is the interval.
 
     Scale shape: the cross join with the B-row resample table multiplies
-    the scan {B}x BEFORE partial aggregation, but each output row
+    the scan B-fold BEFORE partial aggregation, but each output row
     reduces map-side to B running sums — the shuffle carries B rows. At
     100 TB the multiplier is the knob: compute all B sums in ONE pass
-    via B conditional aggregates if the {B}x scan cost bites; the
+    via B conditional aggregates if the B-fold scan cost bites; the
     per-resample means are order-insensitive after round(2) because the
     summand magnitudes keep the float ulp far below the rounding grain.
     """
@@ -1491,11 +1491,11 @@ def _kcore_oracle() -> str:
 
 @query("g_kcore_decomposition", oracle=_kcore_oracle())
 def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{k}-core of the strongest co-supply edges: the maximal subgraph
-    where every surviving supplier still has >= {k} strong partners —
+    """k-core (k=6) of the strongest co-supply edges: the maximal subgraph
+    where every surviving supplier still has >= k strong partners —
     the graph-density community detector that complements triangle
     counts (a node can sit in many triangles yet fall out of the core).
-    Fixed {rounds}-round peel (converged at the tested SFs; the pytest
+    Fixed 4-round peel (converged at the tested SFs; the pytest
     check asserts a further round removes nothing), unrolled identically
     in the oracle.
 
@@ -1580,7 +1580,7 @@ def _lsh_recall_oracle() -> str:
 @query("d_lsh_recall_report", oracle=_lsh_recall_oracle())
 def d_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding quality report: of the TRUE near-dup pairs (exact
-    Jaccard >= {tau}), what fraction do the banded MinHash candidates
+    Jaccard >= 0.3), what fraction do the banded MinHash candidates
     catch? One row: (n_true, n_candidates, n_caught, recall). This is
     the evaluation every banding config needs before running on 100 TB —
     the band/row counts trade recall against candidate volume, and this
@@ -1773,7 +1773,7 @@ _NEG_CAND_PARTS = 100
     """,
 )
 def b_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic negative sampling: for every customer, {n} popular
+    """Deterministic negative sampling: for every customer, 2 popular
     parts they have NEVER purchased, picked by content-hash order — the
     contrastive/recommender training companion to positive interaction
     pairs. Hash-ordered (never rand()) so resampling a shard regenerates
