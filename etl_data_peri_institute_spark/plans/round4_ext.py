@@ -762,7 +762,7 @@ def p_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-hash pseudonymization + k-anonymity audit: replace user
     ids with sha256(salt:id) (stable joins remain possible, raw ids do
     not leave the pipeline), then report the (event_type, day) cells
-    whose distinct-pseudonym count is below k={_KANON_K} — the cells a
+    whose distinct-pseudonym count is below k=45 (_KANON_K) — the cells a
     release policy must suppress or generalize before publication.
 
     One narrow hash projection + one groupBy on the quasi-identifier
