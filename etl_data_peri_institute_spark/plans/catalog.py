@@ -133,6 +133,8 @@ _VERIFY_FIRST: list[str] = [
     "e_ivf_recall_report",
     "st_streaming_drift_psi",
     "b_negative_sampling",
+    "p_referential_integrity_report",
+    "a_benford_first_digit",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

@@ -1819,3 +1819,133 @@ def b_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("neg_partkey"),
         F.col("rn").cast("int").alias("neg_rank"),
     ).orderBy("custkey", "neg_rank")
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-wide referential integrity sweep and Benford screening
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_referential_integrity_report",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS relation,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+                AS BIGINT)
+    ORDER BY relation
+    """,
+)
+def p_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide referential-integrity sweep: every FK relation's
+    child-row and orphan counts in ONE report — the generalization of
+    the pipeline's per-table fk_split to a whole-catalog health check
+    (expected all-zero orphans on this testdata; the REPORT shape is
+    the operator).
+
+    Each relation is an anti-join of the child table against the
+    parent's distinct key projection — parent key sets broadcast when
+    small, shuffle-semi otherwise (AQE's call, same as fk_split); the
+    four relations share the lineitem scan via AQE stage reuse where
+    pruning allows. Orphan counts reduce map-side; the report is
+    4 rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def rel(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent.withColumnRenamed(parent_key, child_key), child_key, "left_anti"
+        )
+        n = child.agg(F.count("*").alias("n_child_rows"))
+        o = orphans.agg(F.count("*").alias("n_orphans"))
+        return n.crossJoin(o).select(
+            F.lit(name).alias("relation"), "n_child_rows", "n_orphans"
+        )
+
+    out = (
+        rel("orders.custkey->customer", orders.select("o_custkey"), "o_custkey", cust, "c_custkey")
+        .unionByName(rel("lineitem.orderkey->orders", li.select("l_orderkey"), "l_orderkey", orders.select("o_orderkey"), "o_orderkey"))
+        .unionByName(rel("lineitem.partkey->part", li.select("l_partkey"), "l_partkey", part, "p_partkey"))
+        .unionByName(rel("lineitem.suppkey->supplier", li.select("l_suppkey"), "l_suppkey", supp, "s_suppkey"))
+    )
+    return out.orderBy("relation")
+
+
+@query(
+    "a_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+    SELECT o.d AS first_digit, o.n AS n_obs,
+           round(o.n * 1.0 / tot.t, 4) AS p_obs,
+           round(log10(1.0 + 1.0 / o.d), 4) AS p_benford,
+           round(abs(o.n * 1.0 / tot.t - log10(1.0 + 1.0 / o.d)), 4) AS abs_dev
+    FROM obs o CROSS JOIN tot
+    ORDER BY first_digit
+    """,
+)
+def a_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    first-digit frequencies vs log10(1 + 1/d), with absolute deviation
+    per digit — the classic anomaly screen for fabricated or truncated
+    numeric columns (heavy deviation = investigate the source, not
+    necessarily fraud; synthetic uniform-ish data deviates by design
+    and the report shows exactly how).
+
+    One scan → 9-row digit groupBy (map-side combined) → total via a
+    1-row cross join. String first-digit extraction over the integer
+    part is engine-portable; all ratios rounded before compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    # explicit floor: Spark's double->bigint cast truncates while
+    # DuckDB's ROUNDS (banker's) — floor() pins identical integer parts
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    p_obs = F.col("n") / F.col("t")
+    p_ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").alias("n_obs"),
+            F.round(p_obs, 4).alias("p_obs"),
+            F.round(p_ben, 4).alias("p_benford"),
+            F.round(F.abs(p_obs - p_ben), 4).alias("abs_dev"),
+        )
+        .orderBy("first_digit")
+    )
