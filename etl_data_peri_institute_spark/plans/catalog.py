@@ -135,6 +135,7 @@ _VERIFY_FIRST: list[str] = [
     "b_negative_sampling",
     "p_referential_integrity_report",
     "a_benford_first_digit",
+    "ts_downsample_lttb",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

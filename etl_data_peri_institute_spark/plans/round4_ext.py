@@ -1949,3 +1949,113 @@ def a_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Visualization-ready downsampling (LTTB-style, parallel variant)
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKETS = 60
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS x, round(value, 2) AS y
+      FROM events WHERE event_type = 'click'
+    ),
+    bounds AS (
+      SELECT min(x) AS x0,
+             CAST(ceil((max(x) - min(x) + 1) * 1.0 / {_LTTB_BUCKETS}) AS BIGINT) AS w
+      FROM pts
+    ),
+    bucketed AS (
+      SELECT p.event_id, p.x, p.y, CAST((p.x - b.x0) // b.w AS BIGINT) AS bk
+      FROM pts p CROSS JOIN bounds b
+    ),
+    bstats AS (
+      SELECT bk, avg(x) AS bx, avg(y) AS by FROM bucketed GROUP BY bk
+    ),
+    ctx AS (
+      SELECT bk, bx, by,
+             lag(bx) OVER (ORDER BY bk) AS px, lag(by) OVER (ORDER BY bk) AS py,
+             lead(bx) OVER (ORDER BY bk) AS nx, lead(by) OVER (ORDER BY bk) AS ny
+      FROM bstats
+    ),
+    scored AS (
+      SELECT b.bk, b.event_id,
+             round(abs((c.px - c.nx) * (b.y - c.py) - (c.px - b.x) * (c.ny - c.py)), 4) AS area
+      FROM bucketed b JOIN ctx c ON c.bk = b.bk
+      WHERE c.px IS NOT NULL AND c.nx IS NOT NULL
+    ),
+    picked AS (
+      SELECT bk, event_id FROM (
+        SELECT bk, event_id,
+               row_number() OVER (PARTITION BY bk ORDER BY area DESC, event_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT CAST(bk AS BIGINT) AS bucket, event_id FROM picked ORDER BY bucket
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard downsampling, LTTB-style (parallel variant): bucket the
+    series into 60 fixed-width time bins and keep, per interior bucket,
+    the point forming the largest triangle with the NEIGHBOR BUCKET
+    AVERAGES — the shape-preserving alternative to naive every-Nth
+    sampling (peaks and dips survive because extreme points make big
+    triangles). The classic sequential LTTB anchors on the previously
+    SELECTED point; this variant anchors on bucket averages, which
+    removes the sequential dependency so every bucket picks in parallel
+    — the standard distributed adaptation.
+
+    All-integer bucketing (epoch arithmetic, ceil'd width) so bucket
+    boundaries cannot drift between engines; areas rounded before the
+    per-bucket argmax with an id tiebreak. Cost: one scan, one bucket
+    groupBy (60 rows), a 60-row window, and a broadcast join back —
+    output is bucket-count-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    pts = ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("x"),
+        F.round("value", 2).alias("y"),
+    )
+    bounds = pts.agg(
+        F.min("x").alias("x0"),
+        F.ceil((F.max("x") - F.min("x") + 1) / _LTTB_BUCKETS).cast("bigint").alias("w"),
+    )
+    bucketed = pts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bk", ((F.col("x") - F.col("x0")) / F.col("w")).cast("bigint")
+    )
+    bstats = bucketed.groupBy("bk").agg(F.avg("x").alias("bx"), F.avg("y").alias("by"))
+    wov = W.orderBy("bk")
+    ctx = bstats.select(
+        "bk",
+        F.lag("bx").over(wov).alias("px"), F.lag("by").over(wov).alias("py"),
+        F.lead("bx").over(wov).alias("nx"), F.lead("by").over(wov).alias("ny"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(ctx), "bk")
+        .filter(F.col("px").isNotNull() & F.col("nx").isNotNull())
+        .select(
+            "bk", "event_id",
+            F.round(
+                F.abs(
+                    (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+                    - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+                ),
+                4,
+            ).alias("area"),
+        )
+    )
+    picked = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("bk").orderBy(F.col("area").desc(), "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return picked.select(F.col("bk").alias("bucket"), "event_id").orderBy("bucket")
