@@ -2059,3 +2059,79 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
     )
     return picked.select(F.col("bk").alias("bucket"), "event_id").orderBy("bucket")
+
+
+@query(
+    "t_code_detect",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 9 = 0
+                          THEN ' def f(x): return g[x] = (x < 1); import os'
+                          ELSE '' END AS text
+      FROM documents WHERE n_chars > 0
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[{{}}()\\[\\];=<>]')) AS n_sym,
+             len(regexp_extract_all(text, '\\b(def|return|import|class|void|int|function|var|const)\\b')) AS n_kw,
+             len(string_split(text, ' ')) AS n_tok
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(n_sym AS BIGINT) AS n_symbols,
+           CAST(n_kw AS BIGINT) AS n_keywords,
+           round((n_sym + 3.0 * n_kw) / n_tok, 4) AS code_score,
+           CAST(CASE WHEN (n_sym + 3.0 * n_kw) / n_tok > 0.05 THEN 1 ELSE 0 END AS INT) AS looks_like_code
+    FROM feats
+    WHERE n_sym + n_kw > 0
+    ORDER BY doc_id
+    """,
+)
+def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose detector: per document, code-symbol
+    density ({}()[];=<>) and programming-keyword hits, combined into a
+    score with a flag threshold — the cheap first-stage router every
+    code/text mixture pipeline runs before an expensive classifier
+    (symbol-free prose short-circuits map-side; only symbol-bearing docs
+    reach the output at all).
+
+    Narrow one-scan regex transform in the portable subset (char class +
+    alternation + word boundaries agree between Java regex and RE2);
+    thresholding on the exact rational (n_sym + 3*n_kw)/n_tok with the
+    flag recomputed identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # the synthetic corpus is symbol-free prose; deterministically append
+    # a code fragment to every 9th doc so the detector has real positives
+    # (same injected-fixture discipline as t_pii_detect)
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" def f(x): return g[x] = (x < 1); import os"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"[{}()\[\];=<>]"), F.lit(0)))
+    n_kw = F.size(
+        F.regexp_extract_all(
+            "text",
+            F.lit(r"\b(def|return|import|class|void|int|function|var|const)\b"),
+            F.lit(0),
+        )
+    )
+    n_tok = F.size(F.split("text", " "))
+    score = (n_sym + 3.0 * n_kw) / n_tok
+    return (
+        docs.select(
+            "doc_id",
+            n_sym.cast("long").alias("n_symbols"),
+            n_kw.cast("long").alias("n_keywords"),
+            F.round(score, 4).alias("code_score"),
+            F.when(score > 0.05, 1).otherwise(0).cast("int").alias("looks_like_code"),
+        )
+        .filter((F.col("n_symbols") + F.col("n_keywords")) > 0)
+        .orderBy("doc_id")
+    )
