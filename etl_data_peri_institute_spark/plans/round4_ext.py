@@ -1447,7 +1447,8 @@ def t_duplicated_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 6
-_KCORE_ROUNDS = 4
+_KCORE_ROUNDS = 8  # converges in <= 6 at the tested SFs; 2 rounds margin
+_KCORE_EDGE_FACTOR = 5  # edge budget = 5x the supplier count (SF-adaptive)
 
 
 def _kcore_oracle() -> str:
@@ -1472,6 +1473,7 @@ def _kcore_oracle() -> str:
     chain = ",".join(stages)
     return f"""
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ns AS (SELECT count(DISTINCT s) AS n FROM ps),
     w AS (
       SELECT a.s AS s1, b.s AS s2, count(*) AS c
       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
@@ -1480,7 +1482,7 @@ def _kcore_oracle() -> str:
     e0 AS MATERIALIZED (
       SELECT s1, s2 FROM (
         SELECT s1, s2, row_number() OVER (ORDER BY c DESC, s1, s2) AS rn FROM w
-      ) WHERE rn <= {_TRI_TOP_EDGES}
+      ), ns WHERE rn <= {_KCORE_EDGE_FACTOR} * ns.n
     ),{chain}
     SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
       SELECT s1 AS node FROM {prev} UNION ALL SELECT s2 FROM {prev}
@@ -1495,7 +1497,9 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     where every surviving supplier still has >= k strong partners —
     the graph-density community detector that complements triangle
     counts (a node can sit in many triangles yet fall out of the core).
-    Fixed 4-round peel (converged at the tested SFs; the pytest
+    Fixed 8-round peel over an SF-adaptive edge budget (5x the supplier
+    count — a FIXED budget left the sf0.1 graph too sparse for any core;
+    converged within 6 rounds at every tested SF; the pytest
     check asserts a further round removes nothing), unrolled identically
     in the oracle.
 
@@ -1505,6 +1509,7 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is shared with g_triangle_count and runs once."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    ns = ps.agg(F.count_distinct("s").alias("n"))
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -1513,7 +1518,8 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = (
         w.withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc(), "s1", "s2")))
-        .filter(F.col("rn") <= _TRI_TOP_EDGES)
+        .crossJoin(F.broadcast(ns))
+        .filter(F.col("rn") <= _KCORE_EDGE_FACTOR * F.col("n"))
         .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
         .localCheckpoint(eager=True)
     )

@@ -213,8 +213,11 @@ def test_kcore_fixpoint_and_invariants(spark):
     from etl_data_peri_institute_spark.sources.tables import load_table
     from pyspark.sql import Window as W
 
+    from etl_data_peri_institute_spark.plans.round4_ext import _KCORE_EDGE_FACTOR
+
     li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    ns = ps.agg(F.count_distinct("s").alias("n"))
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -223,7 +226,8 @@ def test_kcore_fixpoint_and_invariants(spark):
     )
     e = (
         w.withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc(), "s1", "s2")))
-        .filter(F.col("rn") <= 500)
+        .crossJoin(F.broadcast(ns))
+        .filter(F.col("rn") <= _KCORE_EDGE_FACTOR * F.col("n"))
         .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
     )
     more = kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1).collect()
