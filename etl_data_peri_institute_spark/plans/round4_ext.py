@@ -767,8 +767,11 @@ def p_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One narrow hash projection + one groupBy on the quasi-identifier
     pair; count(DISTINCT) carries partial sets map-side. The audit
-    output is violation-sized (small by definition). Salt rotation =
-    full re-pseudonymization — a deliberate property."""
+    output is violation-sized (small by definition) and NATURALLY
+    shrinks as data densifies — at sf0.1 every cell clears k=45 and the
+    report is empty, which is the correct "safe to release" answer,
+    not a missing result (the sf0.01 gate shows 6 violating cells).
+    Salt rotation = full re-pseudonymization — a deliberate property."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         F.sha2(F.concat(F.lit(f"{_PSEUDO_SALT}:"), F.col("user_id").cast("string")), 256).alias("pseudo_id"),
