@@ -137,6 +137,7 @@ _VERIFY_FIRST: list[str] = [
     "a_benford_first_digit",
     "ts_downsample_lttb",
     "t_code_detect",
+    "ts_autocorr",
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
 # lands): every name above that received a green row drops out; promote

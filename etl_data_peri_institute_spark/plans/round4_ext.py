@@ -2144,3 +2144,65 @@ def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_symbols") + F.col("n_keywords")) > 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, round(value, 2) AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type, a.v AS x, b.v AS y
+      FROM r a JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn - 24
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(
+             (avg(x * y) - avg(x) * avg(y))
+             / (sqrt(avg(x * x) - avg(x) * avg(x)) * sqrt(avg(y * y) - avg(y) * avg(y))),
+             3) AS acf_lag24
+    FROM pairs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24 autocorrelation per event type (Pearson between the series
+    and itself 24 observations back) — the seasonality/periodicity
+    diagnostic that decides whether the period-over-period monitor
+    (ts_period_over_period) is even the right comparison for a metric.
+
+    The lagged pairing is an equi self-join on the per-type row number
+    (exactly one partner per row — O(n) pairs), and the correlation is
+    the moment formula over plain aggregates, so everything partial-
+    aggregates map-side after the one type-keyed window sort.
+    Rounded to 3 so the cross-engine float summation order cannot move
+    the statistic; inputs cent-rounded first so both engines correlate
+    identical series."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        F.round("value", 2).alias("v"),
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") == F.col("a.rn") - 24),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    num = F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+    den = F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")) * F.sqrt(
+        F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count("*").alias("n_pairs"), F.round(num / den, 3).alias("acf_lag24"))
+        .orderBy("event_type")
+    )
