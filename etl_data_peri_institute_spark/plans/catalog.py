@@ -171,6 +171,7 @@ def load_all() -> None:
         quality_ext,
         relational,
         round4_ext,
+        round4b_ext,
         streaming_batch,
         textops,
         timeseries,

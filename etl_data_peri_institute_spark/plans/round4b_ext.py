@@ -1,0 +1,918 @@
+"""Round-4 second-wave operator additions (continuation session).
+
+Statistical inference for data monitoring — the tests an analytics
+engine runs to decide whether two slices of a pipeline differ:
+chi-square independence (+ Cramér's V effect size), Welch's two-sample
+t-test, Mann-Whitney rank-sum. Privacy: l-diversity report (the
+companion audit to the existing k-anonymity gate). Change-data-capture:
+latest-wins apply with delete tombstones.
+
+All are Spark-first DataFrame compositions with DuckDB oracles; each
+docstring carries the 100 TB design note. Cross-engine determinism
+discipline (catalog.py header): inputs reduced to integer cents before
+any floating math, statistics computed from exact integer aggregates so
+both engines feed IEEE ops identical operands, and every reported
+double rounded.
+
+Reference scope note: the reference ETL (/root/reference/etl/) has no
+statistics layer; these are north-star extensions for the
+large-scale-training-data monitoring surface (drift companions to
+a_ks_drift / a_psi_drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: event_type x user cohort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 4 AS cohort, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, cohort, n,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+             CAST(sum(n) OVER (PARTITION BY cohort) AS BIGINT) AS col_tot,
+             CAST(sum(n) OVER () AS BIGINT) AS grand
+      FROM cells
+    ),
+    terms AS (
+      SELECT grand,
+             (n - row_tot * col_tot * 1.0 / grand) * (n - row_tot * col_tot * 1.0 / grand)
+               / (row_tot * col_tot * 1.0 / grand) AS term
+      FROM tot
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+             CAST(count(DISTINCT cohort) AS BIGINT) AS c
+      FROM cells
+    )
+    SELECT CAST(max(t.grand) AS BIGINT) AS n,
+           CAST((max(d.r) - 1) * (max(d.c) - 1) AS BIGINT) AS dof,
+           round(sum(t.term), 3) AS chi2,
+           round(sqrt(sum(t.term) / (max(t.grand) * least(max(d.r), max(d.c)) - max(t.grand))), 4) AS cramers_v
+    FROM terms t CROSS JOIN dims d
+    """,
+)
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a derived
+    user cohort (``user_id % 4``), with Cramér's V effect size — the
+    "did the treatment change behavior" screen run over event logs.
+
+    Scale shape: ONE groupBy over the raw events reduces 100 TB to an
+    r x c contingency table (here 5x4 = 20 rows); every downstream step
+    (window margins, expected counts, the chi2 sum) operates on that
+    sketch-sized frame, so the window partitions that would be global
+    bottlenecks at data scale only ever see r*c rows. Counts stay
+    integers until the expected-count division, so both engines feed
+    IEEE division identical operands; chi2 rounded to 3, V to 4.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count("*").alias("n"))
+    tot = cells.select(
+        "event_type",
+        "cohort",
+        "n",
+        F.sum("n").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("n").over(W.partitionBy("cohort")).alias("col_tot"),
+        F.sum("n").over(W.partitionBy()).alias("grand"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    terms = tot.select(
+        "grand",
+        "event_type",
+        "cohort",
+        ((F.col("n") - e) * (F.col("n") - e) / e).alias("term"),
+    )
+    return terms.agg(
+        F.max("grand").cast("long").alias("n"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("cohort") - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum("term"), 3).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("term")
+                / (
+                    F.max("grand")
+                    * F.least(
+                        F.count_distinct("event_type"),
+                        F.count_distinct("cohort"),
+                    )
+                    - F.max("grand")
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test: click vs purchase event values.
+# ---------------------------------------------------------------------------
+
+_T_GROUP_A = "click"
+_T_GROUP_B = "purchase"
+
+
+@query(
+    "a_welch_ttest",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('{_T_GROUP_A}', '{_T_GROUP_B}')
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM v GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, s * 1.0 / n AS mean,
+             (ss - s * 1.0 * s / n) / (n - 1) AS var
+      FROM g
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean / 100, 3) AS mean_a, round(b.mean / 100, 3) AS mean_b,
+           round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 3) AS t_stat,
+           round(
+             (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+             / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 1) AS welch_df
+    FROM m a CROSS JOIN m b
+    WHERE a.event_type = '{_T_GROUP_A}' AND b.event_type = '{_T_GROUP_B}'
+    """,
+)
+def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test comparing '{A}' vs
+    '{B}' event values, with the Welch-Satterthwaite degrees of freedom
+    — the standard A/B significance screen when variances differ.
+
+    Scale shape: one filtered scan reduces each group to exact integer
+    moments (n, sum cents, sum cents²) via map-side partial aggregation
+    — the shuffle carries 2 rows. Means/variances derive from those
+    integers, so both engines hand IEEE division identical operands
+    (float summation order never enters); t rounded to 3, df to 1.
+    Sum-of-squares fits BIGINT comfortably at any SF here (cents ≤ 1e4,
+    so n·cents² ≤ n·1e8; overflow would need ~1e10 rows per group —
+    at that scale switch the moments to DECIMAL(38,0)).
+    """.format(A=_T_GROUP_A, B=_T_GROUP_B)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin(_T_GROUP_A, _T_GROUP_B)).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.filter(F.col("event_type") == _T_GROUP_A).alias("a")
+    b = m.filter(F.col("event_type") == _T_GROUP_B).alias("b")
+    va_n = F.col("a.var") / F.col("a.n")
+    vb_n = F.col("b.var") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean") / 100, 3).alias("mean_a"),
+        F.round(F.col("b.mean") / 100, 3).alias("mean_b"),
+        F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(va_n + vb_n), 3).alias(
+            "t_stat"
+        ),
+        F.round(
+            (va_n + vb_n) * (va_n + vb_n)
+            / (va_n * va_n / (F.col("a.n") - 1) + vb_n * vb_n / (F.col("b.n") - 1)),
+            1,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum): click vs purchase, tie-averaged ranks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_mannwhitney_u",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = '{_T_GROUP_A}' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('{_T_GROUP_A}', '{_T_GROUP_B}')
+    ),
+    per_val AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS n_v,
+             CAST(sum(is_a) AS BIGINT) AS n_a_v
+      FROM v GROUP BY cents
+    ),
+    ranked AS (
+      SELECT cents, n_v, n_a_v,
+             CAST(coalesce(sum(n_v) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n_below
+      FROM per_val
+    ),
+    sums AS (
+      SELECT CAST(sum(n_a_v) AS BIGINT) AS n1,
+             CAST(sum(n_v - n_a_v) AS BIGINT) AS n2,
+             sum(n_a_v * (n_below + (n_v + 1) / 2.0)) AS r1
+      FROM ranked
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * 1.0 * n2 / 2)
+                 / sqrt(n1 * 1.0 * n2 * (n1 + n2 + 1) / 12), 3) AS z_approx
+    FROM sums
+    """,
+)
+def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test ('{A}' vs '{B}' event values) with
+    tie-averaged ranks — the non-parametric twin of the Welch t-test
+    for skewed metrics where mean comparison misleads.
+
+    Scale shape: ranks are NEVER assigned per row. One groupBy
+    compresses the input to per-distinct-value counts (bounded by the
+    cent-value domain, here ≤ ~10k rows regardless of SF), and the
+    tie-averaged rank of every row sharing a value is reconstructed
+    arithmetically from the running count below it — the only ordered
+    window runs over the compact value axis, the f_equidepth_histogram
+    discipline. Tie-averaged ranks end in .0/.5 so the rank-sum is
+    exact in a double; z uses the no-tie-correction normal
+    approximation (documented choice), rounded to 3.
+    """.format(A=_T_GROUP_A, B=_T_GROUP_B)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin(_T_GROUP_A, _T_GROUP_B)).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == _T_GROUP_A).cast("long").alias("is_a"),
+    )
+    per_val = v.groupBy("cents").agg(
+        F.count("*").alias("n_v"), F.sum("is_a").alias("n_a_v")
+    )
+    ranked = per_val.select(
+        "cents",
+        "n_v",
+        "n_a_v",
+        F.coalesce(
+            F.sum("n_v").over(
+                W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("n_below"),
+    )
+    sums = ranked.agg(
+        F.sum("n_a_v").alias("n1"),
+        F.sum(F.col("n_v") - F.col("n_a_v")).alias("n2"),
+        F.sum(
+            F.col("n_a_v") * (F.col("n_below") + (F.col("n_v") + 1) / 2.0)
+        ).alias("r1"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / sigma, 3).alias("z_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity report: companion audit to p_pseudonymize_kanon.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 4
+
+
+@query(
+    "p_l_diversity",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(least(floor(c_acctbal / 1000) + 6, 11) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT bal_band) AS BIGINT) AS distinct_l
+      FROM t GROUP BY c_mktsegment, c_nationkey
+    ),
+    ent AS (
+      SELECT c_mktsegment, c_nationkey,
+             round(-sum(p * ln(p)) + 0.0, 3) AS entropy_l
+      FROM (
+        SELECT c_mktsegment, c_nationkey,
+               count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY c_mktsegment, c_nationkey) AS p
+        FROM t GROUP BY c_mktsegment, c_nationkey, bal_band
+      ) GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT g.c_mktsegment, g.c_nationkey, g.group_size, g.distinct_l,
+           ent.entropy_l,
+           CAST(g.distinct_l < {_LDIV_L} AS BIGINT) AS below_l
+    FROM g JOIN ent USING (c_mktsegment, c_nationkey)
+    ORDER BY g.c_mktsegment, g.c_nationkey
+    """,
+)
+def p_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over customer quasi-identifier groups
+    (market segment x nation): per group, the number of DISTINCT
+    sensitive values (account-balance band) and the entropy
+    l-diversity, plus a below-threshold flag (l = {L}). k-anonymity
+    (the existing gate) bounds group SIZE; l-diversity additionally
+    requires the sensitive attribute to be varied WITHIN each group —
+    a k-anonymous group whose members all share one balance band still
+    leaks. The full per-group report (not violations-only) stays
+    non-empty and comparable at every SF — denser data raises l toward
+    the band count, which the report shows rather than hides.
+
+    Scale shape: one (QI, sensitive) groupBy carries partial counts
+    map-side; distinct-l and the entropy both derive from that
+    QI-group-bounded frame (groups x bands rows, tiny). The window in
+    the entropy step partitions by QI over that compact frame only.
+    Balance bands are integer floors — no float boundary ambiguity
+    cross-engine; entropy rounded to 3.
+    """.format(L=_LDIV_L)
+    cust = load_table(spark, sf_dir, "customer")
+    t = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.least(
+            F.floor(F.col("c_acctbal") / 1000) + 6, F.lit(11)
+        ).cast("long").alias("bal_band"),
+    )
+    per_band = t.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count("*").alias("n")
+    )
+    grp_w = W.partitionBy("c_mktsegment", "c_nationkey")
+    with_p = per_band.withColumn("p", F.col("n") / F.sum("n").over(grp_w))
+    return (
+        with_p.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.sum("n").alias("group_size"),
+            F.count("*").alias("distinct_l"),
+            # + 0.0 folds IEEE -0.0 (single-band groups) to +0.0 on both engines
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))) + 0.0, 3).alias("entropy_l"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "group_size",
+            "distinct_l",
+            "entropy_l",
+            (F.col("distinct_l") < _LDIV_L).cast("long").alias("below_l"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins apply with delete tombstones.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS key,
+             o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS val_cents
+      FROM orders
+    ),
+    latest AS (
+      SELECT key, op, val_cents, chg_ts,
+             CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_versions,
+             row_number() OVER (
+               PARTITION BY key ORDER BY chg_ts DESC, chg_seq DESC
+             ) AS rn
+      FROM log
+    )
+    SELECT key, val_cents, chg_ts AS last_ts, n_versions
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY key
+    """,
+)
+def p_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse an out-of-order change log
+    (upserts + delete tombstones) to current state — latest change per
+    key wins by (timestamp, sequence); a trailing 'D' removes the key
+    entirely. The orders table plays the change log: each order is a
+    change to its customer's record, finalized ('F') status plays the
+    tombstone. This is the Debezium/stream-compaction pattern; the
+    keep-LAST dedup gate (p_keep_last_dedup, reference parity
+    etl/transform.py) is the op-code-free special case.
+
+    Scale shape: ONE shuffle on the key partitions the log; the
+    row_number and the per-key version count share that single window
+    sort (same partition key, compatible ordering). Tombstoned keys
+    drop before any downstream join. At 100 TB the log is
+    date-partitioned so the scan prunes to the compaction horizon, and
+    the same plan runs incrementally under Structured Streaming with
+    applyInPandasWithState (st_stateful_user_totals shows the
+    runtime). Money kept in integer cents; (chg_ts, chg_seq) is a
+    total order per key so survivor choice is engine-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("chg_ts"),
+        F.col("o_orderkey").alias("chg_seq"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_cents"),
+    )
+    w = W.partitionBy("key").orderBy(F.desc("chg_ts"), F.desc("chg_seq"))
+    latest = log.select(
+        "key",
+        "op",
+        "val_cents",
+        "chg_ts",
+        F.count("*").over(W.partitionBy("key")).alias("n_versions"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "val_cents", F.col("chg_ts").alias("last_ts"), "n_versions")
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection: part pairs co-purchased within one order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_bipartite_projection",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM op a JOIN op b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def g_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-graph projection: collapse the order–part bipartite
+    graph onto the part side — part pairs that co-occur in at least
+    one order, weighted by how many orders contain both (the
+    market-basket / co-purchase graph that feeds recommendation and
+    frequent-itemset stages).
+
+    Scale shape: the self-join keys on l_orderkey, so candidate pairs
+    are generated PER ORDER and bounded by the per-order line count
+    squared (TPC-H caps lines/order at 7 → ≤ 21 pairs per order; real
+    baskets are similarly bounded). The quadratic term never touches
+    table size — it is the same "project through the bounded-degree
+    side" rule that makes the supplier-similarity query below safe.
+    One distinct + one co-partitioned self-join + one pair groupBy;
+    orientation (part_b > part_a) generates each pair exactly once.
+    All counts integer; top-20 carries the (part_a, part_b) tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.desc("n_orders"), "part_a", "part_b"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Structural similarity on the customer–supplier graph: common
+# neighbors, Jaccard, Adamic-Adar.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_supplier_similarity",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS cd FROM cs GROUP BY c),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS sd FROM cs GROUP BY s),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(sum(1.0 / ln(d.cd)), 4) AS adamic_adar
+      FROM cs a
+      JOIN cs b ON b.c = a.c AND b.s > a.s
+      JOIN cdeg d ON d.c = a.c
+      GROUP BY 1, 2
+    )
+    SELECT p.supp_a, p.supp_b, p.n_common,
+           round(p.n_common * 1.0 / (da.sd + db.sd - p.n_common), 4) AS jaccard,
+           p.adamic_adar
+    FROM pairs p
+    JOIN sdeg da ON da.s = p.supp_a
+    JOIN sdeg db ON db.s = p.supp_b
+    ORDER BY p.adamic_adar DESC, p.supp_a, p.supp_b
+    LIMIT 20
+    """,
+)
+def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-similarity scores for supplier pairs on the
+    customer–supplier bipartite graph: shared-customer count, neighbor
+    Jaccard, and Adamic-Adar (shared customers down-weighted by their
+    degree — a promiscuous customer says little about supplier
+    affinity). The link-prediction triad of SCAN-style clustering and
+    "suppliers like this one" retrieval.
+
+    Scale shape: pairs are enumerated through the CUSTOMER side
+    (self-join on c), so the quadratic term is per-customer-degree² —
+    the docstring rule from g_bipartite_projection. Customer degree is
+    bounded by the supplier universe (|S| ≪ |C|; here ≤ 100), and in
+    an open-degree graph the production guard is the same hot-key cap
+    used by d_ngram_jaccard_pairs (drop customers above a degree
+    percentile — they carry no signal, exactly Adamic-Adar's point).
+    Degrees join back AFTER pair aggregation, so the degree frames are
+    node-sized. Adamic-Adar terms are 1/ln(integer) — identical
+    operands both engines; rounded to 4 before the top-20 sort with
+    full (supp_a, supp_b) tiebreak.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = cs.groupBy("c").agg(F.count("*").alias("cd"))
+    sdeg = cs.groupBy("s").agg(F.count("*").alias("sd"))
+    a, b = cs.alias("a"), cs.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.c") == F.col("a.c")) & (F.col("b.s") > F.col("a.s")))
+        .join(cdeg.alias("d"), F.col("d.c") == F.col("a.c"))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d.cd"))), 4).alias("adamic_adar"),
+        )
+    )
+    da = sdeg.alias("da")
+    db = sdeg.alias("db")
+    return (
+        pairs.join(da, F.col("da.s") == F.col("supp_a"))
+        .join(db, F.col("db.s") == F.col("supp_b"))
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da.sd") + F.col("db.sd") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+        .orderBy(F.desc("adamic_adar"), "supp_a", "supp_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the customer–supplier graph.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_degree_distribution",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+      SELECT 'customer' AS side, c AS id, CAST(count(*) AS BIGINT) AS degree
+      FROM cs GROUP BY c
+      UNION ALL
+      SELECT 'supplier' AS side, s AS id, CAST(count(*) AS BIGINT) AS degree
+      FROM cs GROUP BY s
+    )
+    SELECT side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY side, degree
+    ORDER BY side, degree
+    """,
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer–supplier bipartite graph, per
+    side — the first diagnostic before any graph algorithm runs (it is
+    how the hot-key caps in g_supplier_similarity and
+    d_ngram_jaccard_pairs get their thresholds, and how skew-join
+    salting decides its fan-out).
+
+    Scale shape: one distinct on the edge list, two node-keyed
+    groupBys that partial-aggregate map-side, then a histogram groupBy
+    over node-sized frames whose output is bounded by the distinct
+    degree count. All integers — no rounding concerns.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = cs.groupBy("c").agg(F.count("*").alias("degree")).select(
+        F.lit("customer").alias("side"), F.col("degree")
+    ).unionAll(
+        cs.groupBy("s").agg(F.count("*").alias("degree")).select(
+            F.lit("supplier").alias("side"), F.col("degree")
+        )
+    )
+    return (
+        deg.groupBy("side", "degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("side", "degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection per event type.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(round(avg(cents)) AS BIGINT) AS mean_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY event_type
+    ),
+    c AS (
+      SELECT v.event_type, v.ts, m.n,
+             CAST(sum(v.cents - m.mean_c) OVER (
+               PARTITION BY v.event_type ORDER BY v.ts, v.event_id
+             ) AS BIGINT) AS cusum
+      FROM v JOIN m ON m.event_type = v.event_type
+    ),
+    peak AS (
+      SELECT event_type, ts, n, cusum,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, ts, cusum
+             ) AS rn
+      FROM c
+    )
+    SELECT event_type, ts AS change_ts, cusum AS cusum_peak, n
+    FROM peak WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: cumulative sum of
+    deviations from the series mean, peak |CUSUM| marks the most likely
+    level-shift point (Page's classic single-changepoint estimator —
+    the monitoring companion to a_ks_drift, which only says THAT two
+    windows differ, not WHEN the shift happened).
+
+    Scale shape: the mean reduces each type to one integer row
+    (broadcast back); the cumulative sum is ONE type-keyed ordered
+    window — same single-shuffle shape as w_running_revenue. The peak
+    argmax is a second pass over the same partitioning (no new
+    exchange key). Everything stays in integer cents — the mean is
+    rounded to an integer BEFORE subtraction, so the running sum is
+    exact on both engines and the argmax cannot flip on float noise;
+    the (ts, cusum) tiebreak pins equal-|peak| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.round(F.avg("cents")).cast("long").alias("mean_c"),
+        F.count("*").alias("n"),
+    )
+    c = v.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "n",
+        F.sum(F.col("cents") - F.col("mean_c"))
+        .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("cusum"),
+    )
+    peak = c.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.abs(F.col("cusum")).desc(), "ts", "cusum"
+            )
+        ),
+    )
+    return (
+        peak.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("change_ts"),
+            F.col("cusum").alias("cusum_peak"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling (per-day) correlation between two event streams.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_corr",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM hourly GROUP BY 1
+    )
+    SELECT day, n_hours,
+           round((n_hours * sxy - sx * 1.0 * sy)
+                 / (sqrt(n_hours * sxx - sx * 1.0 * sx)
+                    * sqrt(n_hours * syy - sy * 1.0 * sy)), 3) AS corr_click_purchase
+    FROM daily
+    ORDER BY day
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Pearson correlation between the hourly click count and
+    the hourly purchase count — the "do these two streams move
+    together" diagnostic run daily over metric pairs (the correlation
+    twin of ts_period_over_period; a_corr_matrix correlates columns
+    within one row, this correlates two SERIES over a shared time
+    axis).
+
+    Scale shape: raw events collapse to one row per hour in a single
+    conditional-aggregation pass (no per-type scan, no join to align
+    the two series — the hour spine is whatever hours have events,
+    identical on both engines). Days then aggregate 24 hour-rows each,
+    carrying exact integer moments; only the final Pearson division is
+    float, rounded to 3. Two groupBys, both partial-aggregating
+    map-side; output is days-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_hours")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return daily.select(
+        "day", "n_hours", F.round(num / den, 3).alias("corr_click_purchase")
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal baseline + anomaly counts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(cents) * 1.0 / count(*)) AS BIGINT) AS baseline_cents,
+             CAST(round(sqrt((sum(cents * cents) - sum(cents) * 1.0 * sum(cents) / count(*))
+                             / (count(*) - 1))) AS BIGINT) AS sd_cents
+      FROM v GROUP BY event_type, hod
+    )
+    SELECT v.event_type, v.hod, max(s.n) AS n,
+           max(s.baseline_cents) AS baseline_cents,
+           max(s.sd_cents) AS sd_cents,
+           CAST(sum(CASE WHEN abs(v.cents - s.baseline_cents) > 2 * s.sd_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM v JOIN stats s ON s.event_type = v.event_type AND s.hod = v.hod
+    GROUP BY v.event_type, v.hod
+    ORDER BY v.event_type, v.hod
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type (the 24-slot
+    baseline a daily-cycle metric is judged against) plus the count of
+    events violating their slot's 2-sigma band — seasonal anomaly
+    detection by deviation from the within-slot distribution rather
+    than the trailing window (complements ts_rolling_zscore_anomaly,
+    which has no notion of time-of-day seasonality).
+
+    Scale shape: the stats side reduces 100 TB to types x 24 rows of
+    integer moments and broadcasts back onto the event scan; the final
+    per-slot anomaly count partial-aggregates map-side. Baseline and
+    sigma are rounded to INTEGER cents before the band compare, so the
+    2-sigma threshold is exact integer arithmetic on both engines —
+    no event can sit on a float boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s_, ss, cnt = F.sum("cents"), F.sum(F.col("cents") * F.col("cents")), F.count("*")
+    stats = v.groupBy("event_type", "hod").agg(
+        cnt.alias("n"),
+        F.round(s_ / cnt).cast("long").alias("baseline_cents"),
+        F.round(
+            F.sqrt((ss - s_ * s_ / cnt) / (cnt - 1))
+        ).cast("long").alias("sd_cents"),
+    )
+    joined = v.join(F.broadcast(stats), ["event_type", "hod"])
+    return (
+        joined.groupBy("event_type", "hod")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("baseline_cents").alias("baseline_cents"),
+            F.max("sd_cents").alias("sd_cents"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("baseline_cents"))
+                    > 2 * F.col("sd_cents")
+                ).cast("long")
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hod")
+    )
