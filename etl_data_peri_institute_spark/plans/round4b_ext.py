@@ -916,3 +916,373 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence of adjacent word pairs.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+
+
+@query(
+    "t_cooccurrence_pmi",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM words, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_w FROM (
+        SELECT w1 AS word FROM bigrams
+        UNION ALL SELECT w2 AS word FROM bigrams
+      ) GROUP BY word
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM bigrams GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT CAST(sum(n_xy) AS BIGINT) AS nb,
+             (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS nu
+      FROM bi
+    )
+    SELECT b.w1, b.w2, b.n_xy,
+           round(ln((b.n_xy * 1.0 / t.nb)
+                    / ((u1.n_w * 1.0 / t.nu) * (u2.n_w * 1.0 / t.nu))), 3) AS pmi
+    FROM bi b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN tot t
+    WHERE b.n_xy >= {_PMI_MIN_PAIR}
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 30
+    """,
+)
+def t_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation detector ("new york" vs chance co-occurrence) that
+    seeds phrase vocabularies for tokenizers and feeds association
+    mining. PMI = ln(p(xy) / (p(x)·p(y))) with the pair distribution
+    from adjacent bigrams and the word distribution from the bigram
+    slots (so both marginals sum to 1 over the same universe).
+
+    Scale shape: one token-pair explode (the word_shingles n=2 shape),
+    one bigram groupBy, one unigram groupBy over the two slots — all
+    partial-aggregating map-side; the unigram side joins back onto the
+    VOCABULARY-sized bigram frame, never the corpus (the t_bigram_lm
+    discipline). The min-count floor ({m}) is also the hot-key guard:
+    stop-word pairs dominate counts but their PMI is strongly negative,
+    and rare pairs below the floor are PMI noise. Counts integer; one
+    ln per output row over identical rational operands; rounded to 3
+    before the top-30 sort with (w1, w2) tiebreak.
+    """.format(m=_PMI_MIN_PAIR)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
+            F.col("w").alias("w_full"),
+        )
+        .select("w1", F.col("w_full")[F.col("i") + 1].alias("w2"))
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    uni = (
+        bigrams.select(F.col("w1").alias("word"))
+        .unionAll(bigrams.select(F.col("w2").alias("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_w"))
+    )
+    tot = bi.agg(F.sum("n_xy").alias("nb")).crossJoin(
+        uni.agg(F.sum("n_w").alias("nu"))
+    )
+    u1, u2 = uni.alias("u1"), uni.alias("u2")
+    out = (
+        bi.filter(F.col("n_xy") >= _PMI_MIN_PAIR)
+        .join(u1, F.col("u1.word") == F.col("w1"))
+        .join(u2, F.col("u2.word") == F.col("w2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                F.log(
+                    (F.col("n_xy") / F.col("nb"))
+                    / ((F.col("u1.n_w") / F.col("nu")) * (F.col("u2.n_w") / F.col("nu")))
+                ),
+                3,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), "w1", "w2").limit(30)
+
+
+# ---------------------------------------------------------------------------
+# Top TF-IDF keywords per document.
+# ---------------------------------------------------------------------------
+
+_KW_TOPK = 3
+_KW_DOC_LIMIT = 40
+
+
+@query(
+    "t_top_keywords_per_doc",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM tokens GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    d AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tokens),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(d.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df ON df.word = tf.word CROSS JOIN d
+    ),
+    ranked AS (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, word
+             ) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, word, tfidf
+    FROM ranked
+    WHERE rk <= {_KW_TOPK} AND doc_id < {_KW_DOC_LIMIT}
+    ORDER BY doc_id, rk
+    """,
+)
+def t_top_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF keywords per document — the per-document keyword
+    extraction that labels corpus clusters and powers "about"
+    summaries (t_tfidf ranks globally; this ranks WITHIN each doc via
+    a bounded per-key top-k).
+
+    Scale shape: tf and df are the standard two groupBys
+    (vocabulary-bounded df side joins back onto the tf frame); the
+    per-doc ranking is a doc-keyed window — the w_topk_orders pattern,
+    no global sort. Scores are tf·ln(D/df) over integer operands,
+    rounded to 4 BEFORE ranking so the rank and the reported value use
+    the same number on both engines, with the word tiebreak pinning
+    equal scores. The doc_id < {dl} output gate keeps the row count
+    driver-friendly; the plan is identical without it.
+    """.format(k=_KW_TOPK, dl=_KW_DOC_LIMIT)
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    d = tokens.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(d))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+        ),
+    )
+    return (
+        ranked.filter((F.col("rk") <= _KW_TOPK) & (F.col("doc_id") < _KW_DOC_LIMIT))
+        .select("doc_id", "rk", "word", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid report over the embedding table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e_centroid_report",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(val), 6) AS c FROM pos GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT p.vec_id, p.label,
+             round(sqrt(sum((p.val - c.c) * (p.val - c.c))), 6) AS d
+      FROM pos p JOIN cent c ON c.label = p.label AND c.pos = p.pos
+      GROUP BY p.vec_id, p.label
+    ),
+    nrm AS (
+      SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm
+      FROM cent GROUP BY label
+    )
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           max(n.centroid_norm) AS centroid_norm,
+           round(avg(d.d), 4) AS avg_dist,
+           round(max(d.d), 4) AS max_dist
+    FROM dist d JOIN nrm n ON n.label = d.label
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+)
+def e_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster health report over the embedding table:
+    member count, centroid norm, mean and max member-to-centroid
+    distance — the dispersion diagnostics that decide whether an IVF
+    list needs splitting and whether a label's embeddings are
+    coherent enough to trust (the evaluation companion to
+    e_ivf_assign / d_semdedup_prune, which CONSUME centroids).
+
+    Scale shape: centroids are a (labels x dims) groupBy — map-side
+    partial sums reduce 100 TB of vectors to a sketch-sized frame that
+    broadcasts back onto the long-format vector scan; distances then
+    partial-aggregate per (vec, label). Centroid components are
+    rounded to 6 BEFORE distances (both engines subtract identical
+    operands — cross-engine partial-sum order cannot leak into the
+    distance), per-vector distances rounded to 6 before the final
+    avg/max, report values to 4.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cent = pos.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    dist = (
+        pos.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))),
+                6,
+            ).alias("d")
+        )
+    )
+    nrm = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm")
+    )
+    return (
+        dist.join(F.broadcast(nrm), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.max("centroid_norm").alias("centroid_norm"),
+            F.round(F.avg("d"), 4).alias("avg_dist"),
+            F.round(F.max("d"), 4).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier evaluation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e_nearest_centroid_eval",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, pos, round(avg(val), 6) AS c
+      FROM pos GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             round(sum((p.val - c.c) * (p.val - c.c)), 6) AS d2
+      FROM pos p JOIN cent c ON c.pos = p.pos
+      GROUP BY p.vec_id, p.label, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, clabel
+             ) AS rn
+      FROM dist
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS accuracy
+    FROM pred WHERE rn = 1
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def e_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluation: assign every
+    vector to its closest label centroid, report per-label accuracy —
+    the quick label-coherence score an embedding pipeline computes
+    before investing in a learned classifier, and the exact quality
+    check behind IVF list assignment (e_ivf_assign IS this argmin).
+
+    Scale shape: the centroid frame (labels x dims) broadcasts; each
+    vector meets ALL centroids through the position join, so per-vector
+    cost is O(dims x labels) with no vector-vector pairs anywhere. The
+    argmin is a vec-keyed window over a labels-sized partition.
+    Distances use centroids pre-rounded to 6 and are themselves rounded
+    to 6 before the argmin with the label tiebreak — both engines rank
+    identical numbers. Self-classification accuracy (no held-out split)
+    by design: the question is label coherence, not generalization;
+    b_grouped_split provides the leakage-safe split when needed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cent = pos.groupBy(F.col("label").alias("clabel"), F.col("pos")).agg(
+        F.round(F.avg("val"), 6).alias("c")
+    )
+    dist = (
+        pos.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))), 6
+            ).alias("d2")
+        )
+    )
+    pred = dist.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel")),
+    )
+    correct = (F.col("clabel") == F.col("label")).cast("long")
+    return (
+        pred.filter(F.col("rn") == 1)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(correct).alias("n_correct"),
+            F.round(F.sum(correct) / F.count("*"), 4).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
