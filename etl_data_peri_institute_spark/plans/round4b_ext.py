@@ -1286,3 +1286,464 @@ def e_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B assignment + two-proportion lift report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_ab_lift_report",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST((instr('0123456789abcdef',
+                         substring(md5('exp42:' || user_id), 1, 1)) - 1) % 2
+                  AS BIGINT) AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 90
+    ),
+    g AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+        max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+        max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+      FROM g
+    )
+    SELECT n0, c0, n1, c1,
+           round(c0 * 1.0 / n0, 4) AS rate_0,
+           round(c1 * 1.0 / n1, 4) AS rate_1,
+           round(c1 * 1.0 / n1 - c0 * 1.0 / n0, 4) AS abs_lift,
+           round((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                 / sqrt((c0 + c1) * 1.0 / (n0 + n1)
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 3) AS z_two_prop
+    FROM wide
+    """,
+)
+def b_ab_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout end-to-end: deterministic hash-based arm
+    assignment (the b_hash_sample discipline — membership is a pure
+    function of user id and experiment salt, never rand(), so every
+    engine, rerun, and backfill agrees), per-arm conversion (a
+    high-value purchase, value >= 90 — thresholded so the rate stays
+    mid-range at every SF; near-total conversion degenerates the pooled
+    z denominator), and the pooled two-proportion z-test on the lift.
+
+    Scale shape: assignment is a distinct on user (map-side partials),
+    conversion is a second distinct; the left join is user-keyed and
+    the report collapses to 2 rows before any float math. Counts stay
+    integer until the final rates/z, which both engines compute from
+    identical integers; rates rounded to 4, z to 3. xxhash64 is the
+    production hash; DuckDB's hash() matches Spark's here via the
+    shared string-input convention tested in b_hash_sample.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 90))
+        .select("user_id")
+        .distinct()
+    )
+    g = (
+        assign.join(conv.withColumn("converted", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0") / F.col("n0")
+    r1 = F.col("c1") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(r0, 4).alias("rate_0"),
+        F.round(r1, 4).alias("rate_1"),
+        F.round(r1 - r0, 4).alias("abs_lift"),
+        F.round(
+            (r1 - r0)
+            / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+            3,
+        ).alias("z_two_prop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC revenue classification.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    runsum AS (
+      SELECT l_partkey, rev_cents,
+             CAST(sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey
+             ) AS BIGINT) AS cum_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                  WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_cents, total_cents
+      FROM runsum
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+           round(sum(rev_cents) * 1.0 / max(total_cents), 4) AS revenue_share
+    FROM classed GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: rank parts by
+    total revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%,
+    else C) — the inventory-management 80/20 cut that also decides
+    which keys get a dedicated skew-salting treatment.
+
+    Scale shape: the lineitem fact reduces to one integer-cents row
+    per part FIRST (map-side partials); the global ordered window runs
+    over that dimension-sized frame only — the b_shard_manifest
+    rationale: at part-dimension scale this is exact and cheap, and
+    the distributed alternative (repartitionByRange pre-sort) is the
+    named production path if the dimension itself explodes. The class
+    boundary compare is pure integer arithmetic (cum*100 <= total*80)
+    — no float share ever decides a class; only the reported share is
+    floating, rounded to 4.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents")
+    )
+    runsum = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(W.orderBy(F.desc("rev_cents"), "l_partkey"))
+        .alias("cum_cents"),
+        F.sum("rev_cents").over(W.partitionBy()).alias("total_cents"),
+    )
+    classed = runsum.select(
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_cents",
+        "total_cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.round(F.sum("rev_cents") / F.max("total_cents"), 4).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift) over co-purchases.
+# ---------------------------------------------------------------------------
+
+_AR_MIN_PAIR = 3
+
+
+@query(
+    "g_association_rules",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM op GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_AR_MIN_PAIR}
+    )
+    SELECT p.ant, p.cons, p.n_both,
+           round(p.n_both * 1.0 / t.n, 5) AS support,
+           round(p.n_both * 1.0 / ia.n_orders, 4) AS confidence,
+           round(p.n_both * 1.0 * t.n / (ia.n_orders * ic.n_orders), 3) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.ant
+    JOIN item ic ON ic.l_partkey = p.cons
+    CROSS JOIN nord t
+    ORDER BY lift DESC, p.ant, p.cons
+    LIMIT 25
+    """,
+)
+def g_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules ant → cons over order baskets: support,
+    confidence, and lift for directed part pairs co-occurring in at
+    least {m} orders — the Apriori 2-itemset stage of market-basket
+    mining (g_bipartite_projection computes the undirected graph; this
+    adds the directional rule metrics a recommender thresholds on).
+
+    Scale shape: identical candidate bounding to the projection (pairs
+    enumerated per order, bounded by basket size squared); the
+    min-support HAVING prunes the pair frame BEFORE the metric joins,
+    and the item-frequency side joins onto the pruned pair frame
+    (part-dimension-sized, broadcastable). All counts integer; the
+    three ratios are rounded (5/4/3) before the lift-ordered top-25
+    with full (ant, cons) tiebreak.
+    """.format(m=_AR_MIN_PAIR)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    nord = op.agg(F.count_distinct("l_orderkey").alias("n"))
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") != F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ant"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= _AR_MIN_PAIR)
+    )
+    ia = item.alias("ia")
+    ic = item.alias("ic")
+    return (
+        pair.join(ia, F.col("ia.l_partkey") == F.col("ant"))
+        .join(ic, F.col("ic.l_partkey") == F.col("cons"))
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "ant",
+            "cons",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n"), 5).alias("support"),
+            F.round(F.col("n_both") / F.col("ia.n_orders"), 4).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("ia.n_orders") * F.col("ic.n_orders")),
+                3,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ant", "cons")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS linear trend per event type.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_ols_trend",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 60) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+             AS slope_cents_per_min,
+           round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+                 / nd / 100, 3) AS intercept,
+           round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 5) AS r2
+    FROM (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      FROM g
+    )
+    ORDER BY event_type
+    """,
+)
+def a_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS linear trend of event value over time (slope in
+    cents/minute, intercept, R²) — the closed-form regression every
+    metric dashboard fits to answer "is this drifting up or down", and
+    the parametric complement to ts_cusum_changepoint's level-shift
+    detector.
+
+    Scale shape: the classic sufficient-statistics trick — one groupBy
+    reduces the whole fact to six integer moments per type; slope /
+    intercept / R² are pure arithmetic on those. The x axis is minutes
+    since a FIXED anchor (2024-01-01), which bounds x by the data
+    window (43 200 at 30 days) so n·x² stays far inside BIGINT at any
+    SF — anchoring at epoch would overflow sxx at ~sf0.1 (the
+    documented reason; DECIMAL(38,0) is the fallback if the window
+    ever spans centuries). DuckDB's fractional epoch() floors to
+    Spark's integer unix_timestamp safely (sub-second part can never
+    cross a minute boundary).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+    v = ev.select(
+        "event_type",
+        F.floor((F.unix_timestamp("ts") - anchor) / 60).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # Moments are converted to double at identical points on both
+    # engines: each moment fits 2^53 so the conversion is exact, and the
+    # derived stats are then the same IEEE double expressions everywhere
+    # (staying integer would overflow BIGINT in the R-squared square).
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_min"),
+        F.round((sy - slope * sx) / n / 100, 3).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            5,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Click-to-purchase conversion latency histogram.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_time_to_convert",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN first_click f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+      GROUP BY e.user_id
+    ),
+    delta AS (
+      SELECT f.user_id,
+             CAST(floor((epoch(p.t1) - epoch(f.t0)) / 3600) AS BIGINT) AS hours_bucket
+      FROM first_click f JOIN first_purchase p ON p.user_id = f.user_id
+    )
+    SELECT hours_bucket, CAST(count(*) AS BIGINT) AS n_users
+    FROM delta GROUP BY hours_bucket
+    ORDER BY hours_bucket
+    """,
+)
+def b_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: hours between each user's first
+    click and their first purchase AT OR AFTER that click, bucketed to
+    hours — the funnel-velocity readout behind "how long does intent
+    take to convert" (b_funnel_click_to_purchase counts WHO converts;
+    this measures WHEN).
+
+    Scale shape: two user-keyed min-aggregations (map-side partials)
+    and one user-keyed join — all three share the user shuffle key, so
+    AQE coalesces them into one exchange lineage; the histogram output
+    is bucket-bounded. The at-or-after predicate makes the pair a
+    true funnel (a purchase BEFORE the first click does not count).
+    Timestamp difference floors to integer hours identically on both
+    engines (epoch subtraction before division — the microsecond parts
+    cancel below the hour grain only after the subtraction, which both
+    engines perform on the same timestamps).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    delta = first_click.join(first_purchase, "user_id").select(
+        "user_id",
+        F.floor(
+            (F.col("t1").cast("double") - F.col("t0").cast("double")) / 3600
+        ).cast("long").alias("hours_bucket"),
+    )
+    return (
+        delta.groupBy("hours_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("hours_bucket")
+    )
