@@ -1,0 +1,304 @@
+"""Tests for the round-4 second-wave operators (plans/round4b_ext.py):
+brute-force numpy references for the statistics (a third engine,
+independent of both Spark and the DuckDB oracle), invariant checks for
+the graph/TS/vector ops, and plan-shape pins."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from etl_data_peri_institute_spark.plans import catalog
+
+catalog.load_all()
+
+SF = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _run(spark, name, sf=SF):
+    return catalog.QUERIES[name].fn(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Statistics vs numpy brute force (independent third engine).
+# ---------------------------------------------------------------------------
+
+
+def _events_numpy(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, user_id, CAST(round(value*100) AS BIGINT)"
+        f" FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_welch_ttest_matches_numpy(spark):
+    rows = _events_numpy(SF)
+    a = np.array([c for t, _, c in rows if t == "click"], dtype=np.float64)
+    b = np.array([c for t, _, c in rows if t == "purchase"], dtype=np.float64)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (a.mean() - b.mean()) / math.sqrt(se2)
+    df_ref = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    row = _run(spark, "a_welch_ttest").collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.t_stat - t_ref) < 2e-3
+    assert abs(row.welch_df - df_ref) < 0.2
+
+
+def test_mannwhitney_matches_numpy(spark):
+    rows = _events_numpy(SF)
+    vals = [(c, 1 if t == "click" else 0) for t, _, c in rows if t in ("click", "purchase")]
+    arr = np.array([v for v, _ in vals], dtype=np.float64)
+    grp = np.array([g for _, g in vals])
+    # tie-averaged ranks, brute force
+    order = arr.argsort(kind="stable")
+    ranks = np.empty(len(arr), dtype=np.float64)
+    sorted_vals = arr[order]
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1 = int(grp.sum())
+    u_ref = ranks[grp == 1].sum() - n1 * (n1 + 1) / 2.0
+    row = _run(spark, "a_mannwhitney_u").collect()[0]
+    assert row.n1 == n1
+    assert abs(row.u_stat - u_ref) < 0.51
+
+
+def test_chi2_matches_numpy(spark):
+    rows = _events_numpy(SF)
+    types = sorted({t for t, _, _ in rows})
+    obs = np.zeros((len(types), 4))
+    for t, u, _ in rows:
+        obs[types.index(t), u % 4] += 1
+    row_t = obs.sum(axis=1, keepdims=True)
+    col_t = obs.sum(axis=0, keepdims=True)
+    exp = row_t @ col_t / obs.sum()
+    chi2_ref = ((obs - exp) ** 2 / exp).sum()
+    row = _run(spark, "a_chi2_independence").collect()[0]
+    assert row.n == int(obs.sum())
+    assert row.dof == (len(types) - 1) * 3
+    assert abs(row.chi2 - chi2_ref) < 2e-3
+
+
+def test_ols_trend_matches_numpy(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type,
+               CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))/60) AS BIGINT),
+               CAST(round(value*100) AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchall()
+    con.close()
+    out = {r.event_type: r for r in _run(spark, "a_ols_trend").collect()}
+    for t in sorted({r[0] for r in rows}):
+        x = np.array([r[1] for r in rows if r[0] == t], dtype=np.float64)
+        y = np.array([r[2] for r in rows if r[0] == t], dtype=np.float64)
+        slope_ref, intercept_ref = np.polyfit(x, y, 1)
+        r_ref = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(out[t].slope_cents_per_min - slope_ref) < 1e-4
+        assert abs(out[t].intercept - intercept_ref / 100) < 0.05
+        assert abs(out[t].r2 - r_ref) < 1e-3
+
+
+def test_nearest_centroid_matches_numpy(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    labels = np.array([r[1] for r in rows])
+    X = np.array([r[2] for r in rows], dtype=np.float64)
+    cents = np.stack(
+        [np.round(X[labels == l].mean(axis=0), 6) for l in sorted(set(labels))]
+    )
+    lab_ids = sorted(set(labels))
+    d2 = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+    pred = np.array([lab_ids[i] for i in d2.argmin(axis=1)])
+    ref_acc = {
+        l: float((pred[labels == l] == l).mean()) for l in lab_ids
+    }
+    out = {r.label: r for r in _run(spark, "e_nearest_centroid_eval").collect()}
+    assert set(out) == set(lab_ids)
+    for l in lab_ids:
+        assert abs(out[l].accuracy - ref_acc[l]) < 1e-3, l
+
+
+# ---------------------------------------------------------------------------
+# Invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_changepoint_one_row_per_type(spark):
+    rows = _run(spark, "ts_cusum_changepoint").collect()
+    assert len(rows) == len({r.event_type for r in rows}) == 5
+    # CUSUM over mean-rounded deviations telescopes to n*(mean - round(mean));
+    # the peak is at least as large as any prefix, in particular nonzero
+    # unless the series is constant.
+    for r in rows:
+        assert r.n > 0
+
+
+def test_pareto_abc_partition_and_shares(spark):
+    rows = {r.abc_class: r for r in _run(spark, "a_pareto_abc").collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-3
+    # A holds at most 80% + one part's worth; C revenue below B below A
+    assert rows["A"].revenue_share <= 0.81
+    assert rows["A"].revenue_cents > rows["B"].revenue_cents > rows["C"].revenue_cents
+
+
+def test_association_rules_bounds(spark):
+    for r in _run(spark, "g_association_rules").collect():
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+        assert r.n_both >= 3
+
+
+def test_supplier_similarity_jaccard_bounds(spark):
+    for r in _run(spark, "g_supplier_similarity").collect():
+        assert 0 < r.jaccard <= 1
+        assert r.n_common >= 1
+        assert r.supp_a < r.supp_b
+
+
+def test_degree_distribution_mass_conserved(spark):
+    rows = _run(spark, "g_degree_distribution").collect()
+    # sum(degree * n_nodes) over each side equals the edge count of the
+    # bipartite graph, so the two sides must agree.
+    mass = {"customer": 0, "supplier": 0}
+    for r in rows:
+        mass[r.side] += r.degree * r.n_nodes
+    assert mass["customer"] == mass["supplier"] > 0
+
+
+def test_l_diversity_bounds(spark):
+    for r in _run(spark, "p_l_diversity").collect():
+        assert 1 <= r.distinct_l <= 12
+        assert r.distinct_l <= r.group_size
+        # entropy of a group never exceeds ln(distinct_l) (+ round-to-3 slack)
+        assert r.entropy_l <= math.log(r.distinct_l) + 5e-4
+        assert (r.below_l == 1) == (r.distinct_l < 4)
+
+
+def test_cdc_apply_tombstones_removed(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    # keys whose LATEST change is a delete must be absent
+    deleted = {
+        r[0]
+        for r in con.execute(
+            f"""WITH l AS (SELECT o_custkey k, o_orderstatus s,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+               FROM read_parquet('{SF}/orders.parquet'))
+               SELECT k FROM l WHERE rn = 1 AND s = 'F'"""
+        ).fetchall()
+    }
+    con.close()
+    out_keys = {r.key for r in _run(spark, "p_cdc_apply").collect()}
+    assert deleted and not (out_keys & deleted)
+
+
+def test_time_to_convert_nonnegative_buckets(spark):
+    rows = _run(spark, "b_time_to_convert").collect()
+    assert rows and all(r.hours_bucket >= 0 and r.n_users > 0 for r in rows)
+
+
+def test_ab_lift_arms_cover_all_users(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    row = _run(spark, "b_ab_lift_report").collect()[0]
+    assert row.n0 + row.n1 == n_users
+    assert row.c0 <= row.n0 and row.c1 <= row.n1
+
+
+def test_rolling_corr_in_unit_interval(spark):
+    for r in _run(spark, "ts_rolling_corr").collect():
+        if r.corr_click_purchase is not None:
+            assert -1.0 <= r.corr_click_purchase <= 1.0
+
+
+def test_seasonal_baseline_anomalies_bounded(spark):
+    for r in _run(spark, "ts_seasonal_baseline").collect():
+        # Chebyshev: at most 1/4 of any distribution sits beyond 2 sigma
+        # (integer rounding of sigma loosens this a touch; allow 30%)
+        assert r.n_anomalies <= max(1, int(0.30 * r.n))
+
+
+def test_pmi_symmetric_marginals(spark):
+    rows = _run(spark, "t_cooccurrence_pmi").collect()
+    assert rows
+    for r in rows:
+        assert r.n_xy >= 5
+
+
+def test_top_keywords_ranked_and_bounded(spark):
+    rows = _run(spark, "t_top_keywords_per_doc").collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in per_doc.items():
+        assert len(rs) <= 3
+        ranks = [r.rk for r in sorted(rs, key=lambda r: r.rk)]
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [r.tfidf for r in sorted(rs, key=lambda r: r.rk)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_centroid_report_dispersion_ordering(spark):
+    for r in _run(spark, "e_centroid_report").collect():
+        assert 0 <= r.avg_dist <= r.max_dist
+        assert r.n_vecs > 0 and r.centroid_norm >= 0
+
+
+# ---------------------------------------------------------------------------
+# Plan shape.
+# ---------------------------------------------------------------------------
+
+
+def test_no_cartesian_in_round4c_joins(spark):
+    # the only intentional cross joins are 1-row aggregate attachments
+    for name in (
+        "g_supplier_similarity",
+        "g_bipartite_projection",
+        "g_association_rules",
+        "b_time_to_convert",
+    ):
+        plan = _run(spark, name)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
+def test_seasonal_baseline_broadcasts_stats_side(spark):
+    plan = (
+        _run(spark, "ts_seasonal_baseline", SF_MID)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
