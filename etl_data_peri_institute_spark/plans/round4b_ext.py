@@ -573,8 +573,9 @@ def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     an open-degree graph the production guard is the same hot-key cap
     used by d_ngram_jaccard_pairs (drop customers above a degree
     percentile — they carry no signal, exactly Adamic-Adar's point).
-    Degrees join back AFTER pair aggregation, so the degree frames are
-    node-sized. Adamic-Adar terms are 1/ln(integer) — identical
+    Both degrees ride the edge frame as node-keyed window counts and
+    flow through the pair aggregation — no degree-table joins and no
+    edge-frame re-derivation. Adamic-Adar terms are 1/ln(integer) — identical
     operands both engines; rounded to 4 before the top-20 sort with
     full (supp_a, supp_b) tiebreak.
     """
@@ -585,30 +586,33 @@ def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    cdeg = cs.groupBy("c").agg(F.count("*").alias("cd"))
-    sdeg = cs.groupBy("s").agg(F.count("*").alias("sd"))
-    a, b = cs.alias("a"), cs.alias("b")
+    # Degrees ride the edge frame as windows (one extra exchange each on
+    # s and c) and flow THROUGH the pair aggregation as max() — no
+    # degree-table joins, no re-derivation of the edge frame for them
+    # (the single-pipeline discipline from the Jaccard rework; the b
+    # side of the self-join reuses the same exchange lineage).
+    cs_w = cs.withColumn("sd", F.count("*").over(W.partitionBy("s"))).withColumn(
+        "cd", F.count("*").over(W.partitionBy("c"))
+    )
+    a, b = cs_w.alias("a"), cs_w.alias("b")
     pairs = (
         a.join(b, (F.col("b.c") == F.col("a.c")) & (F.col("b.s") > F.col("a.s")))
-        .join(cdeg.alias("d"), F.col("d.c") == F.col("a.c"))
         .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
         .agg(
             F.count("*").alias("n_common"),
-            F.round(F.sum(1.0 / F.log(F.col("d.cd"))), 4).alias("adamic_adar"),
+            F.round(F.sum(1.0 / F.log(F.col("a.cd"))), 4).alias("adamic_adar"),
+            F.max(F.col("a.sd")).alias("sd_a"),
+            F.max(F.col("b.sd")).alias("sd_b"),
         )
     )
-    da = sdeg.alias("da")
-    db = sdeg.alias("db")
     return (
-        pairs.join(da, F.col("da.s") == F.col("supp_a"))
-        .join(db, F.col("db.s") == F.col("supp_b"))
-        .select(
+        pairs.select(
             "supp_a",
             "supp_b",
             "n_common",
             F.round(
                 F.col("n_common")
-                / (F.col("da.sd") + F.col("db.sd") - F.col("n_common")),
+                / (F.col("sd_a") + F.col("sd_b") - F.col("n_common")),
                 4,
             ).alias("jaccard"),
             "adamic_adar",
@@ -1541,17 +1545,22 @@ def g_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical candidate bounding to the projection (pairs
     enumerated per order, bounded by basket size squared); the
-    min-support HAVING prunes the pair frame BEFORE the metric joins,
-    and the item-frequency side joins onto the pruned pair frame
-    (part-dimension-sized, broadcastable). All counts integer; the
+    min-support filter prunes the pair frame early, and the item
+    frequencies ride the basket frame as a part-keyed window count
+    carried through the pair aggregation — no item-table joins, no
+    basket re-derivation. All counts integer; the
     three ratios are rounded (5/4/3) before the lift-ordered top-25
     with full (ant, cons) tiebreak.
     """.format(m=_AR_MIN_PAIR)
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     nord = op.agg(F.count_distinct("l_orderkey").alias("n"))
-    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
-    a, b = op.alias("a"), op.alias("b")
+    # Item frequencies ride the basket frame as a part-keyed window and
+    # flow through the pair aggregation as max() — no item-table joins,
+    # no basket-frame re-derivation (same discipline as
+    # g_supplier_similarity).
+    op_w = op.withColumn("n_orders", F.count("*").over(W.partitionBy("l_partkey")))
+    a, b = op_w.alias("a"), op_w.alias("b")
     pair = (
         a.join(
             b,
@@ -1561,23 +1570,23 @@ def g_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("ant"), F.col("b.l_partkey").alias("cons")
         )
-        .agg(F.count("*").alias("n_both"))
+        .agg(
+            F.count("*").alias("n_both"),
+            F.max(F.col("a.n_orders")).alias("n_ant"),
+            F.max(F.col("b.n_orders")).alias("n_cons"),
+        )
         .filter(F.col("n_both") >= _AR_MIN_PAIR)
     )
-    ia = item.alias("ia")
-    ic = item.alias("ic")
     return (
-        pair.join(ia, F.col("ia.l_partkey") == F.col("ant"))
-        .join(ic, F.col("ic.l_partkey") == F.col("cons"))
-        .crossJoin(F.broadcast(nord))
+        pair.crossJoin(F.broadcast(nord))
         .select(
             "ant",
             "cons",
             "n_both",
             F.round(F.col("n_both") / F.col("n"), 5).alias("support"),
-            F.round(F.col("n_both") / F.col("ia.n_orders"), 4).alias("confidence"),
+            F.round(F.col("n_both") / F.col("n_ant"), 4).alias("confidence"),
             F.round(
-                F.col("n_both") * F.col("n") / (F.col("ia.n_orders") * F.col("ic.n_orders")),
+                F.col("n_both") * F.col("n") / (F.col("n_ant") * F.col("n_cons")),
                 3,
             ).alias("lift"),
         )

@@ -92,6 +92,19 @@ QUERIES = [
     "t_duplicated_ngram_report",
     "t_importance_weights",
     "b_last_touch_attribution",
+    # second-wave additions (round-4 continuation): stat tests reduce to
+    # sketch-sized moment frames; graph projections bound pairs by the
+    # basket/degree side; CDC + CUSUM are single-key window plans
+    "a_mannwhitney_u",
+    "p_cdc_apply",
+    "ts_cusum_changepoint",
+    "g_bipartite_projection",
+    "g_supplier_similarity",
+    "g_association_rules",
+    "t_cooccurrence_pmi",
+    "t_top_keywords_per_doc",
+    "e_nearest_centroid_eval",
+    "b_time_to_convert",
 ]
 
 
