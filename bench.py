@@ -57,6 +57,12 @@ HEADLINE = [
     "g_triangle_count",
     "a_ks_drift",
     "t_importance_weights",
+    # second-wave additions (round-4 continuation)
+    "g_supplier_similarity",
+    "g_association_rules",
+    "a_mannwhitney_u",
+    "ts_cusum_changepoint",
+    "e_nearest_centroid_eval",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
