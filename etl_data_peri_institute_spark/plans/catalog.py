@@ -144,7 +144,12 @@ _VERIFY_FIRST: list[str] = [
 # FIRST the round-4 overflow (positions 51+: f_url_parse,
 # b_last_touch_attribution, p_fd_violation_check,
 # t_duplicated_ngram_report, g_kcore_decomposition, d_lsh_recall_report,
-# e_ivf_recall_report, st_streaming_drift_psi, b_negative_sampling) and
+# e_ivf_recall_report, st_streaming_drift_psi, b_negative_sampling),
+# THEN the 20 second-wave names (plans/round4b_ext.py — riskiest float
+# patterns first: a_ols_trend, e_nearest_centroid_eval,
+# e_centroid_report, a_mannwhitney_u, a_welch_ttest,
+# a_chi2_independence, t_cooccurrence_pmi, g_supplier_similarity,
+# g_association_rules, ts_rolling_corr, then the integer-exact rest) and
 # any name still without a driver row, then any query whose OUTPUT
 # changed since its last green row, then continue backfilling the
 # remaining r01-only-evidence names (d_dedup_components, d_dedup_apply,
