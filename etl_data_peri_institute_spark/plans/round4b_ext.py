@@ -1756,3 +1756,332 @@ def b_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("hours_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis report.
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPN = 10
+
+
+@query(
+    "a_skew_report",
+    oracle=f"""
+    WITH freq AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n
+      FROM freq
+    ),
+    top AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk
+      FROM freq
+    )
+    SELECT t.rk, t.key, t.n,
+           round(t.n * 1.0 * s.n_keys / s.n_rows, 2) AS x_avg,
+           round(t.n * 1.0 / s.n_rows, 5) AS row_share
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= {_SKEW_TOPN}
+    ORDER BY t.rk
+    """,
+)
+def a_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_suppkey: the top-{n}
+    hottest keys with their frequency, multiple-of-average, and row
+    share — the report that decides whether a planned shuffle join
+    needs salting (operators/skew.py), a broadcast, or AQE's skew-join
+    split, and with what fan-out. Every 100 TB join plan starts here.
+
+    Scale shape: one key groupBy collapses the fact to key frequencies
+    (map-side partials); the global stats reduce that to ONE row; the
+    top-N window runs over the key-frequency frame — key-dimension
+    sized, and in production bounded further by a frequency floor
+    (keys below avg can never be skew culprits). Ratios are
+    integer-over-integer, rounded.
+    """.format(n=_SKEW_TOPN)
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    top = freq.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), "key"))
+    ).filter(F.col("rk") <= _SKEW_TOPN)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rk",
+            "key",
+            "n",
+            F.round(F.col("n") * F.col("n_keys") / F.col("n_rows"), 2).alias("x_avg"),
+            F.round(F.col("n") / F.col("n_rows"), 5).alias("row_share"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial-aggregate state merge (incremental view maintenance).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_partial_agg_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS mn,
+             CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS mx
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(s) AS BIGINT) AS sum_cents,
+           round(sum(s) * 1.0 / sum(n) / 100, 4) AS avg_price,
+           CAST(min(mn) AS BIGINT) AS min_cents,
+           CAST(max(mx) AS BIGINT) AS max_cents,
+           CAST(count(*) AS BIGINT) AS n_partials_merged
+    FROM daily GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-state merge: fold per-day partial aggregates
+    (count/sum/min/max — the decomposable state a daily batch job
+    materializes) into the running per-flag totals, without touching
+    raw rows — incremental view maintenance, the batch twin of
+    streaming/incremental.py's rollup. avg is re-derived from merged
+    sum/count (it is NOT itself mergeable — the whole point of keeping
+    the state decomposed).
+
+    Scale shape: at 100 TB the daily frame already exists (yesterday's
+    materialization), so the merge touches days x flags rows — the
+    gate derives it inline to stay self-contained, which is also the
+    algebraic identity check: merge(partials(x)) == agg(x). Both
+    groupBys partial-aggregate map-side; integer cents throughout;
+    only the re-derived average is float, rounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    return (
+        daily.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("s").alias("sum_cents"),
+            F.round(F.sum("s") / F.sum("n") / 100, 4).alias("avg_price"),
+            F.min("mn").alias("min_cents"),
+            F.max("mx").alias("max_cents"),
+            F.count("*").alias("n_partials_merged"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user daily frequency capping.
+# ---------------------------------------------------------------------------
+
+_FREQ_CAP = 8
+
+
+@query(
+    "b_frequency_capping",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN rn > {_FREQ_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_events,
+           CAST(count(DISTINCT CASE WHEN rn > {_FREQ_CAP} THEN user_id END) AS BIGINT)
+             AS n_capped_users
+    FROM seq GROUP BY day
+    ORDER BY day
+    """,
+)
+def b_frequency_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping: per (user, day), 'view' events beyond the
+    cap ({c}/day) are surplus — the report counts capped events and
+    affected users per day, the ad-serving / notification-throttling
+    primitive (enforcement = filter rn <= cap on the same plan).
+
+    Scale shape: ONE window on the natural delivery key (user, day) —
+    the same partitioning the serving system writes, so at 100 TB this
+    is a partition-local sort with no second exchange; the daily
+    report aggregation reuses nothing wider than the day key. The
+    (ts, event_id) ordering makes WHICH events are surplus
+    deterministic, not just how many.
+    """.format(c=_FREQ_CAP)
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    over = F.col("rn") > _FREQ_CAP
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(over.cast("long")).alias("n_capped_events"),
+            F.count_distinct(F.when(over, F.col("user_id"))).alias("n_capped_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    )
+    SELECT a.day,
+           CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           round(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS new_share
+    FROM active a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY a.day
+    ORDER BY a.day
+    """,
+)
+def b_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user's first-ever active
+    day marks them 'new' that day, 'returning' on every later active
+    day — the growth-accounting headline metric (cohort_retention's
+    day-0 column, computed standalone and cheaper).
+
+    Scale shape: both the first-day frame and the active frame are
+    user-keyed reductions of the same scan, and the join is user-keyed
+    too — one shuffle key end to end, AQE reuses the exchange lineage.
+    The daily report is day-bounded. At 100 TB the firsts frame is the
+    incrementally-maintained "user birthday" dimension (min is
+    mergeable — a_partial_agg_merge's algebra), so the daily job joins
+    against yesterday's, never rescanning history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).alias("n_new"),
+            F.sum(1 - is_new).alias("n_returning"),
+            F.round(F.sum(is_new) / F.count("*"), 4).alias("new_share"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table checksum for cross-system reconciliation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_table_checksum",
+    oracle="""
+    WITH mh0 AS (
+      SELECT o_orderstatus,
+             md5(o_orderkey || '|' || o_custkey || '|' ||
+               CAST(round(o_totalprice * 100) AS BIGINT) || '|' || o_orderpriority) AS mh
+      FROM orders
+    ),
+    h AS (
+      SELECT o_orderstatus,
+             CAST(instr('0123456789abcdef', substring(mh, 1, 1)) - 1 AS BIGINT) * 68719476736
+             + CAST(instr('0123456789abcdef', substring(mh, 2, 1)) - 1 AS BIGINT) * 4294967296
+             + CAST(instr('0123456789abcdef', substring(mh, 3, 1)) - 1 AS BIGINT) * 268435456
+             + CAST(instr('0123456789abcdef', substring(mh, 4, 1)) - 1 AS BIGINT) * 16777216
+             + CAST(instr('0123456789abcdef', substring(mh, 5, 1)) - 1 AS BIGINT) * 1048576
+             + CAST(instr('0123456789abcdef', substring(mh, 6, 1)) - 1 AS BIGINT) * 65536
+             + CAST(instr('0123456789abcdef', substring(mh, 7, 1)) - 1 AS BIGINT) * 4096
+             + CAST(instr('0123456789abcdef', substring(mh, 8, 1)) - 1 AS BIGINT) * 256
+             + CAST(instr('0123456789abcdef', substring(mh, 9, 1)) - 1 AS BIGINT) * 16
+             + CAST(instr('0123456789abcdef', substring(mh, 10, 1)) - 1 AS BIGINT) * 1 AS rh
+      FROM mh0
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rh) AS BIGINT) AS checksum
+    FROM h GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def p_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum per partition group (status):
+    each row hashes its business columns to a 40-bit integer (md5
+    prefix) and the checksum is the group SUM — two systems holding
+    the same rows produce the same checksum regardless of row order or
+    physical layout. This is the cross-system reconciliation primitive
+    behind "did the migration/replica drop or mutate rows" (the
+    reference's load-parity concern, etl/load.py, generalized from
+    row counts to content).
+
+    Scale shape: embarrassingly parallel — one narrow hash projection,
+    one group aggregation with map-side partials; no joins, no
+    windows. 40-bit row hashes keep the BIGINT sum exact to ~8e12 rows
+    per group (collision-vs-overflow tradeoff documented; production
+    widens to two parallel 40-bit lanes for 80 bits). Money enters the
+    hash as integer cents — the q10 lesson: floats never feed a
+    cross-engine hash.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(payload), 1, 10), 16, 10).cast("long")
+    return (
+        orders.select("o_orderstatus", rh.alias("rh"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("rh").alias("checksum"))
+        .orderBy("o_orderstatus")
+    )
