@@ -2085,3 +2085,323 @@ def p_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.sum("rh").alias("checksum"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-size per-group sample (reservoir semantics).
+# ---------------------------------------------------------------------------
+
+_RES_K = 50
+
+
+@query(
+    "b_reservoir_per_group",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, event_id,
+             md5('res:' || event_id) AS hk
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, event_id, hk,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hk, event_id
+             ) AS rn
+      FROM keyed
+    )
+    SELECT event_type, rn, event_id
+    FROM ranked WHERE rn <= {_RES_K}
+    ORDER BY event_type, rn
+    """,
+)
+def b_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample per group (k = {k} per event type),
+    reservoir semantics without a reservoir: rank rows by a content
+    hash within each group and keep the k smallest — every row is
+    equally likely under the hash's uniformity, the choice is a pure
+    function of content (b_hash_sample's determinism discipline), and
+    unlike rate-based sampling (b_stratified_sample) the output size
+    is EXACTLY k per group regardless of group skew — the eval-set /
+    debugging-slice primitive.
+
+    Scale shape: one group-keyed window sort. At 100 TB the
+    rank-then-filter refines to a per-partition top-k (each partition
+    keeps its k smallest hashes map-side — Spark's
+    TakeOrderedAndProject generalized per key) so the shuffle carries
+    at most k rows per (group, partition), not the group. The
+    (hk, event_id) tiebreak makes the k-th seat deterministic even
+    under hash collisions.
+    """.format(k=_RES_K)
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        "event_id",
+        F.md5(F.concat(F.lit("res:"), F.col("event_id").cast("string"))).alias("hk"),
+    )
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("event_type").orderBy("hk", "event_id")),
+    )
+    return (
+        ranked.filter(F.col("rn") <= _RES_K)
+        .select("event_type", "rn", "event_id")
+        .orderBy("event_type", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of revenue concentration.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM rev
+    )
+    SELECT max(n) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           round(2.0 * sum(i * cents) / (max(n) * 1.0 * max(total))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked
+    """,
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality scalar behind a_pareto_abc's class table (0 = every
+    customer spends alike, →1 = one whale funds everything); data
+    pipelines track it to detect mix shifts that per-class tables
+    smooth over.
+
+    Scale shape: the fact reduces to integer cents per customer first;
+    the exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs a
+    global ordering, which runs over the customer-DIMENSION frame only
+    (the a_pareto_abc rationale), and Σ(i·xᵢ) partial-aggregates after
+    ranking. i·cents products stay in BIGINT (n·max_cents ≤ ~1e13 per
+    term at sf0.1; the sum is ≤ n²·max_cents ≈ 4e15 — inside BIGINT
+    to ~1e9 customers, then DECIMAL). One float division at the end,
+    rounded to 4.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("cents").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.max("total").alias("total_cents"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (F.max("n") * F.max("total").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (unrolled greedy, bounded candidates).
+# ---------------------------------------------------------------------------
+
+_MMR_QUERY_ID = 0
+_MMR_CAND = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a CTE chain (the g_pagerank_suppliers
+    discipline: fixed iteration count, bit-identical arithmetic to the
+    Spark loop — rounded-6 relevance and pair similarities are the only
+    inputs, so both engines pick the same argmax at every step)."""
+    lam = _MMR_LAMBDA
+    steps = [
+        """
+    sel1 AS (
+      SELECT id, rel, rel AS mmr, 1 AS rank FROM cand
+      ORDER BY rel DESC, id LIMIT 1
+    ),
+    picked1 AS MATERIALIZED (SELECT id FROM sel1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+    step{k} AS (
+      SELECT c.id, c.rel, max(p.sim) AS ms
+      FROM cand c JOIN pairs p
+        ON p.a = c.id AND p.b IN (SELECT id FROM picked{k - 1})
+      WHERE c.id NOT IN (SELECT id FROM picked{k - 1})
+      GROUP BY c.id, c.rel
+    ),
+    sel{k} AS (
+      SELECT id, rel, round({lam} * rel - {1 - lam} * ms, 6) AS mmr, {k} AS rank
+      FROM step{k} ORDER BY mmr DESC, id LIMIT 1
+    ),
+    picked{k} AS MATERIALIZED (SELECT id FROM picked{k - 1} UNION ALL SELECT id FROM sel{k})""")
+    sel_union = "\n      UNION ALL ".join(
+        f"SELECT rank, id AS vec_id, rel AS relevance, mmr AS mmr_score FROM sel{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH pos AS MATERIALIZED (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(val * val)) AS n FROM pos GROUP BY vec_id),
+    qpos AS (SELECT pos, val FROM pos WHERE vec_id = {_MMR_QUERY_ID}),
+    rel_all AS (
+      SELECT p.vec_id,
+             round(sum(p.val * q.val)
+                   / (max(np.n) * (SELECT n FROM nrm WHERE vec_id = {_MMR_QUERY_ID})),
+                   6) AS rel
+      FROM pos p JOIN qpos q ON q.pos = p.pos
+      JOIN nrm np ON np.vec_id = p.vec_id
+      WHERE p.vec_id <> {_MMR_QUERY_ID}
+      GROUP BY p.vec_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id AS id, rel FROM rel_all
+      ORDER BY rel DESC, vec_id LIMIT {_MMR_CAND}
+    ),
+    cpos AS (
+      SELECT p.vec_id, p.pos, p.val FROM pos p
+      WHERE p.vec_id IN (SELECT id FROM cand)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(sum(a.val * b.val) / (max(na.n) * max(nb.n)), 6) AS sim
+      FROM cpos a JOIN cpos b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),{",".join(steps)}
+    SELECT rank, vec_id, relevance, mmr_score FROM (
+      {sel_union}
+    )
+    ORDER BY rank
+    """
+
+
+@query("e_mmr_rerank", oracle=_mmr_oracle())
+def e_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the top-{c}
+    cosine candidates for a query vector, greedily select {k} results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    (λ = {lam}) — the diversification stage a retrieval pipeline runs
+    after ANN search so the context window isn't five near-copies of
+    one passage (the retrieval-side complement of d_semdedup_prune,
+    which prunes the INDEX; MMR diversifies the RESULT).
+
+    Scale shape: the greedy loop is inherently sequential, but each
+    step's frame is bounded by the CANDIDATE set (top-{c} from the ANN
+    stage — e_ivf_topk at 100 TB), so the unrolled {k}-step plan
+    (pagerank's fixed-iteration discipline; the oracle unrolls the
+    identical CTE chain) manipulates 20-row frames whatever the corpus
+    size; the only corpus-scale work is the relevance scan, which IS
+    the ANN search. Relevance and pair similarities are rounded to 6
+    before any argmax, with id tiebreaks — both engines select
+    identical sets step for step.
+    """.format(c=_MMR_CAND, k=_MMR_K, lam=_MMR_LAMBDA)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    nrm = pos.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n"))
+    qpos = pos.filter(F.col("vec_id") == _MMR_QUERY_ID).select("pos", F.col("val").alias("qval"))
+    qn = nrm.filter(F.col("vec_id") == _MMR_QUERY_ID).select(F.col("n").alias("qn"))
+    rel_all = (
+        pos.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .join(F.broadcast(qpos), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        .join(nrm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("rel"),
+        )
+    )
+    cand = rel_all.orderBy(F.desc("rel"), "id").limit(_MMR_CAND)
+    cpos = pos.join(
+        F.broadcast(cand.select(F.col("id").alias("vec_id"))), "vec_id"
+    )
+    na = nrm.withColumnRenamed("vec_id", "a").withColumnRenamed("n", "na")
+    nb = nrm.withColumnRenamed("vec_id", "b").withColumnRenamed("n", "nb")
+    a, b = cpos.alias("pa"), cpos.alias("pb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("pb.pos") == F.col("pa.pos"))
+            & (F.col("pb.vec_id") != F.col("pa.vec_id")),
+        )
+        .groupBy(
+            F.col("pa.vec_id").alias("a"), F.col("pb.vec_id").alias("b")
+        )
+        .agg(F.sum(F.col("pa.val") * F.col("pb.val")).alias("dot"))
+        .join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select("a", "b", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("sim"))
+    )
+    lam = _MMR_LAMBDA
+    # The candidate and pair frames are bounded (<= 20 / 380 rows) but
+    # their lineage is the corpus-scale relevance scan; every unrolled
+    # step references both, so WITHOUT truncation the static plan
+    # re-derives that scan a compounding number of times (measured:
+    # ~60 s vs ~4 s at sf0.001). Eagerly checkpointing the two tiny
+    # frames — the connected-components discipline — makes each greedy
+    # step a join over literal 20-row inputs; the oracle mirrors this
+    # with MATERIALIZED CTEs.
+    cand = cand.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+    # Unrolled greedy over bounded frames (candidates <= _MMR_CAND):
+    # selected_k and the per-step argmax are 1-to-k-row frames; Spark
+    # builds one static plan, exactly like the oracle's CTE chain.
+    sel = cand.orderBy(F.desc("rel"), "id").limit(1).select(
+        "id", "rel", F.col("rel").alias("mmr"), F.lit(1).alias("rank")
+    )
+    picked = sel.select("id")
+    out = sel
+    for k in range(2, _MMR_K + 1):
+        rem = cand.join(picked, "id", "left_anti")
+        step = (
+            rem.join(pairs, rem.id == pairs.a)
+            .join(picked.withColumnRenamed("id", "b"), "b")
+            .groupBy(rem.id, rem.rel)
+            .agg(F.max("sim").alias("ms"))
+        )
+        sel_k = (
+            step.select(
+                "id",
+                "rel",
+                F.round(lam * F.col("rel") - (1 - lam) * F.col("ms"), 6).alias("mmr"),
+                F.lit(k).alias("rank"),
+            )
+            .orderBy(F.desc("mmr"), "id")
+            .limit(1)
+        )
+        picked = picked.unionAll(sel_k.select("id"))
+        out = out.unionAll(sel_k)
+    return out.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    ).orderBy("rank")
