@@ -302,3 +302,117 @@ def test_seasonal_baseline_broadcasts_stats_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Wave 3/4: diagnostics, sampling, reconciliation, MMR.
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_ordering_and_shares(spark):
+    rows = _run(spark, "a_skew_report").collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert sum(r.row_share for r in rows) <= 1.0
+    assert all(r.x_avg >= 1.0 for r in rows[:1])  # hottest key >= average
+
+
+def test_partial_agg_merge_equals_direct(spark):
+    # the algebraic identity: merge(partials(x)) == agg(x)
+    import duckdb
+
+    con = duckdb.connect()
+    direct = con.execute(
+        f"""SELECT l_returnflag, count(*),
+              sum(CAST(round(l_extendedprice*100) AS BIGINT))
+            FROM read_parquet('{SF}/lineitem.parquet')
+            GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    con.close()
+    out = {r.l_returnflag: r for r in _run(spark, "a_partial_agg_merge").collect()}
+    for flag, n, s_ in direct:
+        assert out[flag].n_rows == n
+        assert out[flag].sum_cents == s_
+
+
+def test_frequency_capping_bounds(spark):
+    for r in _run(spark, "b_frequency_capping").collect():
+        assert r.n_capped_users <= r.n_users
+        # each capped user contributes at least one capped event
+        assert r.n_capped_events >= r.n_capped_users
+
+
+def test_new_vs_returning_day_one_all_new(spark):
+    rows = sorted(_run(spark, "b_new_vs_returning").collect(), key=lambda r: r.day)
+    assert rows[0].n_returning == 0 and rows[0].new_share == 1.0
+    # every user is new exactly once: total new == distinct users
+    import duckdb
+
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r.n_new for r in rows) == n_users
+
+
+def test_table_checksum_detects_mutation(spark):
+    from etl_data_peri_institute_spark.plans import catalog as cat
+    from pyspark.sql import functions as F
+
+    base = {r.o_orderstatus: r.checksum for r in _run(spark, "p_table_checksum").collect()}
+    # rerun over a mutated copy: one row's price changed by one cent
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == orders.select("o_orderkey").first()[0],
+               F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")),
+    )
+    mutated.createOrReplaceTempView("_mut_orders")
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(payload), 1, 10), 16, 10).cast("long")
+    mut = {
+        r.o_orderstatus: r.checksum
+        for r in mutated.select("o_orderstatus", rh.alias("rh"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("rh").alias("checksum"))
+        .collect()
+    }
+    assert base != mut  # exactly one group's checksum moves
+    assert sum(1 for k in base if base[k] != mut.get(k)) == 1
+
+
+def test_reservoir_exact_k_per_group(spark):
+    rows = _run(spark, "b_reservoir_per_group", SF_MID).collect()
+    per_group: dict[str, int] = {}
+    for r in rows:
+        per_group[r.event_type] = per_group.get(r.event_type, 0) + 1
+    assert set(per_group.values()) == {50}
+    # determinism: second run picks the identical sample
+    again = _run(spark, "b_reservoir_per_group", SF_MID).collect()
+    assert sorted((r.event_type, r.event_id) for r in rows) == sorted(
+        (r.event_type, r.event_id) for r in again
+    )
+
+
+def test_gini_in_unit_interval_and_scale_free(spark):
+    row = _run(spark, "a_gini_concentration").collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    assert row.n_customers > 0 and row.total_cents > 0
+
+
+def test_mmr_first_is_most_relevant_and_diverse_after(spark):
+    rows = sorted(_run(spark, "e_mmr_rerank").collect(), key=lambda r: r.rank)
+    assert len(rows) == 5
+    assert len({r.vec_id for r in rows}) == 5
+    # rank 1 is the pure-relevance argmax: no later pick can beat it
+    assert all(rows[0].relevance >= r.relevance for r in rows[1:])
+    # mmr score of rank 1 equals its relevance by definition
+    assert rows[0].mmr_score == rows[0].relevance
