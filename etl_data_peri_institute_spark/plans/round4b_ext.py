@@ -2405,3 +2405,91 @@ def e_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         F.col("mmr").alias("mmr_score"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly report (pipeline completeness monitor).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, day, n,
+             CAST(median(n) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+             ) AS DOUBLE) AS med7,
+             count(*) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+             ) AS n_hist
+      FROM daily
+    )
+    SELECT event_type, day, n,
+           CAST(round(med7) AS BIGINT) AS median7,
+           round(n / med7 - 1, 3) AS deviation
+    FROM med
+    WHERE n_hist >= 7 AND (n * 10 > med7 * 13 OR n * 10 < med7 * 7)
+    ORDER BY event_type, day
+    """,
+)
+def p_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly report: each (event type, day)'s
+    row count against the trailing-7-day median; days deviating more
+    than ±30% are flagged — the completeness monitor that catches a
+    dropped upstream partition or a double-delivery before any
+    consumer does (the operational twin of a_ks_drift: this watches
+    VOLUME, that watches distribution).
+
+    Scale shape: the fact collapses to (type, day) integer counts
+    first; the trailing-median window runs over that days-sized frame.
+    The ±30% gate is evaluated as pure integer cross-multiplication
+    (n·10 vs med·13) — the 7-point median is the sorted frame's middle
+    element — integer-exact on both engines — so the compare never
+    touches float rounding; only
+    the reported deviation is float, rounded. Warm-up days (fewer than
+    7 trailing points) are excluded rather than compared to a
+    half-formed baseline. Like p_pseudonymize_kanon, the report
+    NATURALLY empties as data densifies (sf0.1's daily counts are
+    stable within ±30% — the correct "volume healthy" answer; sf0.01
+    shows 3 flagged days, sf0.001 shows 55).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    # Spark disallows median() over a frame; an exact equivalent for the
+    # bounded 7-row window is the sorted frame's middle element (odd
+    # count -> integer-exact, same value DuckDB's median returns).
+    med = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sort_array(F.collect_list("n").over(w))[3].cast("double").alias("med7"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    return (
+        med.filter(
+            (F.col("n_hist") >= 7)
+            & (
+                (F.col("n") * 10 > F.col("med7") * 13)
+                | (F.col("n") * 10 < F.col("med7") * 7)
+            )
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med7").cast("long").alias("median7"),
+            F.round(F.col("n") / F.col("med7") - 1, 3).alias("deviation"),
+        )
+        .orderBy("event_type", "day")
+    )
