@@ -2493,3 +2493,147 @@ def p_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization with asymmetric-distance search (ADC).
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 4        # subspaces (64 dims -> 4 x 16)
+_PQ_SUBDIM = 16
+_PQ_QUERIES = 3     # vec_id < 3 play the query set
+_PQ_TOPK = 5
+
+
+@query(
+    "e_pq_adc_topk",
+    oracle=f"""
+    WITH pos AS MATERIALIZED (
+      SELECT vec_id, label, i AS pos,
+             CAST((i - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    codebook AS MATERIALIZED (
+      SELECT sub, label AS code, pos, round(avg(val), 6) AS cval
+      FROM pos GROUP BY sub, label, pos
+    ),
+    enc_d2 AS (
+      SELECT p.vec_id, p.sub, c.code,
+             round(sum((p.val - c.cval) * (p.val - c.cval)), 6) AS d2
+      FROM pos p JOIN codebook c ON c.sub = p.sub AND c.pos = p.pos
+      WHERE p.vec_id >= {_PQ_QUERIES}
+      GROUP BY p.vec_id, p.sub, c.code
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM enc_d2
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.code,
+             round(sum((q.val - c.cval) * (q.val - c.cval)), 6) AS qd2
+      FROM pos q JOIN codebook c ON c.sub = q.sub AND c.pos = q.pos
+      WHERE q.vec_id < {_PQ_QUERIES}
+      GROUP BY q.vec_id, c.sub, c.code
+    ),
+    adc AS (
+      SELECT l.query_id, v.vec_id AS neighbor_id,
+             round(sum(l.qd2), 4) AS approx_d2
+      FROM codes v JOIN lut l ON l.sub = v.sub AND l.code = v.code
+      GROUP BY l.query_id, v.vec_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, approx_d2
+    FROM (
+      SELECT query_id, neighbor_id, approx_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2, neighbor_id) AS rn
+      FROM adc
+    )
+    WHERE rn <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN search (Jégou et al.'s PQ, the
+    memory-bound workhorse between SQ8 and IVF): split 64-dim vectors
+    into {m} x {d}-dim subspaces, quantize each sub-vector to its
+    nearest sub-codeword, and answer queries by ADC — per query, a
+    {m} x codes lookup table of exact query-to-codeword distances, so
+    a database vector's approximate distance is {m} table lookups
+    summed, never a full float dot product. Completes the
+    quantization family (e_sq_int8_topk compresses VALUES, IVF prunes
+    LISTS, PQ compresses GEOMETRY; production composes IVF+PQ exactly
+    like e_ivf_sq_topk composes IVF+SQ).
+
+    Codebooks derive from label-group sub-means — the e_ivf_assign
+    discipline: deterministic, oracle-expressible training standing in
+    for k-means-per-subspace (kmeans_lloyd is the benched production
+    trainer). Scale shape: the codebook ({m} x 10 codes x {d} dims)
+    broadcasts; encoding is one corpus pass (vector x codeword
+    distances bounded by codes-per-subspace); the search touches codes
+    + LUT only — the corpus' float vectors are never read at query
+    time, which is the entire point of PQ at 100 TB. Codebook values
+    rounded to 6 before distances, per-sub d2 to 6 before the argmin
+    (code tiebreak), ADC sums to 4 before the top-{k} (neighbor
+    tiebreak) — both engines pick identical codes and ranks.
+    """.format(m=_PQ_SUBS, d=_PQ_SUBDIM, k=_PQ_TOPK)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / _PQ_SUBDIM).cast("long").alias("sub"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    codebook = pos.groupBy(
+        "sub", F.col("label").alias("code"), "pos"
+    ).agg(F.round(F.avg("val"), 6).alias("cval"))
+    codebook = codebook.localCheckpoint(eager=True)  # k x m x d — tiny, broadcast below
+
+    def sub_d2(side: DataFrame, id_filter, out_id: str) -> DataFrame:
+        return (
+            side.filter(id_filter)
+            .join(F.broadcast(codebook), ["sub", "pos"])
+            .groupBy(F.col("vec_id").alias(out_id), "sub", "code")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+
+    enc_d2 = sub_d2(pos, F.col("vec_id") >= _PQ_QUERIES, "vec_id")
+    codes = (
+        enc_d2.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id", "sub").orderBy("d2", "code")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = sub_d2(pos, F.col("vec_id") < _PQ_QUERIES, "query_id").withColumnRenamed(
+        "d2", "qd2"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qd2"), 4).alias("approx_d2"))
+    )
+    return (
+        adc.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id"))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "rank", "neighbor_id", "approx_d2")
+        .orderBy("query_id", "rank")
+    )
