@@ -2343,8 +2343,14 @@ def e_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpos = pos.join(
         F.broadcast(cand.select(F.col("id").alias("vec_id"))), "vec_id"
     )
-    na = nrm.withColumnRenamed("vec_id", "a").withColumnRenamed("n", "na")
-    nb = nrm.withColumnRenamed("vec_id", "b").withColumnRenamed("n", "nb")
+    # Norms restricted to the candidate scope BEFORE any broadcast hint —
+    # nrm itself is corpus-sized (one row per vector) and must never be
+    # pinned broadcast; the candidate-filtered frame is <= 20 rows.
+    cnrm = nrm.join(
+        F.broadcast(cand.select(F.col("id").alias("vec_id"))), "vec_id"
+    )
+    na = cnrm.withColumnRenamed("vec_id", "a").withColumnRenamed("n", "na")
+    nb = cnrm.withColumnRenamed("vec_id", "b").withColumnRenamed("n", "nb")
     a, b = cpos.alias("pa"), cpos.alias("pb")
     pairs = (
         a.join(
