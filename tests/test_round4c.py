@@ -416,3 +416,74 @@ def test_mmr_first_is_most_relevant_and_diverse_after(spark):
     assert all(rows[0].relevance >= r.relevance for r in rows[1:])
     # mmr score of rank 1 equals its relevance by definition
     assert rows[0].mmr_score == rows[0].relevance
+
+
+def test_volume_anomaly_flags_exceed_threshold(spark):
+    for r in _run(spark, "p_volume_anomaly").collect():
+        assert abs(r.deviation) > 0.3 - 1e-9
+        assert r.median7 > 0
+
+
+def test_pq_adc_ranks_and_self_exclusion(spark):
+    rows = _run(spark, "e_pq_adc_topk").collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        # ADC distances are nondecreasing with rank
+        d = [r.approx_d2 for r in rs]
+        assert d == sorted(d)
+        # queries are excluded from the database side
+        assert all(r.neighbor_id >= 3 for r in rs)
+
+
+def test_pq_adc_reasonable_vs_exact_knn(spark):
+    # PQ is lossy, but with 10 codes per subspace the top-1 ADC neighbor
+    # should land in the exact top-20% of the corpus by true distance
+    # for at least 2 of 3 queries — a loose recall floor that catches
+    # broken encode/LUT plumbing without flaking on quantization noise.
+    import duckdb
+
+    rows = _run(spark, "e_pq_adc_topk").collect()
+    top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    con = duckdb.connect()
+    ok = 0
+    for q, nb in top1.items():
+        better = con.execute(
+            f"""WITH pos AS (
+                  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+                  FROM read_parquet('{SF}/embeddings.parquet'),
+                       UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                ),
+                qv AS (SELECT pos, val FROM pos WHERE vec_id = {q}),
+                d AS (
+                  SELECT p.vec_id, sum((p.val - qv.val) * (p.val - qv.val)) AS d2
+                  FROM pos p JOIN qv ON qv.pos = p.pos
+                  WHERE p.vec_id >= 3 GROUP BY p.vec_id
+                )
+                SELECT count(*) FROM d
+                WHERE d2 < (SELECT d2 FROM d WHERE vec_id = {nb})"""
+        ).fetchone()[0]
+        n_db = con.execute(
+            f"SELECT count(*) - 3 FROM read_parquet('{SF}/embeddings.parquet')"
+        ).fetchone()[0]
+        if better <= 0.2 * n_db:
+            ok += 1
+    con.close()
+    assert ok >= 2
+
+
+def test_rolling_active_users_invariants(spark):
+    rows = _run(spark, "b_rolling_active_users").collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 1 <= r.dau <= r.wau7
+        assert 0 < r.stickiness <= 1.0
+    # WAU is at least the max DAU inside any trailing week
+    by_day = sorted(rows, key=lambda r: r.day)
+    for i in range(7, len(by_day)):
+        week_dau_max = max(r.dau for r in by_day[i - 6 : i + 1])
+        assert by_day[i].wau7 >= week_dau_max
