@@ -2722,3 +2722,55 @@ def b_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sday").alias("day"), "dau", "wau7", "stickiness")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join gate (semantics-preservation oracle).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join demonstrated end-to-end: lineitem (probe)
+    joins orders (build) through operators/skew.py's salted_join with
+    fan-out 4 — the static remedy a_skew_report prescribes when one
+    key dominates a shuffle so badly that even AQE's split partitions
+    re-skew. The ORACLE is the PLAIN join: salting is only correct if
+    it is invisible in the result, so the gate pins exactly that
+    equivalence (every probe row carries one salt and meets each build
+    row once; the operator rejects right/full-outer, where replicated
+    unmatched build rows would surface n_salt times).
+
+    Scale shape: the build side is replicated n_salt x (a bandwidth
+    cost paid to spread the hot key over n_salt reducers); the probe
+    side's salt is a narrow projection. The per-priority aggregate
+    collapses the join output so the gate compares 5 integer rows.
+    """
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, key="l_orderkey", n_salt=4, how="inner")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
