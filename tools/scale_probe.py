@@ -105,6 +105,13 @@ QUERIES = [
     "t_top_keywords_per_doc",
     "e_nearest_centroid_eval",
     "b_time_to_convert",
+    "p_volume_anomaly",
+    "e_pq_adc_topk",
+    "b_rolling_active_users",
+    "j_salted_skew_join",
+    "a_pareto_abc",
+    "b_reservoir_per_group",
+    "e_mmr_rerank",
 ]
 
 
