@@ -2774,3 +2774,98 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis / Jarque-Bera normality screen.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_skewness_kurtosis",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value) AS BIGINT) AS d
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(d * d) AS BIGINT) AS s2,
+             CAST(sum(d * d * d) AS BIGINT) AS s3,
+             CAST(sum(d * d * d * d) AS BIGINT) AS s4
+      FROM v GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM g
+    ),
+    c AS (
+      SELECT event_type, n, nd,
+             s1d / nd AS mu,
+             s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+             s3d / nd - 3 * (s1d / nd) * s2d / nd + 2 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
+             s4d / nd - 4 * (s1d / nd) * s3d / nd
+               + 6 * (s1d / nd) * (s1d / nd) * s2d / nd
+               - 3 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m4
+      FROM m
+    )
+    SELECT event_type, n,
+           round(m3 / (m2 * sqrt(m2)), 4) AS skewness,
+           round(m4 / (m2 * m2) - 3, 4) AS excess_kurtosis,
+           round(nd / 6 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 2) AS jarque_bera
+    FROM c
+    ORDER BY event_type
+    """,
+)
+def a_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape screen per event type: skewness, excess
+    kurtosis, and the Jarque-Bera normality statistic — the check a
+    monitoring stack runs before trusting any z-score-based alert
+    (ts_rolling_zscore_anomaly, ts_seasonal_baseline assume roughly
+    symmetric tails; JB says when that assumption broke). Completes
+    the moment ladder: a_stats_aggregates (1st/2nd), a_ols_trend
+    (cross-moments), this (3rd/4th).
+
+    Scale shape: the integer-exact-statistics discipline at its
+    purest — one groupBy reduces the fact to five integer power sums
+    per type; skewness/kurtosis/JB are closed-form arithmetic on
+    those. Values are rounded to integer DOLLARS (not cents) before
+    powering: the 4th power sum must stay inside BIGINT, and d ≤ 100
+    keeps n·d⁴ ≤ n·1e8 (safe beyond 1e10 rows/group; cents would
+    overflow at ~sf0.1 — the a_welch_ttest envelope note, one power
+    higher). Moments promote to double at identical points on both
+    engines (each sum < 2^53, so conversion is exact — the a_ols_trend
+    discipline); shape stats rounded to 4, JB to 2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.round("value").cast("long").alias("d"))
+    d = F.col("d")
+    g = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+        F.sum(d * d * d * d).alias("s4"),
+    )
+    nd, s1, s2, s3, s4 = (
+        F.col(c).cast("double") for c in ("n", "s1", "s2", "s3", "s4")
+    )
+    mu = s1 / nd
+    m2 = s2 / nd - mu * mu
+    m3 = s3 / nd - 3 * mu * s2 / nd + 2 * mu * mu * mu
+    m4 = s4 / nd - 4 * mu * s3 / nd + 6 * mu * mu * s2 / nd - 3 * mu * mu * mu * mu
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3
+    return g.select(
+        "event_type",
+        "n",
+        F.round(skew, 4).alias("skewness"),
+        F.round(exk, 4).alias("excess_kurtosis"),
+        F.round(nd / 6 * (skew * skew + exk * exk / 4), 2).alias("jarque_bera"),
+    ).orderBy("event_type")

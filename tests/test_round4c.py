@@ -487,3 +487,24 @@ def test_rolling_active_users_invariants(spark):
     for i in range(7, len(by_day)):
         week_dau_max = max(r.dau for r in by_day[i - 6 : i + 1])
         assert by_day[i].wau7 >= week_dau_max
+
+
+def test_skewness_kurtosis_matches_scipy_formulas(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(round(value) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    out = {r.event_type: r for r in _run(spark, "a_skewness_kurtosis").collect()}
+    for t in sorted({r[0] for r in rows}):
+        x = np.array([r[1] for r in rows if r[0] == t], dtype=np.float64)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        assert abs(out[t].skewness - m3 / m2**1.5) < 1e-3
+        assert abs(out[t].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-3
+        # uniform-ish values -> platykurtic (negative excess kurtosis)
+        assert out[t].excess_kurtosis < 0
