@@ -2869,3 +2869,87 @@ def a_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exk, 4).alias("excess_kurtosis"),
         F.round(nd / 6 * (skew * skew + exk * exk / 4), 2).alias("jarque_bera"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Quality-ranked data selection under a token budget.
+# ---------------------------------------------------------------------------
+
+_BUDGET_PCT = 50  # keep the best docs until 50% of corpus tokens
+
+
+@query(
+    "b_token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(n_chars AS BIGINT) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cum_tokens * 100 <= total_tokens * {_BUDGET_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum_tokens * 100 <= total_tokens * {_BUDGET_PCT}
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           round(sum(CASE WHEN cum_tokens * 100 <= total_tokens * {_BUDGET_PCT}
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def b_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: rank documents by quality
+    (n_chars plays the scored-quality proxy; t_quality_score /
+    t_importance_weights are the production scorers), keep the best
+    until {p}% of corpus tokens are spent, and report the per-source
+    keep rates — the final assembly step of a training-data pipeline,
+    where a fixed compute budget decides how deep into each source's
+    quality distribution the run reaches (the budget twin of
+    b_temperature_mixture, which reweights rather than truncates).
+
+    Scale shape: the a_pareto_abc pattern on the document dimension —
+    per-doc token counts reduce first, the global ordered cumsum runs
+    over the doc-dimension frame (repartitionByRange pre-sort is the
+    named production path if that frame explodes), and the budget
+    cutoff is pure integer cross-multiplication (cum*100 <=
+    total*{p}); the (quality, doc_id) tiebreak pins the marginal doc.
+    The per-source report is sources-sized.
+    """.format(p=_BUDGET_PCT)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.col("n_chars").alias("quality"),
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(W.orderBy(F.desc("quality"), "doc_id"))
+        .alias("cum_tokens"),
+        F.sum("n_tokens").over(W.partitionBy()).alias("total_tokens"),
+    )
+    kept = F.col("cum_tokens") * 100 <= F.col("total_tokens") * _BUDGET_PCT
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+            F.round(F.sum(kept.cast("long")) / F.count("*"), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
