@@ -2953,3 +2953,96 @@ def b_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (merge overlapping spans).
+# ---------------------------------------------------------------------------
+
+_IU_PAD_S = 900  # each event spans [ts, ts + 15 min)
+
+
+@query(
+    "j_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) + {_IU_PAD_S} AS BIGINT) AS e
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), -1) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+             ) AS BIGINT) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             CAST(min(s) AS BIGINT) AS span_start,
+             CAST(max(e) AS BIGINT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start) AS BIGINT) AS total_span_s,
+           CAST(max(n_events) AS BIGINT) AS busiest_span_events
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def j_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union: each click/view event claims a 15-minute span;
+    overlapping spans per user merge into maximal islands
+    (gaps-and-islands via the running-max-end flag), reported as
+    per-user span counts and total covered seconds — the
+    interval-algebra complement of j_interval_overlap (which JOINS
+    intervals; this COALESCES them) and the set-theoretic core of
+    "time actually engaged" metrics (b_sessionize's gap rule is the
+    special case where spans are points + timeout).
+
+    Scale shape: one user-keyed window sort does everything — the
+    new-island flag (running max of end over the sorted prefix) and
+    the island id (running sum of flags) share the same partitioning
+    and ordering, so Catalyst fuses them into one Window operator; the
+    merge groupBy reuses the user key. Pure integer epoch arithmetic;
+    the (s, e) ordering tiebreak pins duplicate-start rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("s"),
+        (F.floor(F.col("ts").cast("double")) + _IU_PAD_S).cast("long").alias("e"),
+    )
+    w_order = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w_order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_order))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("total_span_s"),
+            F.max("n_events").alias("busiest_span_events"),
+        )
+        .orderBy("user_id")
+    )
