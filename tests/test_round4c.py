@@ -508,3 +508,56 @@ def test_skewness_kurtosis_matches_scipy_formulas(spark):
         assert abs(out[t].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-3
         # JB is nonnegative by construction
         assert out[t].jarque_bera >= 0
+
+
+def test_interval_union_matches_bruteforce(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IN ('click', 'view')"""
+    ).fetchall()
+    con.close()
+    ref: dict[int, list] = {}
+    for u, s_ in rows:
+        ref.setdefault(u, []).append((s_, s_ + 900))
+    expected = {}
+    for u, ivs in ref.items():
+        ivs.sort()
+        spans = []
+        for s_, e_ in ivs:
+            if spans and s_ <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], e_)
+                spans[-1][2] += 1
+            else:
+                spans.append([s_, e_, 1])
+        expected[u] = (
+            len(spans),
+            sum(e_ - s_ for s_, e_, _ in spans),
+            max(c for _, _, c in spans),
+        )
+    out = {r.user_id: r for r in _run(spark, "j_interval_union").collect()}
+    assert set(out) == set(expected)
+    for u, (n, tot, busiest) in expected.items():
+        assert out[u].n_spans == n, u
+        assert out[u].total_span_s == tot, u
+        assert out[u].busiest_span_events == busiest, u
+
+
+def test_token_budget_selection_near_half_tokens(spark):
+    rows = _run(spark, "b_token_budget_selection", SF_MID).collect()
+    total_kept = sum(r.tokens_kept for r in rows)
+    assert all(0.0 <= r.keep_rate <= 1.0 for r in rows)
+    assert all(r.n_kept <= r.n_docs for r in rows)
+    # kept tokens land just under half the corpus (cutoff is <= 50%)
+    import duckdb
+
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT sum(len(string_split(text,' '))) FROM read_parquet('{SF_MID}/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert total_kept <= 0.5 * total
+    assert total_kept >= 0.45 * total
