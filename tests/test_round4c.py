@@ -561,3 +561,13 @@ def test_token_budget_selection_near_half_tokens(spark):
     con.close()
     assert total_kept <= 0.5 * total
     assert total_kept >= 0.45 * total
+
+
+def test_interval_union_single_exchange(spark):
+    import re
+
+    df = _run(spark, "j_interval_union")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the whole pipeline (flag window + island window + two groupBys)
+    # rides ONE user-keyed shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
