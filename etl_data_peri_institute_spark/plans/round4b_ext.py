@@ -3015,7 +3015,9 @@ def j_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed window sort does everything — the
     new-island flag (running max of end over the sorted prefix) and
     the island id (running sum of flags) share the same partitioning
-    and ordering, so Catalyst fuses them into one Window operator; the
+    and ordering, so both Window operators ride ONE user-keyed
+    exchange (pinned by test_round4c's single-exchange plan test; the
+    second sort is partition-local over already-sorted data); the
     merge groupBy reuses the user key. Pure integer epoch arithmetic;
     the (s, e) ordering tiebreak pins duplicate-start rows.
     """
