@@ -145,11 +145,21 @@ _VERIFY_FIRST: list[str] = [
 # b_last_touch_attribution, p_fd_violation_check,
 # t_duplicated_ngram_report, g_kcore_decomposition, d_lsh_recall_report,
 # e_ivf_recall_report, st_streaming_drift_psi, b_negative_sampling),
-# THEN the 20 second-wave names (plans/round4b_ext.py — riskiest float
-# patterns first: a_ols_trend, e_nearest_centroid_eval,
-# e_centroid_report, a_mannwhitney_u, a_welch_ttest,
+# THEN the 32 continuation-session names (plans/round4b_ext.py —
+# riskiest float patterns first: e_mmr_rerank, e_pq_adc_topk,
+# a_ols_trend, e_nearest_centroid_eval, e_centroid_report,
+# a_skewness_kurtosis, a_mannwhitney_u, a_welch_ttest,
 # a_chi2_independence, t_cooccurrence_pmi, g_supplier_similarity,
-# g_association_rules, ts_rolling_corr, then the integer-exact rest) and
+# g_association_rules, ts_rolling_corr, a_gini_concentration,
+# t_top_keywords_per_doc, then the integer-exact rest: p_cdc_apply,
+# ts_cusum_changepoint, p_l_diversity, g_bipartite_projection,
+# g_degree_distribution, ts_seasonal_baseline, a_pareto_abc,
+# a_skew_report, a_partial_agg_merge, b_frequency_capping,
+# b_new_vs_returning, p_table_checksum, b_reservoir_per_group,
+# b_ab_lift_report, b_time_to_convert, b_rolling_active_users,
+# j_salted_skew_join, j_interval_union, b_token_budget_selection,
+# p_volume_anomaly — all replayed green at sf0.001/sf0.01/sf0.1 and
+# the float patterns bit-identical across back-to-back runs) and
 # any name still without a driver row, then any query whose OUTPUT
 # changed since its last green row, then continue backfilling the
 # remaining r01-only-evidence names (d_dedup_components, d_dedup_apply,
