@@ -77,7 +77,10 @@ VARIANCE_NOTE = (
     "cross-round totals not comparable (machine drift ~40% r1->r3; "
     "r01's own code: 10.455s recorded vs 14.5-15.2s measured r3); "
     "ab_delta_pct below is the drift-immune number: HEAD vs the pinned "
-    "baseline commit, interleaved passes in ONE session/JVM"
+    "baseline commit, interleaved passes in ONE session/JVM; single-run "
+    "deltas still swing with sandbox load (round-4 continuation "
+    "measured +7.1% and -10.4% back-to-back on UNCHANGED shared code — "
+    "judge the sign only across >=2 runs, per-pass totals ship below)"
 )
 
 
