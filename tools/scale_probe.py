@@ -112,6 +112,9 @@ QUERIES = [
     "a_pareto_abc",
     "b_reservoir_per_group",
     "e_mmr_rerank",
+    "a_skewness_kurtosis",
+    "b_token_budget_selection",
+    "j_interval_union",
 ]
 
 
