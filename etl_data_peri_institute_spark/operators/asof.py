@@ -231,3 +231,39 @@ def asof_join_nearest(
     ]
     direction = F.when(take_b, F.lit("b")).otherwise(F.lit("f")).alias(f"{suffix}_dir")
     return probes.select(*lcols, *picked, direction)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_s: int,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join with a match-age bound — pandas
+    ``merge_asof(..., tolerance=...)`` parity: the carried right row
+    must satisfy ``left_time - tolerance_s <= right_time <= left_time``;
+    older matches are treated as no-match (all carried columns NULL).
+
+    Built on asof_join_backward by additionally carrying the reference
+    timestamp and NULLing every carried column where the age exceeds
+    the bound — one extra projection, no second window or join. The
+    duplicate-timestamp determinism tiebreak is inherited.
+    """
+    carry = list(value_cols)
+    if right_time not in carry:
+        carry.append(right_time)
+    out = asof_join_backward(left, right, on, left_time, right_time, carry, suffix)
+    matched_t = F.col(f"{right_time}{suffix}")
+    ok = (
+        F.col(left_time).cast("double") - matched_t.cast("double") <= F.lit(tolerance_s)
+    )
+    cols = []
+    for c in left.columns:
+        cols.append(F.col(c))
+    for c in carry:
+        cols.append(F.when(ok, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}"))
+    return out.select(*cols)

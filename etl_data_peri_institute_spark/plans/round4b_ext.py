@@ -3048,3 +3048,64 @@ def j_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (pandas merge_asof parity).
+# ---------------------------------------------------------------------------
+
+_TOL_S = 600  # 10 minutes
+
+
+@query(
+    "j_asof_tolerance",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(c.ts) FROM clk c
+              WHERE c.user_id = e.user_id AND c.ts <= e.ts) AS last_click
+      FROM err e
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch(ts) - epoch(last_click) <= {_TOL_S}
+                THEN last_click END AS click_ts_asof
+    FROM matched
+    ORDER BY event_id
+    """,
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=)``
+    parity): each error event carries its user's most recent click,
+    but only if that click is at most 10 minutes old — older context
+    is noise, and the tolerance turns "latest ever" into "latest
+    RELEVANT" (the incident-triage join: what was the user doing just
+    before the error?).
+
+    Scale shape: identical to j_asof_backward — one union + one
+    key-partitioned ordered window, no join node at all; the
+    tolerance is a post-carry projection (no second window). The
+    carried value here is the reference timestamp itself, so the
+    duplicate-timestamp tiebreak is moot by construction (max of
+    equal timestamps is that timestamp — the ADVICE-documented
+    immunity pattern).
+    """
+    from ..operators.asof import asof_join_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join_tolerance(
+        err, clk, on="user_id", left_time="ts", right_time="click_ts",
+        value_cols=[], tolerance_s=_TOL_S,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("click_ts_asof")
+    ).orderBy("event_id")

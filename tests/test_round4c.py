@@ -571,3 +571,17 @@ def test_interval_union_single_exchange(spark):
     # the whole pipeline (flag window + island window + two groupBys)
     # rides ONE user-keyed shuffle
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    # every carried click is within tolerance and at-or-before the error
+    rows = _run(spark, "j_asof_tolerance").collect()
+    assert rows
+    n_matched = 0
+    for r in rows:
+        if r.click_ts_asof is not None:
+            n_matched += 1
+            delta = (r.ts - r.click_ts_asof).total_seconds()
+            assert 0 <= delta <= 600
+    # the tolerance actually bites: some errors have no fresh click
+    assert 0 < n_matched < len(rows)
