@@ -1,11 +1,22 @@
-"""Round-4 second-wave operator additions (continuation session).
+"""Round-4 continuation-session operator additions (33 gate queries).
 
-Statistical inference for data monitoring — the tests an analytics
-engine runs to decide whether two slices of a pipeline differ:
-chi-square independence (+ Cramér's V effect size), Welch's two-sample
-t-test, Mann-Whitney rank-sum. Privacy: l-diversity report (the
-companion audit to the existing k-anonymity gate). Change-data-capture:
-latest-wins apply with delete tombstones.
+Statistical inference: chi-square independence (+ Cramér's V), Welch
+t-test, Mann-Whitney rank-sum, OLS trend, skewness/kurtosis/
+Jarque-Bera, Gini concentration, Pareto/ABC — all on the
+integer-exact-sufficient-statistics discipline (see SCALING.md).
+Privacy: l-diversity (k-anonymity's companion). Reconciliation & ops:
+CDC latest-wins apply with tombstones, order-insensitive table
+checksums, partial-aggregate merge, join-key skew report + the salted
+join proven semantics-preserving, trailing-median volume anomaly.
+Graph: bipartite co-purchase projection, association rules,
+common-neighbor/Jaccard/Adamic-Adar similarity, degree distribution.
+Time series: CUSUM changepoint, rolling two-series correlation,
+hour-of-day seasonal baseline. Behavioral: A/B lift with two-proportion
+z, time-to-convert histogram, frequency capping, new-vs-returning,
+DAU/WAU/stickiness, exact-k reservoir sampling. Text: adjacent-bigram
+PMI, per-doc TF-IDF keywords, token-budget selection. Vectors: centroid
+report, nearest-centroid eval, PQ+ADC search, MMR diversified rerank.
+Joins: tolerance-bounded as-of (merge_asof parity), interval union.
 
 All are Spark-first DataFrame compositions with DuckDB oracles; each
 docstring carries the 100 TB design note. Cross-engine determinism

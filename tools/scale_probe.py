@@ -115,6 +115,7 @@ QUERIES = [
     "a_skewness_kurtosis",
     "b_token_budget_selection",
     "j_interval_union",
+    "j_asof_tolerance",
 ]
 
 
