@@ -450,3 +450,48 @@ def test_triangle_edges_checkpointed_once(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan.count("Exchange")
+
+
+def test_catalog_wide_no_cartesian_products(spark):
+    """Catalog-wide anti-pattern guard (continuation-session audit):
+    NO query in the registry may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin may appear only where a bounded frame
+    (1-row aggregate, bounded query/sample set, scalar subquery, or a
+    deliberate cross-join demo) is attached non-equi — the audited
+    allowlist below. A new query that accidentally cross-joins two
+    SF-scaled frames fails here before any driver round sees it."""
+    # every BNLJ below was audited: the broadcast side is a 1-row
+    # aggregate, a bounded query/sample set, or the deliberate demo
+    bnlj_ok = {
+        "e_sq_int8_topk", "b_temperature_mixture", "b_bootstrap_ci",
+        "e_range_search", "t_importance_weights", "d_lsh_recall_report",
+        "e_ivf_recall_report", "b_negative_sampling",
+        "p_referential_integrity_report", "a_benford_first_digit",
+        "ts_downsample_lttb", "e_knn_bruteforce", "t_tfidf",
+        "j_cross_join", "j_range_join_band", "a_welch_ttest",
+        "t_cooccurrence_pmi", "t_top_keywords_per_doc",
+        "g_association_rules", "a_skew_report",
+        "q22_global_sales_opportunity", "q11_important_stock",
+        # bounded-side attachments that AQE may or may not convert
+        "e_mmr_rerank", "e_pq_adc_topk", "a_chi2_independence",
+        "a_mannwhitney_u", "a_gini_concentration", "a_pareto_abc",
+        "b_ab_lift_report", "b_token_budget_selection", "q6_forecast_revenue",
+        "q14_promo_share", "q17_small_quantity_revenue",
+        "q19_disjunctive_predicates", "q2_min_cost_supplier",
+        "q8_market_share", "q9_product_type_profit", "q15_top_supplier",
+        "a_salted_skew_agg", "f_equidepth_histogram", "b_shard_manifest",
+        "d_containment_pairs", "t_shingle_novelty", "t_filter_funnel",
+        "t_quality_percentile_filter", "a_ks_drift", "b_grouped_split",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, qd in catalog.QUERIES.items():
+        try:
+            plan = qd.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # sink/streaming queries that execute eagerly are covered elsewhere
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders_bnlj.append(name)
+    assert offenders_cart == [], offenders_cart
+    assert offenders_bnlj == [], offenders_bnlj
