@@ -328,3 +328,38 @@ def test_triangle_counts_match_bruteforce(spark, edges):
             for x in (a, b, c):
                 ref[x] = ref.get(x, 0) + 1
     assert got == ref
+
+
+@given(asof_case(), st.integers(0, 20))
+@settings(max_examples=15, deadline=None)
+def test_asof_tolerance_matches_pandas(spark, case, tol):
+    from etl_data_peri_institute_spark.operators.asof import asof_join_tolerance
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "id int, k string, t int")
+    right = spark.createDataFrame(
+        right_rows, "k string, rt int, val string"
+    ) if right_rows else spark.createDataFrame([], "k string, rt int, val string")
+
+    out = asof_join_tolerance(
+        left, right, on="k", left_time="t", right_time="rt",
+        value_cols=["val"], tolerance_s=tol,
+    ).collect()
+    got = {r["id"]: r["val_asof"] for r in out}
+
+    lp = pd.DataFrame(left_rows, columns=["id", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "val"]).sort_values("rt", kind="stable")
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k",
+            direction="backward", tolerance=tol,
+        )
+        expected = dict(zip(merged["id"], merged["val"]))
+        expected = {k: (None if pd.isna(v) else v) for k, v in expected.items()}
+    else:
+        expected = {r[0]: None for r in left_rows}
+
+    # same tie caveat as the backward test: only compare when (k, rt)
+    # pairs are unique on the right
+    if len(rp) == len(rp.drop_duplicates(["k", "rt"])):
+        assert got == expected, (left_rows, right_rows, tol)
