@@ -3120,3 +3120,223 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("click_ts_asof")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the word-frequency distribution.
+# ---------------------------------------------------------------------------
+
+_ZIPF_MIN_FREQ = 5
+_ZIPF_TOP = 200
+
+
+@query(
+    "t_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word HAVING count(*) >= {_ZIPF_MIN_FREQ}
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk
+      FROM freq
+    ),
+    lg AS (
+      SELECT round(ln(rk), 6) AS x, round(ln(n), 6) AS y
+      FROM ranked WHERE rk <= {_ZIPF_TOP}
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nd,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+             sum(y * y) AS syy
+      FROM lg
+    )
+    SELECT CAST(nd AS BIGINT) AS n_words,
+           round(-(nd * sxy - sx * sy) / (nd * sxx - sx * sx), 4) AS zipf_exponent,
+           round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                 / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 4) AS r2
+    FROM m
+    """,
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency distribution:
+    log-log OLS of frequency against rank for the top {t} words
+    (freq ≥ {f}), reporting the Zipf exponent and R² — natural text
+    sits near exponent 1 with high R²; boilerplate floods, template
+    spam, and synthetic filler bend the curve, making this a
+    corpus-level quality screen beside the per-doc Gopher rules.
+
+    Scale shape: one vocabulary groupBy (map-side partials over 100 TB
+    of tokens), rank via a window over the FREQUENCY-FILTERED
+    vocabulary (the min-freq floor is what bounds the ranked frame —
+    rare words are noise for the fit anyway), closed-form OLS on the
+    ≤{t}-row log-log frame. x/y are ln() of integers rounded to 6
+    BEFORE the moment sums, so both engines sum identical operands and
+    the ≤1-ulp association-order residue is absorbed by the round-4
+    outputs (the g_pagerank float-accumulation precedent).
+    """.format(t=_ZIPF_TOP, f=_ZIPF_MIN_FREQ)
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _ZIPF_MIN_FREQ)
+    )
+    ranked = freq.select(
+        "n", F.row_number().over(W.orderBy(F.desc("n"), "word")).alias("rk")
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    lg = ranked.select(
+        F.round(F.log("rk"), 6).alias("x"), F.round(F.log("n"), 6).alias("y")
+    )
+    m = lg.agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return m.select(
+        nd.cast("long").alias("n_words"),
+        F.round(-(nd * sxy - sx * sy) / (nd * sxx - sx * sx), 4).alias(
+            "zipf_exponent"
+        ),
+        F.round(
+            ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall@k vs exact L2 KNN (evaluation twin).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e_pq_recall_report",
+    oracle=f"""
+    WITH pos AS MATERIALIZED (
+      SELECT vec_id, label, i AS pos,
+             CAST((i - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    codebook AS MATERIALIZED (
+      SELECT sub, label AS code, pos, round(avg(val), 6) AS cval
+      FROM pos GROUP BY sub, label, pos
+    ),
+    enc_d2 AS (
+      SELECT p.vec_id, p.sub, c.code,
+             round(sum((p.val - c.cval) * (p.val - c.cval)), 6) AS d2
+      FROM pos p JOIN codebook c ON c.sub = p.sub AND c.pos = p.pos
+      WHERE p.vec_id >= {_PQ_QUERIES}
+      GROUP BY p.vec_id, p.sub, c.code
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM enc_d2
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.code,
+             round(sum((q.val - c.cval) * (q.val - c.cval)), 6) AS qd2
+      FROM pos q JOIN codebook c ON c.sub = q.sub AND c.pos = q.pos
+      WHERE q.vec_id < {_PQ_QUERIES}
+      GROUP BY q.vec_id, c.sub, c.code
+    ),
+    adc_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY l.query_id
+                                  ORDER BY round(sum(l.qd2), 4), v.vec_id) AS rn
+        FROM codes v JOIN lut l ON l.sub = v.sub AND l.code = v.code
+        GROUP BY l.query_id, v.vec_id
+      ) WHERE rn <= {_PQ_TOPK}
+    ),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(sum((p.val - q.val) * (p.val - q.val)), 6),
+                                           p.vec_id) AS rn
+        FROM pos p JOIN pos q ON q.pos = p.pos
+        WHERE p.vec_id >= {_PQ_QUERIES} AND q.vec_id < {_PQ_QUERIES}
+        GROUP BY q.vec_id, p.vec_id
+      ) WHERE rn <= {_PQ_TOPK}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / {_PQ_TOPK}, 2) AS recall_at_{_PQ_TOPK}
+    FROM exact_top e
+    LEFT JOIN adc_top a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def e_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the PQ/ADC search against exact-L2 truth, per
+    query — the evaluation twin that closes the PQ story the way
+    e_ivf_recall_report closes IVF's: the compression/recall dial is
+    MEASURED on the production path, not assumed (the standard
+    protocol: at 100 TB the exact-truth side runs on a query sample).
+
+    Scale shape: the ADC side is the e_pq_adc_topk plan verbatim; the
+    truth side is one position-join L2 pass over the corpus for the
+    bounded query set; the comparison joins two {k}-row-per-query rank
+    lists. Rounded-distance ranking with id tiebreaks on BOTH sides so
+    each engine derives identical sets before intersecting.
+    """.format(k=_PQ_TOPK)
+    pq = e_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    qpos = pos.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qval")
+    )
+    exact = (
+        pos.filter(F.col("vec_id") >= _PQ_QUERIES)
+        .join(F.broadcast(qpos), "pos")
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))),
+                6,
+            ).alias("d2")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hit = pq.withColumnRenamed("neighbor_id", "hit_id")
+    return (
+        exact.join(
+            hit,
+            (hit.query_id == exact.query_id)
+            & (F.col("hit_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count("hit_id").alias("n_hits"),
+            F.round(F.count("hit_id") / _PQ_TOPK, 2).alias(f"recall_at_{_PQ_TOPK}"),
+        )
+        .orderBy("query_id")
+    )
