@@ -3340,3 +3340,152 @@ def e_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cart abandonment: clicks with no purchase within the window.
+# ---------------------------------------------------------------------------
+
+_ABANDON_S = 3600  # 1 hour
+
+
+@query(
+    "b_abandonment_rate",
+    oracle=f"""
+    WITH clk AS (
+      SELECT event_id, user_id, ts,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE event_type = 'click'
+    ),
+    flagged AS (
+      SELECT c.day, c.event_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                 AND p.ts >= c.ts
+                 AND epoch(p.ts) - epoch(c.ts) <= {_ABANDON_S}
+             ) THEN 0 ELSE 1 END AS abandoned
+      FROM clk c
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+           round(sum(abandoned) * 1.0 / count(*), 4) AS abandonment_rate
+    FROM flagged GROUP BY day
+    ORDER BY day
+    """,
+)
+def b_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment: a click with NO purchase by the same user
+    within the next hour counts as abandoned; reported as a daily
+    rate — the time-bounded NOT-EXISTS that b_time_to_convert's
+    converse implies (that op measures the latency of conversions;
+    this counts the non-conversions a retargeting pipeline acts on).
+
+    Scale shape: no correlated subquery and no join — the FORWARD
+    as-of pattern (one union + one user-keyed ordered window, the
+    operators/asof.py shape) carries each click's NEXT purchase
+    timestamp; the abandonment flag is a projection on the carried
+    age. The oracle keeps the EXISTS formulation as the semantic
+    specification; Spark executes the single-window plan. Daily
+    report is day-bounded; flags integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rel = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("et"),
+    )
+    # forward carry: next purchase ts at-or-after each row, per user.
+    # side 0 = purchase sorts FIRST at equal ts so an exact-timestamp
+    # purchase covers the click (matches the oracle's p.ts >= c.ts).
+    tagged = rel.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "et",
+        F.when(F.col("et") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(F.col("et") == "purchase", F.col("ts")).alias("__p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "__side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged.withColumn(
+        "next_purchase", F.first("__p_ts", ignorenulls=True).over(w)
+    )
+    clk = carried.filter(F.col("et") == "click").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (
+            F.col("next_purchase").isNull()
+            | (
+                F.col("next_purchase").cast("double") - F.col("ts").cast("double")
+                > _ABANDON_S
+            )
+        ).cast("long").alias("abandoned"),
+    )
+    return (
+        clk.groupBy("day")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum("abandoned").alias("n_abandoned"),
+            F.round(F.sum("abandoned") / F.count("*"), 4).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap aggregation: per-user active-day bitmask rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_bitmap_active_days",
+    oracle="""
+    WITH bits AS (
+      SELECT user_id,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(
+               date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS INTEGER)) AS BIGINT) AS day_mask
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(bit_count(day_mask) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM bits
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a_bitmap_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap rollup of user activity: each user's active days in the
+    30-day window collapse into ONE BIGINT bitmask (bit i = active on
+    anchor+i), reported as the activity-frequency histogram via
+    popcount — the Druid/ClickHouse bitmap-index pattern: masks OR
+    together mergeably (a_partial_agg_merge's algebra with | as the
+    monoid), distinct-day counts become bit_count, and segment
+    overlaps become AND — all without re-touching raw events.
+
+    Scale shape: one user groupBy with map-side partial bit_or — the
+    whole activity history of a user is 8 BYTES, the most compact
+    mergeable sketch in the repo; the histogram groupBy runs over the
+    user-dimension frame. Fixed anchor (2024-01-01) pins bit positions
+    across engines and across daily incremental merges; windows past
+    63 days shard the mask by (user, epoch-week) — documented, exact,
+    and still mergeable. Everything integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # pyspark's shiftleft() only takes a literal bit count; the SQL form
+    # accepts a column, so the per-row shift goes through expr()
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "datediff(CAST(date_trunc('day', ts) AS DATE), DATE '2024-01-01'))"
+    )
+    bits = ev.groupBy("user_id").agg(F.bit_or(bit).alias("day_mask"))
+    return (
+        bits.groupBy(F.bit_count("day_mask").cast("long").alias("n_active_days"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("n_active_days")
+    )
