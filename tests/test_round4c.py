@@ -585,3 +585,43 @@ def test_asof_tolerance_nulls_stale_matches(spark):
             assert 0 <= delta <= 600
     # the tolerance actually bites: some errors have no fresh click
     assert 0 < n_matched < len(rows)
+
+
+def test_zipf_fit_plausible_for_natural_like_text(spark):
+    row = _run(spark, "t_zipf_fit", SF_MID).collect()[0]
+    assert row.n_words > 50
+    assert 0.1 < row.zipf_exponent < 3.0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_pq_recall_bounds_and_coverage(spark):
+    rows = _run(spark, "e_pq_recall_report").collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_5 - r.n_hits / 5) < 1e-9
+
+
+def test_abandonment_rate_consistent_with_time_to_convert(spark):
+    rows = _run(spark, "b_abandonment_rate").collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 <= r.n_abandoned <= r.n_clicks
+        assert 0.0 <= r.abandonment_rate <= 1.0
+
+
+def test_bitmap_active_days_mass_matches_distinct(spark):
+    import duckdb
+
+    rows = _run(spark, "a_bitmap_active_days").collect()
+    con = duckdb.connect()
+    n_users, n_user_days = con.execute(
+        f"""SELECT count(DISTINCT user_id),
+               count(DISTINCT (user_id, date_trunc('day', ts)))
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchone()
+    con.close()
+    assert sum(r.n_users for r in rows) == n_users
+    # popcount histogram mass = total distinct (user, day) pairs
+    assert sum(r.n_active_days * r.n_users for r in rows) == n_user_days
+    assert all(1 <= r.n_active_days <= 30 for r in rows)
