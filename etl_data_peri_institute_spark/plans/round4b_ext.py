@@ -3165,7 +3165,11 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (freq ≥ {f}), reporting the Zipf exponent and R² — natural text
     sits near exponent 1 with high R²; boilerplate floods, template
     spam, and synthetic filler bend the curve, making this a
-    corpus-level quality screen beside the per-doc Gopher rules.
+    corpus-level quality screen beside the per-doc Gopher rules. The
+    synthetic testdata corpus DEMONSTRATES the screen: its vocabulary
+    is near-uniform, and the fit correctly reports exponent ~0.2 with
+    R² ~0.06 — the "this is not natural text" signature (pinned by
+    test_round4c).
 
     Scale shape: one vocabulary groupBy (map-side partials over 100 TB
     of tokens), rank via a window over the FREQUENCY-FILTERED
