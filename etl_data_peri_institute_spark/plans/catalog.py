@@ -145,7 +145,8 @@ _VERIFY_FIRST: list[str] = [
 # b_last_touch_attribution, p_fd_violation_check,
 # t_duplicated_ngram_report, g_kcore_decomposition, d_lsh_recall_report,
 # e_ivf_recall_report, st_streaming_drift_psi, b_negative_sampling),
-# THEN the 32 continuation-session names (plans/round4b_ext.py —
+# THEN the continuation-session names (plans/round4b_ext.py; 40 by
+# session end —
 # riskiest float patterns first: e_mmr_rerank, e_pq_adc_topk,
 # a_ols_trend, e_nearest_centroid_eval, e_centroid_report,
 # a_skewness_kurtosis, a_mannwhitney_u, a_welch_ttest,
@@ -158,7 +159,9 @@ _VERIFY_FIRST: list[str] = [
 # b_new_vs_returning, p_table_checksum, b_reservoir_per_group,
 # b_ab_lift_report, b_time_to_convert, b_rolling_active_users,
 # j_salted_skew_join, j_interval_union, b_token_budget_selection,
-# p_volume_anomaly — all replayed green at sf0.001/sf0.01/sf0.1 and
+# p_volume_anomaly, j_asof_tolerance, a_skewness_kurtosis, t_zipf_fit,
+# e_pq_recall_report, b_abandonment_rate, a_bitmap_active_days —
+# all replayed green at sf0.001/sf0.01/sf0.1 and
 # the float patterns bit-identical across back-to-back runs) and
 # any name still without a driver row, then any query whose OUTPUT
 # changed since its last green row, then continue backfilling the

@@ -3493,3 +3493,79 @@ def a_bitmap_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("n_active_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative revenue per acquisition cohort by age.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS age,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort
+    )
+    SELECT r.cohort, r.age, s.cohort_users,
+           CAST(sum(r.cents) OVER (
+             PARTITION BY r.cohort ORDER BY r.age
+           ) AS BIGINT) AS cum_cents,
+           round(sum(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age)
+                 / (s.cohort_users * 100.0), 2) AS ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    ORDER BY r.cohort, r.age
+    """,
+)
+def b_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-active day (the
+    acquisition cohort), purchase revenue accumulated by cohort AGE —
+    the per-user lifetime-value trajectory marketing uses to decide
+    acquisition spend (b_cohort_retention counts who RETURNS; this
+    sums what they are WORTH; the firsts frame is the same maintained
+    "user birthday" dimension as b_new_vs_returning).
+
+    Scale shape: the fact reduces to (cohort, age) integer-cents cells
+    first (map-side partials after one user-keyed join to the firsts
+    frame); the cumulative window runs over that days x days bounded
+    frame only. Money stays integer cents through the cumsum; only the
+    final per-user normalization is float, rounded to 2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort", F.datediff(day, F.col("cohort")).alias("age")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = W.partitionBy("cohort").orderBy("age")
+    return (
+        rev.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age",
+            "cohort_users",
+            F.sum("cents").over(w).alias("cum_cents"),
+            F.round(
+                F.sum("cents").over(w) / (F.col("cohort_users") * 100.0), 2
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age")
+    )

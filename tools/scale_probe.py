@@ -116,6 +116,10 @@ QUERIES = [
     "b_token_budget_selection",
     "j_interval_union",
     "j_asof_tolerance",
+    "t_zipf_fit",
+    "e_pq_recall_report",
+    "b_abandonment_rate",
+    "a_bitmap_active_days",
 ]
 
 
