@@ -120,6 +120,7 @@ QUERIES = [
     "e_pq_recall_report",
     "b_abandonment_rate",
     "a_bitmap_active_days",
+    "b_cohort_ltv",
 ]
 
 
