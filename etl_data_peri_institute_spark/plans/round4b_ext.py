@@ -3569,3 +3569,163 @@ def b_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness: variance-to-mean ratio of per-doc counts.
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_FREQ = 10
+_BURST_TOP = 30
+
+
+@query(
+    "t_burstiness_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word, doc_id
+    ),
+    docs_n AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+    stats AS (
+      SELECT word,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS n_docs_with
+      FROM per_doc GROUP BY word
+    )
+    SELECT word, total, n_docs_with,
+           round((CAST(ss AS DOUBLE) / d - (CAST(total AS DOUBLE) / d) * (CAST(total AS DOUBLE) / d))
+                 / (CAST(total AS DOUBLE) / d), 4) AS vmr
+    FROM stats CROSS JOIN docs_n
+    WHERE total >= {_BURST_MIN_FREQ}
+    ORDER BY vmr DESC, word
+    LIMIT {_BURST_TOP}
+    """,
+)
+def t_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness: variance-to-mean ratio of each word's per-doc
+    count over ALL docs (absent = 0) — Katz's burstiness diagnostic:
+    Poisson-scattered function words sit near VMR 1, topical words
+    burst (a doc that mentions them mentions them often, VMR ≫ 1).
+    With Zipf (t_zipf_fit) this is the second corpus-level linguistic
+    fingerprint: template spam is low-burst AND non-Zipfian; topic
+    diversity shows as a healthy high-VMR tail.
+
+    Scale shape: one (word, doc) groupBy then one word groupBy — both
+    partial-aggregating; the zero-count docs are handled
+    ARITHMETICALLY (moments over all D docs derive from the nonzero
+    sums + the doc count — no explode of the word x doc zero matrix,
+    which at 100 TB would dwarf the corpus). Integer sums; the VMR
+    division promotes to double identically on both engines; min-freq
+    floor bounds the report, (vmr, word) tiebreak pins the top-{t}.
+    """.format(t=_BURST_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    d_n = docs.agg(F.count("*").alias("d"))
+    stats = per_doc.groupBy("word").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count("*").alias("n_docs_with"),
+    )
+    d = F.col("d").cast("double")
+    mean = F.col("total").cast("double") / d
+    return (
+        stats.crossJoin(F.broadcast(d_n))
+        .filter(F.col("total") >= _BURST_MIN_FREQ)
+        .select(
+            "word",
+            "total",
+            "n_docs_with",
+            F.round((F.col("ss").cast("double") / d - mean * mean) / mean, 4).alias(
+                "vmr"
+            ),
+        )
+        .orderBy(F.desc("vmr"), "word")
+        .limit(_BURST_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength: variance explained by the hour-of-day profile.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_seasonality_strength",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    slot AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM v GROUP BY event_type, hod
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(s) AS BIGINT) AS s_tot,
+             CAST(sum(ss) AS BIGINT) AS ss_tot,
+             sum(CAST(s AS DOUBLE) * s / n) AS sb
+      FROM slot GROUP BY event_type
+    )
+    SELECT event_type, n_tot,
+           round((sb - CAST(s_tot AS DOUBLE) * s_tot / n_tot)
+                 / (ss_tot - CAST(s_tot AS DOUBLE) * s_tot / n_tot), 4)
+             AS seasonal_strength
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per event type: the share of value
+    variance explained by the hour-of-day profile — the between-slot
+    sum of squares over the total (a one-way ANOVA R², STL's
+    seasonal-strength analogue computed exactly). Near 0 = the 24-hour
+    cycle carries no signal and ts_seasonal_baseline's bands are
+    wasted; near 1 = slot-aware thresholds are mandatory. The
+    one-number dial that decides which anomaly detector
+    (ts_rolling_zscore vs ts_seasonal_baseline) a metric gets.
+
+    Scale shape: the integer-exact-statistics discipline again — one
+    (type, hour) groupBy reduces the fact to 24 integer-moment rows
+    per type; the between/total decomposition is closed-form on those.
+    The only double accumulation (Σ s²/n over 24 slots) is a 24-term
+    sum whose operands are identical on both engines; output rounded
+    to 4.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    slot = v.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    agg = slot.groupBy("event_type").agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    grand = F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
+    return agg.select(
+        "event_type",
+        "n_tot",
+        F.round(
+            (F.col("sb") - grand) / (F.col("ss_tot") - grand), 4
+        ).alias("seasonal_strength"),
+    ).orderBy("event_type")

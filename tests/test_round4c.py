@@ -628,3 +628,19 @@ def test_bitmap_active_days_mass_matches_distinct(spark):
     # popcount histogram mass = total distinct (user, day) pairs
     assert sum(r.n_active_days * r.n_users for r in rows) == n_user_days
     assert all(1 <= r.n_active_days <= 30 for r in rows)
+
+
+def test_burstiness_vmr_nonnegative_and_bounded_docs(spark):
+    rows = _run(spark, "t_burstiness_report").collect()
+    assert rows
+    for r in rows:
+        assert r.vmr >= 0
+        assert 1 <= r.n_docs_with
+        assert r.total >= 10
+
+
+def test_seasonality_strength_is_anova_r2(spark):
+    rows = _run(spark, "a_seasonality_strength").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.seasonal_strength <= 1.0
