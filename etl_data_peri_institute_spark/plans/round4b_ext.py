@@ -3729,3 +3729,75 @@ def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sb") - grand) / (F.col("ss_tot") - grand), 4
         ).alias("seasonal_strength"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between event type and user cohort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 4 AS cohort, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, cohort, n,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+             CAST(sum(n) OVER (PARTITION BY cohort) AS BIGINT) AS col_tot,
+             CAST(sum(n) OVER () AS BIGINT) AS grand
+      FROM cells
+    ),
+    terms AS (
+      SELECT grand,
+             (CAST(n AS DOUBLE) / grand)
+               * ln(CAST(n AS DOUBLE) * grand / (CAST(row_tot AS DOUBLE) * col_tot)) AS mi_term,
+             -(CAST(n AS DOUBLE) / grand) * ln(CAST(n AS DOUBLE) / grand) AS hxy_term
+      FROM tot
+    )
+    SELECT CAST(max(grand) AS BIGINT) AS n,
+           round(sum(mi_term), 6) AS mutual_information,
+           round(sum(mi_term) / sum(hxy_term), 6) AS nmi_joint
+    FROM terms
+    """,
+)
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and user cohort (nats),
+    with joint-entropy-normalized MI — the information-theoretic twin
+    of a_chi2_independence: chi2 answers "is there ANY dependence",
+    MI measures HOW MUCH signal one variable carries about the other
+    on the scale feature selection and clustering-agreement scores use
+    (NMI is the standard cluster-vs-label agreement metric, computable
+    on this exact plan with predicted/true labels as the two axes).
+
+    Scale shape: identical to the chi2 plan — one groupBy to the r x c
+    contingency sketch, window margins over 20 rows, a closed-form sum
+    of p·ln terms whose operands (integer count ratios) are identical
+    on both engines; MI and NMI rounded to 6. Empty cells contribute
+    nothing by construction (they never appear in the cell frame),
+    matching the 0·ln0 = 0 convention.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count("*").alias("n"))
+    tot = cells.select(
+        "n",
+        F.sum("n").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("n").over(W.partitionBy("cohort")).alias("col_tot"),
+        F.sum("n").over(W.partitionBy()).alias("grand"),
+    )
+    nd = F.col("n").cast("double")
+    gd = F.col("grand").cast("double")
+    p = nd / gd
+    mi_term = p * F.log(nd * gd / (F.col("row_tot").cast("double") * F.col("col_tot")))
+    hxy_term = -p * F.log(p)
+    return tot.select(
+        "grand", mi_term.alias("mi_term"), hxy_term.alias("hxy_term")
+    ).agg(
+        F.max("grand").alias("n"),
+        F.round(F.sum("mi_term"), 6).alias("mutual_information"),
+        F.round(F.sum("mi_term") / F.sum("hxy_term"), 6).alias("nmi_joint"),
+    )

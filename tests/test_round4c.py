@@ -644,3 +644,21 @@ def test_seasonality_strength_is_anova_r2(spark):
     assert len(rows) == 5
     for r in rows:
         assert 0.0 <= r.seasonal_strength <= 1.0
+
+
+def test_mutual_information_vs_numpy(spark):
+    rows = _events_numpy(SF)
+    types = sorted({t for t, _, _ in rows})
+    obs = np.zeros((len(types), 4))
+    for t, u, _ in rows:
+        obs[types.index(t), u % 4] += 1
+    p = obs / obs.sum()
+    px = p.sum(axis=1, keepdims=True)
+    py = p.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi_ref = np.nansum(p * np.log(p / (px @ py)))
+        hxy_ref = -np.nansum(p * np.log(p))
+    row = _run(spark, "a_mutual_information").collect()[0]
+    assert abs(row.mutual_information - mi_ref) < 1e-5
+    assert abs(row.nmi_joint - mi_ref / hxy_ref) < 1e-5
+    assert 0 <= row.nmi_joint <= 1
