@@ -121,6 +121,9 @@ QUERIES = [
     "b_abandonment_rate",
     "a_bitmap_active_days",
     "b_cohort_ltv",
+    "t_burstiness_report",
+    "a_seasonality_strength",
+    "a_mutual_information",
 ]
 
 
