@@ -482,6 +482,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "a_salted_skew_agg", "f_equidepth_histogram", "b_shard_manifest",
         "d_containment_pairs", "t_shingle_novelty", "t_filter_funnel",
         "t_quality_percentile_filter", "a_ks_drift", "b_grouped_split",
+        "t_burstiness_report",  # 1-row doc-count frame attached via crossJoin
     }
     offenders_cart, offenders_bnlj = [], []
     for name, qd in catalog.QUERIES.items():
