@@ -1,0 +1,164 @@
+"""Distributed global running aggregates (cumsum / row_number / ntile).
+
+The gate queries ``b_token_budget_selection``, ``a_pareto_abc`` and
+``b_rfm_segmentation`` pin their SEMANTICS with an exact global ordered
+window (``sum(x) OVER (ORDER BY ...)`` / ``ntile(4) OVER (ORDER BY
+...)``) — fine as a correctness oracle, unusable as a production path:
+Spark executes an un-partitioned window by moving the WHOLE frame to a
+single partition (WindowExec warns exactly this). This module is the
+distributed equivalent, the same upgrade ``b_shard_manifest`` got via
+``sinks.write_sharded_corpus``:
+
+1. ``repartitionByRange(n, *order)`` — Spark's sampled range partitioner
+   places partition boundaries along the global order (reservoir sample
+   of the keys; no global sort stage ever holds the frame).
+2. ``sortWithinPartitions(*order)`` — each partition is locally sorted,
+   so partition i's rows all precede partition i+1's rows in the global
+   order (range partitions are emitted in boundary order).
+3. A per-partition running sum via an Arrow-batched ``mapInPandas`` with
+   a carry across batches — a NARROW op: no shuffle, no Python
+   row-at-a-time loop, order preserved. (The all-JVM alternative — a
+   window partitioned by ``spark_partition_id()`` — would re-shuffle
+   and re-sort the full frame on pid; the Arrow pass keeps the one
+   range exchange as the only data-sized movement.)
+4. Per-partition totals reduce to ONE row per partition (map-side
+   partial aggregation), and the partitions-sized offset table — sized
+   by the CLUSTER, not the data; a few thousand rows at most — is
+   prefix-summed on the driver and broadcast-joined back.
+
+Result: exactly one data-sized shuffle (the range exchange), no
+single-partition stage, and the grand total falls out for free (so
+callers never need a ``sum() OVER ()`` companion window either).
+
+Determinism: the caller must pass a TOTAL order (include a unique
+tiebreak key, e.g. ``doc_id``); with a total order the result is
+independent of where the sampled range boundaries fall.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+__all__ = [
+    "global_running_sum",
+    "global_row_number",
+    "ntile_from_rank",
+]
+
+_LOCAL = "__local_cum"
+_PID = "__pid"
+_OFFSET = "__offset"
+
+
+def _numeric_spark_type(dtype: T.DataType) -> T.DataType:
+    """Running-sum output type: integral widens to long, else double
+    (mirrors Spark's own sum() widening so the distributed result is
+    type-identical to the global-window form)."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()
+    return T.DoubleType()
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[Column],
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, float]:
+    """Global ordered running sum of ``value_col`` without a
+    single-partition window.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreak).
+    Returns ``(frame with out_col appended, grand_total)`` — the grand
+    total is a plain Python number (it was computed anyway for the
+    offsets), so callers can embed it as a literal instead of running a
+    ``sum() OVER ()`` global window.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+
+    out_type = _numeric_spark_type(part.schema[value_col].dataType)
+    schema = T.StructType(part.schema.fields + [T.StructField(_LOCAL, out_type)])
+    is_int = isinstance(out_type, T.LongType)
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one call per partition; batches arrive in partition order, so a
+        # scalar carry across batches yields the partition-local cumsum
+        carry = 0
+        for pdf in batches:
+            vals = pdf[value_col].fillna(0)
+            run = vals.cumsum() + carry
+            if len(run):
+                carry = run.iloc[-1]
+            pdf[_LOCAL] = run.astype("int64" if is_int else "float64")
+            yield pdf
+
+    local = part.mapInPandas(local_cumsum, schema)
+    # eager checkpoint: totals + the offset join both read this frame;
+    # without it the range exchange and Arrow pass would plan twice
+    local = local.localCheckpoint(eager=True)
+
+    totals = (
+        local.groupBy(_PID).agg(F.sum(value_col).alias("__ptotal")).collect()
+    )  # partitions-sized (cluster-bounded, NOT data-sized): safe to collect
+    by_pid = {r[_PID]: (r["__ptotal"] or 0) for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    grand_total = acc
+
+    off_schema = T.StructType(
+        [T.StructField(_PID, T.IntegerType()), T.StructField(_OFFSET, out_type)]
+    )
+    off_df = spark.createDataFrame(
+        [(pid, int(o) if is_int else float(o)) for pid, o in offsets], off_schema
+    )
+    out = (
+        local.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSET))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+    return out, grand_total
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global 1-based row number over a total order, distributed — a
+    running sum of 1s through the same range-partitioned machinery.
+    Returns ``(frame, n_rows)``."""
+    tagged = df.withColumn("__one", F.lit(1))
+    out, n = global_running_sum(
+        tagged, "__one", order_by, out_col=out_col, num_partitions=num_partitions
+    )
+    return out.drop("__one"), int(n)
+
+
+def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
+    """Exact ``ntile(k)`` bucket from a global 1-based rank and the
+    (driver-known) row count — SQL ntile semantics: bucket sizes differ
+    by at most one, larger buckets first. Pure integer arithmetic, so
+    the distributed result is bit-identical to the window form."""
+    extra = n_rows % k  # first `extra` buckets hold big rows each
+    big = n_rows // k + 1
+    small = n_rows // k
+    if small == 0:  # fewer rows than buckets: rank IS the bucket
+        return rank.cast("int")
+    return (
+        F.when(rank <= extra * big, F.floor((rank - 1) / big) + 1)
+        .otherwise(extra + F.floor((rank - 1 - extra * big) / small) + 1)
+        .cast("int")
+    )

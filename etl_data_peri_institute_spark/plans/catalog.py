@@ -61,116 +61,93 @@ def query(name: str, oracle: str | None = None):
 # covers the new code) — are listed here FIRST; everything else keeps
 # its evidence from a prior round's artifact. Re-derive each round from
 # the latest CORRECTNESS_r{N}.json.
-# ROUND-4 STATE: CORRECTNESS_r03 was 50/50 green, so all 50 r03 names
-# drop out. Positions 1-32 are the complete never-driver-verified list
-# (union of r01/r02/r03 greens vs the 165-query registry); positions
-# 33-50 are 18 of this round's 21 additions (riskier patterns inside
-# the window); the 3 lowest-risk additions overflow to 51-53.
+# ROUND-5 STATE: CORRECTNESS_r04 landed 48 oracled greens + 2
+# rows-only-by-design rows; the union of r01-r04 greens covers 181 of
+# the 241-query registry. The remaining backlog is EXACTLY the 58
+# oracled names below (the two rows-only queries --
+# m_multimodal_features, a_approx_sketches -- already carry their
+# by-design driver rows from r02/r04 and deliberately do NOT occupy
+# window slots). NO net-new gate queries this round (round-4 verdict
+# item 1), so positions 1-50 fill the driver window and only the 8
+# lowest-risk names overflow to 51-58.
 _VERIFY_FIRST: list[str] = [
-    # ---- the 32 names with NO driver row in r01/r02/r03 (computed from
-    # the artifacts; this is the round-3 verdict's "never verified" list,
-    # complete). Riskiest cross-engine determinism patterns first:
-    "g_pagerank_suppliers",     # rounded-double rank ordering
-    "t_doc_perplexity",         # float cross-entropy accumulation
-    "f_winsorized_stats",       # percentile clamp + float means
-    "ts_interpolate_linear",    # fractional blend between spine points
-    "d_simhash_hamming_pairs",  # nibble-band LSH + xor-popcount verify
-    "e_ivf_sq_topk",            # float centroid scores pick probed lists (ADVICE)
-    "e_sq_int8_topk",           # int8 quantization boundary rounding
-    "j_asof_nearest",           # CHANGED r4: deterministic dup-ts tiebreak added
-    "w_activity_streaks",
-    "f_equidepth_histogram",
-    "a_robust_outliers",
-    "f_max_by_min_by",
-    "d_containment_pairs",
-    "d_cluster_representative", # plan changed r4 (CC checkpoint); output same
-    "t_shingle_novelty",
-    "b_dedup_rate_by_source",
-    "b_shard_manifest",
-    "t_inverted_index",
-    "t_gopher_quality_rules",
-    "b_weighted_sample",
-    "b_conversion_funnel",
-    "j_fuzzy_join_blocked",
-    "j_fuzzy_resolve_rows",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "b_grouped_split",
-    "d_incremental_dedup",
-    "b_temperature_mixture",
-    "f_try_arithmetic",
-    "u_arrow_batch_stats",
-    "m_multimodal_features",    # rows-only by design (media features)
-    "a_approx_sketches",        # rows-only by design (sketch estimates)
-    # ---- round-4 additions (driver row needed for each new operator)
-    "p_pipeline_e2e",
-    "t_contamination_check",
-    "d_decontaminate_apply",
-    "t_pii_detect",
-    "ts_time_bucket_rollup",
-    "ts_ewma",
-    "ts_rolling_zscore_anomaly",
-    "j_band_join",
-    "g_triangle_count",
-    "b_bootstrap_ci",
-    "e_range_search",
-    "p_pseudonymize_kanon",
-    "d_semdedup_prune",
-    "t_importance_weights",
-    "t_url_canonical_dedup",
-    "ts_period_over_period",
-    "a_ks_drift",
-    "a_psi_drift",
-    # ---- position 51+ (overflow past the ~50-row driver window, lowest
-    # risk first): pure parse_url/regex and integer-only plans — next
-    # round's window leads with whatever misses this one
-    "f_url_parse",
-    "b_last_touch_attribution",
-    "p_fd_violation_check",
-    "t_duplicated_ngram_report",
-    "g_kcore_decomposition",
-    "d_lsh_recall_report",
-    "e_ivf_recall_report",
-    "st_streaming_drift_psi",
+    # ---- riskiest cross-engine float patterns first (round-4 verdict's
+    # queue order): greedy float loops, quantization, regression, rank
+    # statistics, PMI/log-ratio accumulations
+    "e_mmr_rerank",             # greedy diversity loop over float scores
+    "e_pq_adc_topk",            # product-quantization ADC float sums
+    "a_ols_trend",              # OLS slope/intercept/r2 from raw moments
+    "e_nearest_centroid_eval",  # float argmin over centroid distances
+    "a_welch_ttest",            # unequal-variance t + Welch-Satterthwaite df
+    "t_cooccurrence_pmi",       # log-ratio PMI accumulation
+    "g_supplier_similarity",    # Adamic-Adar 1/ln + Jaccard (r5: denominators doc'd)
+    "ts_rolling_corr",          # Pearson from integer moments (r5: NULLIF guard)
+    "e_centroid_report",        # per-list float centroid means
+    "a_skewness_kurtosis",      # 3rd/4th standardized moments
+    "a_mannwhitney_u",          # rank-sum with tie correction
+    "a_chi2_independence",      # expected-count division (r5: NULLIF guard)
+    "g_association_rules",      # support/confidence/lift ratios
+    "a_gini_concentration",     # cumulative-share trapezoid
+    "t_top_keywords_per_doc",   # TF-IDF float ranking
+    "e_pq_recall_report",       # PQ recall vs exact top-k
+    "t_zipf_fit",               # log-log OLS exponent + r2
+    "a_mutual_information",     # plogp accumulation + NMI
+    "a_seasonality_strength",   # variance-ratio decomposition
+    "ts_seasonal_baseline",     # per-slot sd band (r5: NULLIF guard, n=1 slot)
+    "t_burstiness_report",      # CV^2-based burstiness floats
+    "a_pareto_abc",             # global cumulative share (float)
+    "b_cohort_ltv",             # cohort-relative cumulative revenue
+    "ts_cusum_changepoint",     # cumulative-deviation float peak
+    "b_ab_lift_report",         # lift ratio + pooled z
+    "a_skew_report",            # per-key share-of-total floats
+    "ts_autocorr",              # lag-k autocorrelation ratios
+    "ts_downsample_lttb",       # largest-triangle float areas
+    "a_benford_first_digit",    # digit-share vs log10 expectation
+    "st_streaming_drift_psi",   # streaming PSI accumulation
+    "d_lsh_recall_report",      # LSH recall vs exact neighbors
+    "e_ivf_recall_report",      # IVF recall vs exact neighbors
+    "b_token_budget_selection", # quality-ranked cumsum cut
+    "b_abandonment_rate",       # CHANGED r5: equal-ts tie order fixed (advice)
+    # ---- integer-exact / set-shaped remainder
+    "j_asof_tolerance",
+    "j_interval_union",
+    "j_salted_skew_join",
     "b_negative_sampling",
+    "b_reservoir_per_group",
+    "p_cdc_apply",
+    "p_l_diversity",
+    "p_table_checksum",
+    "p_volume_anomaly",
+    "p_fd_violation_check",
     "p_referential_integrity_report",
-    "a_benford_first_digit",
-    "ts_downsample_lttb",
+    "g_kcore_decomposition",
+    "g_bipartite_projection",
+    "g_degree_distribution",
+    "b_time_to_convert",
+    "b_frequency_capping",
+    # ---- position 51+ (overflow past the ~50-row driver window; the
+    # window takes maximum risk, these are pure integer counts, bitmaps,
+    # regex/url parses) -- next round's window leads with these
+    "b_new_vs_returning",
+    "b_rolling_active_users",
+    "b_last_touch_attribution",
+    "a_partial_agg_merge",
+    "a_bitmap_active_days",
     "t_code_detect",
-    "ts_autocorr",
+    "t_duplicated_ngram_report",
+    "f_url_parse",
 ]
-# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r04 when it
+# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r05 when it
 # lands): every name above that received a green row drops out; promote
-# FIRST the round-4 overflow (positions 51+: f_url_parse,
-# b_last_touch_attribution, p_fd_violation_check,
-# t_duplicated_ngram_report, g_kcore_decomposition, d_lsh_recall_report,
-# e_ivf_recall_report, st_streaming_drift_psi, b_negative_sampling),
-# THEN the continuation-session names (plans/round4b_ext.py; 40 by
-# session end —
-# riskiest float patterns first: e_mmr_rerank, e_pq_adc_topk,
-# a_ols_trend, e_nearest_centroid_eval, e_centroid_report,
-# a_skewness_kurtosis, a_mannwhitney_u, a_welch_ttest,
-# a_chi2_independence, t_cooccurrence_pmi, g_supplier_similarity,
-# g_association_rules, ts_rolling_corr, a_gini_concentration,
-# t_top_keywords_per_doc, then the integer-exact rest: p_cdc_apply,
-# ts_cusum_changepoint, p_l_diversity, g_bipartite_projection,
-# g_degree_distribution, ts_seasonal_baseline, a_pareto_abc,
-# a_skew_report, a_partial_agg_merge, b_frequency_capping,
-# b_new_vs_returning, p_table_checksum, b_reservoir_per_group,
-# b_ab_lift_report, b_time_to_convert, b_rolling_active_users,
-# j_salted_skew_join, j_interval_union, b_token_budget_selection,
-# p_volume_anomaly, j_asof_tolerance, a_skewness_kurtosis, t_zipf_fit,
-# e_pq_recall_report, b_abandonment_rate, a_bitmap_active_days —
-# all replayed green at sf0.001/sf0.01/sf0.1 and
-# the float patterns bit-identical across back-to-back runs) and
-# any name still without a driver row, then any query whose OUTPUT
-# changed since its last green row, then continue backfilling the
-# remaining r01-only-evidence names (d_dedup_components, d_dedup_apply,
-# d_minhash_lsh_pairs, d_ngram_jaccard_pairs, d_exact_dedup,
-# e_knn_bruteforce, e_ivf_assign, e_lsh_buckets, t_quality_score,
-# t_langid, t_fingerprint, b_hash_sample, u_grouped_zscore_pandas,
-# a_salted_skew_agg, a_exact_percentile, f_* function surface, the p_*
-# parity family, and the w_* window family).
+# FIRST the 8 overflow names (positions 51-58 above), THEN any query
+# whose OUTPUT changed since its last green row, then continue
+# backfilling the oldest r01-only-evidence names (d_dedup_components,
+# d_dedup_apply, d_minhash_lsh_pairs, d_ngram_jaccard_pairs,
+# d_exact_dedup, e_knn_bruteforce, e_ivf_assign, e_lsh_buckets,
+# t_quality_score, t_langid, t_fingerprint, b_hash_sample,
+# u_grouped_zscore_pandas, a_salted_skew_agg, a_exact_percentile, the
+# f_* function surface, the p_* parity family, and the w_* window
+# family) so their evidence stays fresh against current code.
 
 
 def load_all() -> None:

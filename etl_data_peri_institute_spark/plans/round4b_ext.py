@@ -72,7 +72,9 @@ from .catalog import query
     SELECT CAST(max(t.grand) AS BIGINT) AS n,
            CAST((max(d.r) - 1) * (max(d.c) - 1) AS BIGINT) AS dof,
            round(sum(t.term), 3) AS chi2,
-           round(sqrt(sum(t.term) / (max(t.grand) * least(max(d.r), max(d.c)) - max(t.grand))), 4) AS cramers_v
+           -- NULLIF guard: a 1xC or Rx1 table has no Cramer's V; NULL on
+           -- both engines (DuckDB IEEE ops would yield inf/NaN)
+           round(sqrt(sum(t.term) / NULLIF(max(t.grand) * least(max(d.r), max(d.c)) - max(t.grand), 0)), 4) AS cramers_v
     FROM terms t CROSS JOIN dims d
     """,
 )
@@ -115,16 +117,19 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.count_distinct("cohort") - 1)
         ).cast("long").alias("dof"),
         F.round(F.sum("term"), 3).alias("chi2"),
+        # nullif mirrors the oracle guard: a 1xC / Rx1 contingency table
+        # has no Cramer's V (NULL on both engines)
         F.round(
             F.sqrt(
                 F.sum("term")
-                / (
+                / F.nullif(
                     F.max("grand")
                     * F.least(
                         F.count_distinct("event_type"),
                         F.count_distinct("cohort"),
                     )
-                    - F.max("grand")
+                    - F.max("grand"),
+                    F.lit(0),
                 )
             ),
             4,
@@ -589,6 +594,15 @@ def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-frame re-derivation. Adamic-Adar terms are 1/ln(integer) — identical
     operands both engines; rounded to 4 before the top-20 sort with
     full (supp_a, supp_b) tiebreak.
+
+    Degenerate-denominator note (round-5 advice audit): both divisions
+    are non-degenerate BY CONSTRUCTION at any SF — a pair term only
+    exists for a customer with >= 2 suppliers, so ``a.cd >= 2`` and
+    ``ln(cd) >= ln 2 > 0`` in every Adamic-Adar term (a cd=1 customer
+    produces no self-join match); and ``n_common <= min(sd_a, sd_b)``
+    gives ``sd_a + sd_b - n_common >= max(sd_a, sd_b) >= 1`` for the
+    Jaccard denominator. No NULLIF guard needed; this is the documented
+    exclusion the cross-engine contract relies on.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -807,9 +821,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly GROUP BY 1
     )
     SELECT day, n_hours,
+           -- NULLIF guard: a zero-variance day has no defined Pearson r;
+           -- NULL on both engines (DuckDB IEEE ops would yield NaN/inf)
            round((n_hours * sxy - sx * 1.0 * sy)
-                 / (sqrt(n_hours * sxx - sx * 1.0 * sx)
-                    * sqrt(n_hours * syy - sy * 1.0 * sy)), 3) AS corr_click_purchase
+                 / NULLIF(sqrt(n_hours * sxx - sx * 1.0 * sx)
+                          * sqrt(n_hours * syy - sy * 1.0 * sy), 0), 3) AS corr_click_purchase
     FROM daily
     ORDER BY day
     """,
@@ -850,8 +866,12 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
         n * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # nullif mirrors the oracle guard: zero-variance day -> NULL r on
+    # both engines rather than Spark-NULL vs DuckDB-NaN divergence
     return daily.select(
-        "day", "n_hours", F.round(num / den, 3).alias("corr_click_purchase")
+        "day",
+        "n_hours",
+        F.round(num / F.nullif(den, F.lit(0.0)), 3).alias("corr_click_purchase"),
     ).orderBy("day")
 
 
@@ -872,8 +892,11 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, hod,
              CAST(count(*) AS BIGINT) AS n,
              CAST(round(sum(cents) * 1.0 / count(*)) AS BIGINT) AS baseline_cents,
+             -- NULLIF guard: an n=1 slot has no sample sd; NULL on both
+             -- engines (DuckDB's default IEEE ops would otherwise yield
+             -- NaN/inf where Spark yields NULL)
              CAST(round(sqrt((sum(cents * cents) - sum(cents) * 1.0 * sum(cents) / count(*))
-                             / (count(*) - 1))) AS BIGINT) AS sd_cents
+                             / NULLIF(count(*) - 1, 0))) AS BIGINT) AS sd_cents
       FROM v GROUP BY event_type, hod
     )
     SELECT v.event_type, v.hod, max(s.n) AS n,
@@ -911,8 +934,10 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = v.groupBy("event_type", "hod").agg(
         cnt.alias("n"),
         F.round(s_ / cnt).cast("long").alias("baseline_cents"),
+        # nullif guard mirrors the oracle: an n=1 slot has no sample sd
+        # (NULL on both engines, not DuckDB-NaN vs Spark-NULL)
         F.round(
-            F.sqrt((ss - s_ * s_ / cnt) / (cnt - 1))
+            F.sqrt((ss - s_ * s_ / cnt) / F.nullif(cnt - 1, F.lit(0)))
         ).cast("long").alias("sd_cents"),
     )
     joined = v.join(F.broadcast(stats), ["event_type", "hod"])
@@ -922,11 +947,14 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n"),
             F.max("baseline_cents").alias("baseline_cents"),
             F.max("sd_cents").alias("sd_cents"),
+            # when/otherwise (not a bare cast) so a NULL sd slot counts 0
+            # anomalies on BOTH engines (matches the oracle's CASE ELSE 0)
             F.sum(
-                (
+                F.when(
                     F.abs(F.col("cents") - F.col("baseline_cents"))
-                    > 2 * F.col("sd_cents")
-                ).cast("long")
+                    > 2 * F.col("sd_cents"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
             ).alias("n_anomalies"),
         )
         .orderBy("event_type", "hod")
@@ -3402,14 +3430,16 @@ def b_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("et"),
     )
     # forward carry: next purchase ts at-or-after each row, per user.
-    # side 0 = purchase sorts FIRST at equal ts so an exact-timestamp
-    # purchase covers the click (matches the oracle's p.ts >= c.ts).
+    # side 0 = CLICK sorts first at equal ts, so an exact-timestamp
+    # purchase sits inside the click's [currentRow, following) frame and
+    # covers it (matches the oracle's p.ts >= c.ts and the probe-first
+    # convention of operators/asof.py asof_join_forward).
     tagged = rel.select(
         "event_id",
         "user_id",
         "ts",
         "et",
-        F.when(F.col("et") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(F.col("et") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("__side"),
         F.when(F.col("et") == "purchase", F.col("ts")).alias("__p_ts"),
     )
     w = (

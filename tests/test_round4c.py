@@ -662,3 +662,32 @@ def test_mutual_information_vs_numpy(spark):
     assert abs(row.mutual_information - mi_ref) < 1e-5
     assert abs(row.nmi_joint - mi_ref / hxy_ref) < 1e-5
     assert 0 <= row.nmi_joint <= 1
+
+
+def test_abandonment_rate_equal_ts_purchase_covers_click(spark, tmp_path):
+    # Tie fixture (round-5 advice): a purchase at EXACTLY the click's
+    # timestamp must cover it (oracle semantics p.ts >= c.ts), which
+    # requires the click to sort first (__side=0) at equal ts so the
+    # purchase sits inside the forward frame.
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click + purchase at the SAME instant -> covered
+        (1, 101, t0, "click"),
+        (2, 101, t0, "purchase"),
+        # user 2: click, no purchase -> abandoned
+        (3, 102, t0, "click"),
+        # user 3: purchase 2h later (outside the 1h window) -> abandoned
+        (4, 103, t0, "click"),
+        (5, 103, t0 + dt.timedelta(hours=2), "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = _run(spark, "b_abandonment_rate", str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n_clicks == 3
+    assert out[0].n_abandoned == 2
+    assert abs(out[0].abandonment_rate - round(2 / 3, 4)) < 1e-9
