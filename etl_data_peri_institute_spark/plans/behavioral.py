@@ -222,10 +222,11 @@ def b_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
     quartiles (ntile with deterministic tiebreaks) folded into segment
     cells — the standard customer-scoring rollup. One groupBy on the
-    customer, three global ntile windows over the customer-level frame
-    (customer-cardinality-sized, not order-sized — the global sort is
-    over the aggregate, acceptable; at extreme customer counts the
-    quartile boundaries come from approx percentiles instead), one
+    customer, three global ntile windows over the customer-level frame —
+    kept HERE as the semantics pin. The production path is
+    ``rfm_segmentation_production`` below (distributed global row
+    number + exact ntile formula via operators/cumsum.py — no
+    single-partition window), tested bit-identical; one
     final cell rollup."""
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -241,6 +242,44 @@ def b_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(W.orderBy("frequency", "o_custkey")).cast("int").alias("f_score"),
         F.ntile(4).over(W.orderBy("monetary", "o_custkey")).cast("int").alias("m_score"),
     )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def rfm_segmentation_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed form of ``b_rfm_segmentation`` (round-4 verdict item
+    2): each of the three quartile scores comes from a distributed
+    global row number (``operators.cumsum.global_row_number``: range
+    exchange + Arrow local count + broadcast offsets) folded through the
+    exact ``ntile_from_rank`` formula — bit-identical ntile semantics
+    (bucket sizes differ by at most one, larger buckets first, same
+    deterministic tiebreaks) with NO single-partition window. Three
+    range exchanges over the customer-dimension frame replace three
+    global sorts of it."""
+    from ..operators.cumsum import global_row_number, ntile_from_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = cust
+    for rank_col, score_col, keys in (
+        ("__r_rn", "r_score", [F.asc("last_order"), F.asc("o_custkey")]),
+        ("__f_rn", "f_score", [F.asc("frequency"), F.asc("o_custkey")]),
+        ("__m_rn", "m_score", [F.asc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored, n = global_row_number(scored, keys, out_col=rank_col)
+        scored = scored.withColumn(
+            score_col, ntile_from_rank(F.col(rank_col), n, 4)
+        ).drop(rank_col)
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

@@ -1496,10 +1496,11 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the lineitem fact reduces to one integer-cents row
     per part FIRST (map-side partials); the global ordered window runs
-    over that dimension-sized frame only — the b_shard_manifest
-    rationale: at part-dimension scale this is exact and cheap, and
-    the distributed alternative (repartitionByRange pre-sort) is the
-    named production path if the dimension itself explodes. The class
+    over that dimension-sized frame only — kept HERE as the semantics
+    pin. The production path is ``pareto_abc_production`` below
+    (operators/cumsum.py: range exchange + Arrow local cumsum +
+    broadcast offsets — no single-partition window), tested
+    bit-identical to this form. The class
     boundary compare is pure integer arithmetic (cum*100 <= total*80)
     — no float share ever decides a class; only the reported share is
     floating, rounded to 4.
@@ -1532,6 +1533,46 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev_cents") / F.max("total_cents"), 4).alias(
                 "revenue_share"
             ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def pareto_abc_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed form of ``a_pareto_abc`` (round-4 verdict item 2):
+    the cumulative revenue comes from
+    ``operators.cumsum.global_running_sum`` over the part-dimension
+    frame (one range exchange, no single-partition window) and the
+    grand total arrives as a driver literal, so neither the running sum
+    nor the ``sum() OVER ()`` companion plans a global window. The
+    class boundary stays pure integer cross-multiplication; output is
+    bit-identical to the gate query."""
+    from ..operators.cumsum import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents")
+    )
+    runsum, total_cents = global_running_sum(
+        rev,
+        "rev_cents",
+        [F.desc("rev_cents"), F.asc("l_partkey")],
+        out_col="cum_cents",
+    )
+    total = F.lit(int(total_cents))
+    classed = runsum.select(
+        F.when(F.col("cum_cents") * 100 <= total * 80, "A")
+        .when(F.col("cum_cents") * 100 <= total * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.round(F.sum("rev_cents") / total, 4).alias("revenue_share"),
         )
         .orderBy("abc_class")
     )
@@ -2958,9 +2999,11 @@ def b_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_temperature_mixture, which reweights rather than truncates).
 
     Scale shape: the a_pareto_abc pattern on the document dimension —
-    per-doc token counts reduce first, the global ordered cumsum runs
-    over the doc-dimension frame (repartitionByRange pre-sort is the
-    named production path if that frame explodes), and the budget
+    per-doc token counts reduce first, and the global ordered cumsum
+    HERE is the semantics pin; the production path is
+    ``token_budget_select_production`` below (operators/cumsum.py:
+    range exchange + Arrow local cumsum + broadcast offsets — no
+    single-partition window), tested bit-identical. The budget
     cutoff is pure integer cross-multiplication (cum*100 <=
     total*{p}); the (quality, doc_id) tiebreak pins the marginal doc.
     The per-source report is sources-sized.
@@ -2982,6 +3025,45 @@ def b_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(W.partitionBy()).alias("total_tokens"),
     )
     kept = F.col("cum_tokens") * 100 <= F.col("total_tokens") * _BUDGET_PCT
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+            F.round(F.sum(kept.cast("long")) / F.count("*"), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_budget_select_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed form of ``b_token_budget_selection`` (round-4 verdict
+    item 2): the gate query's ``sum(n_tokens) OVER (ORDER BY quality
+    DESC, doc_id)`` moves the whole corpus-sized frame to ONE partition;
+    here the cumulative token count comes from
+    ``operators.cumsum.global_running_sum`` — one range exchange on the
+    order key, Arrow-batched local cumsum, partitions-sized offsets
+    broadcast back — and the corpus total arrives as a driver literal
+    (it falls out of the offsets), so there is NO global window of any
+    kind in the plan. Output is bit-identical to the gate query (integer
+    arithmetic end-to-end up to the rounded keep_rate)."""
+    from ..operators.cumsum import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.col("n_chars").alias("quality"),
+    )
+    ranked, total_tokens = global_running_sum(
+        scored,
+        "n_tokens",
+        [F.desc("quality"), F.asc("doc_id")],
+        out_col="cum_tokens",
+    )
+    kept = F.col("cum_tokens") * 100 <= F.lit(int(total_tokens)) * _BUDGET_PCT
     return (
         ranked.groupBy("source")
         .agg(

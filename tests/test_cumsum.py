@@ -1,0 +1,164 @@
+"""Distributed global cumsum / row_number / ntile (operators/cumsum.py)
+and the three production variants it backs (round-4 verdict item 2):
+
+- unit equivalence vs the exact single-partition global window on
+  synthetic frames (negatives, nulls, many partitions, n < k ntile);
+- bit-identical output of token_budget_select_production /
+  pareto_abc_production / rfm_segmentation_production vs their
+  global-window gate-query semantics pins on real testdata;
+- plan shape: NO Window node and NO single-partition exchange anywhere
+  in the production variants' plans (the gate queries keep the global
+  window as the oracle form; production must never plan one).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W, functions as F
+
+from etl_data_peri_institute_spark.operators.cumsum import (
+    global_row_number,
+    global_running_sum,
+    ntile_from_rank,
+)
+from etl_data_peri_institute_spark.plans import behavioral, round4b_ext
+from etl_data_peri_institute_spark.plans.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Unit: operator vs exact global window.
+# ---------------------------------------------------------------------------
+
+
+def test_running_sum_matches_global_window(spark):
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % 101).alias("v"),
+        ((F.col("id") * 31) % 13).alias("grp"),
+    )
+    got, total = global_running_sum(
+        df, "v", [F.desc("grp"), F.asc("id")], out_col="cum", num_partitions=8
+    )
+    want = df.withColumn(
+        "cum", F.sum("v").over(W.orderBy(F.desc("grp"), F.asc("id")))
+    )
+    assert _rows(got, "id", "cum") == _rows(want, "id", "cum")
+    assert total == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_running_sum_negative_values_and_nulls(spark):
+    data = [(i, v) for i, v in enumerate([5, -3, None, 7, -10, 0, 2, None, -1])]
+    df = spark.createDataFrame(data, "id long, v long")
+    got, total = global_running_sum(
+        df, "v", [F.asc("id")], out_col="cum", num_partitions=4
+    )
+    # the operator treats NULL as 0 inside the running sum (fillna) —
+    # the window form skips NULLs, which is the same running total
+    want = df.withColumn("cum", F.sum("v").over(W.orderBy("id")))
+    got_rows = {r["id"]: r["cum"] for r in got.collect()}
+    for r in want.collect():
+        assert got_rows[r["id"]] == r["cum"], r["id"]
+    assert total == 0  # 5-3+7-10+0+2-1
+
+
+def test_running_sum_double_type(spark):
+    df = spark.createDataFrame(
+        [(i, float(i) / 4) for i in range(50)], "id long, v double"
+    )
+    got, total = global_running_sum(
+        df, "v", [F.asc("id")], out_col="cum", num_partitions=4
+    )
+    assert dict(got.dtypes)["cum"] == "double"
+    assert abs(total - sum(i / 4 for i in range(50))) < 1e-9
+
+
+def test_row_number_matches_global_window(spark):
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 13) % 7).alias("k")
+    )
+    got, n = global_row_number(
+        df, [F.asc("k"), F.desc("id")], out_col="rn", num_partitions=8
+    )
+    want = df.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.asc("k"), F.desc("id")))
+    )
+    assert n == 500
+    assert _rows(got, "id", "rn") == _rows(want, "id", "rn")
+
+
+@pytest.mark.parametrize("n,k", [(5, 4), (6, 4), (8, 4), (3, 4), (100, 7), (1, 1)])
+def test_ntile_formula_matches_spark_ntile(spark, n, k):
+    df = spark.range(0, n).select(F.col("id"))
+    want = df.withColumn("b", F.ntile(k).over(W.orderBy("id"))).collect()
+    got = df.withColumn(
+        "b", ntile_from_rank(F.row_number().over(W.orderBy("id")), n, k)
+    ).collect()
+    assert {r["id"]: r["b"] for r in got} == {r["id"]: r["b"] for r in want}
+
+
+def test_running_sum_deterministic_across_runs(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id"), ((F.col("id") * 7) % 97).alias("v")
+    )
+    a, _ = global_running_sum(df, "v", [F.desc("v"), F.asc("id")], "cum", 8)
+    b, _ = global_running_sum(df, "v", [F.desc("v"), F.asc("id")], "cum", 8)
+    assert _rows(a, "id", "cum") == _rows(b, "id", "cum")
+
+
+# ---------------------------------------------------------------------------
+# Production variants == gate-query semantics pins (bit-identical).
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_production_matches_gate(spark):
+    gate = QUERIES["b_token_budget_selection"].fn(spark, SF)
+    prod = round4b_ext.token_budget_select_production(spark, SF)
+    cols = gate.columns
+    assert prod.columns == cols
+    assert _rows(gate, *cols) == _rows(prod, *cols)
+
+
+def test_pareto_abc_production_matches_gate(spark):
+    gate = QUERIES["a_pareto_abc"].fn(spark, SF)
+    prod = round4b_ext.pareto_abc_production(spark, SF)
+    cols = gate.columns
+    assert prod.columns == cols
+    assert _rows(gate, *cols) == _rows(prod, *cols)
+
+
+def test_rfm_production_matches_gate(spark):
+    gate = QUERIES["b_rfm_segmentation"].fn(spark, SF)
+    prod = behavioral.rfm_segmentation_production(spark, SF)
+    cols = gate.columns
+    assert prod.columns == cols
+    assert _rows(gate, *cols) == _rows(prod, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Plan shape: production variants must never plan a Window or a
+# single-partition exchange (that is the wart they exist to remove).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "builder",
+    [
+        round4b_ext.token_budget_select_production,
+        round4b_ext.pareto_abc_production,
+        behavioral.rfm_segmentation_production,
+    ],
+    ids=["token_budget", "pareto_abc", "rfm"],
+)
+def test_production_plan_has_no_global_window(spark, builder):
+    df = builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only exchanges allowed are hash (group-bys / broadcast prep);
+    # rework happened upstream of the checkpoint, so no global sort here
+    assert "Exchange SinglePartition" not in plan, plan

@@ -502,3 +502,43 @@ def test_catalog_wide_no_cartesian_products(spark):
     # physical plan at sf0.001, so the expected skip set is empty — any
     # future build failure surfaces here instead of evading the guard.
     assert skipped == [], skipped
+
+
+def test_global_topn_sites_plan_bounded_window(spark):
+    """Round-4 verdict item 4: the global row_number-then-filter top-N
+    sites rely on Spark 4.1 optimizer rewrites (InferWindowGroupLimit /
+    LimitPushDownThroughWindow) to bound what reaches the
+    single-partition window — only ~partitions x N rows move instead of
+    the whole frame. That is an optimizer-version dependency; pin it so
+    a Spark upgrade cannot silently regress these to full
+    single-partition sorts. Every `Window [row_number...]` node in these
+    plans must be fed DIRECTLY by a bounded operator. (g_triangle_count's
+    window is rewritten away entirely to TakeOrderedAndProject — column
+    pruning drops the unused rn — and g_kcore_decomposition's site runs
+    at checkpoint materialization; both pass the same invariant: zero
+    unbounded row_number windows in the visible plan.)"""
+    import re
+
+    names = [
+        "g_triangle_count",        # plans/round4_ext.py _TRI_TOP_EDGES site
+        "g_kcore_decomposition",   # plans/round4_ext.py _KCORE_EDGE_FACTOR site
+        "b_negative_sampling",     # plans/round4_ext.py _NEG_CAND_PARTS site
+        "a_skew_report",           # plans/round4b_ext.py _SKEW_TOPN site
+        "t_zipf_fit",              # plans/round4b_ext.py top-vocab site
+    ]
+    for name in names:
+        plan = (
+            catalog.QUERIES[name]
+            .fn(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.split("\n")
+        for i, line in enumerate(lines):
+            if not re.search(r"\bWindow \[row_number\(\)", line):
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert re.search(r"(WindowGroupLimit|TakeOrderedAndProject)", child), (
+                f"{name}: unbounded row_number window\n{line}\n{child}"
+            )
