@@ -63,6 +63,10 @@ HEADLINE = [
     "a_mannwhitney_u",
     "ts_cusum_changepoint",
     "e_nearest_centroid_eval",
+    # round-5 addition (round-4 verdict item 5): the remaining worst
+    # scale-probe entry not already in the set — b_sessionize,
+    # ts_interpolate_linear and g_supplier_similarity were here already
+    "j_salted_skew_join",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
@@ -132,7 +136,7 @@ EXTRA = {
 # number that carries meaning across rounds is HEAD vs a PINNED baseline
 # commit measured alternately in the SAME Spark session/JVM. The pin is
 # the previous round's final commit; bump each round.
-AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "b6fb827")
+AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "716c90a")  # r4 final
 AB_PASSES = 2  # per side, alternating A/B/A/B; best-of-passes per query
 
 

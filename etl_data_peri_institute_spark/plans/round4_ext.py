@@ -1512,7 +1512,14 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is shared with g_triangle_count and runs once."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
-    ns = ps.agg(F.count_distinct("s").alias("n"))
+    # The edge budget must be a LITERAL: with the old crossJoin'd column
+    # bound (rn <= 5 * col(n)) InferWindowGroupLimit could not fire and
+    # the row_number window single-partition-sorted the ENTIRE pair
+    # frame — measured 6.2 GB memory spill at the 10x probe. The
+    # supplier count is a 1-row aggregate; collecting it is
+    # cluster-safe, and the literal bound re-enables the partial
+    # WindowGroupLimit (only ~partitions x budget rows move).
+    n_supp = ps.agg(F.count_distinct("s")).collect()[0][0]
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -1521,8 +1528,7 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = (
         w.withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc(), "s1", "s2")))
-        .crossJoin(F.broadcast(ns))
-        .filter(F.col("rn") <= _KCORE_EDGE_FACTOR * F.col("n"))
+        .filter(F.col("rn") <= F.lit(int(_KCORE_EDGE_FACTOR * n_supp)))
         .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
         .localCheckpoint(eager=True)
     )

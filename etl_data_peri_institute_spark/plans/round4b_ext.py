@@ -585,10 +585,12 @@ def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pairs are enumerated through the CUSTOMER side
     (self-join on c), so the quadratic term is per-customer-degree² —
     the docstring rule from g_bipartite_projection. Customer degree is
-    bounded by the supplier universe (|S| ≪ |C|; here ≤ 100), and in
-    an open-degree graph the production guard is the same hot-key cap
-    used by d_ngram_jaccard_pairs (drop customers above a degree
-    percentile — they carry no signal, exactly Adamic-Adar's point).
+    bounded by the supplier universe (|S| ≪ |C|; here ≤ 100). The
+    hot-customer degree cap is now a REAL parameter (round-5, verdict
+    item 3): ``supplier_similarity_pairs(max_customer_degree=)`` below,
+    mirroring jaccard_pairs(max_doc_freq=) — this gate query calls it
+    with ``None`` (the oracle-pinned uncapped form); production callers
+    get the float-fraction cap with an absolute floor by default.
     Both degrees ride the edge frame as node-keyed window counts and
     flow through the pair aggregation — no degree-table joins and no
     edge-frame re-derivation. Adamic-Adar terms are 1/ln(integer) — identical
@@ -604,18 +606,67 @@ def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard denominator. No NULLIF guard needed; this is the documented
     exclusion the cross-engine contract relies on.
     """
+    cs = _customer_supplier_edges(spark, sf_dir)
+    return (
+        supplier_similarity_pairs(cs, max_customer_degree=None)
+        .orderBy(F.desc("adamic_adar"), "supp_a", "supp_b")
+        .limit(20)
+    )
+
+
+def _customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cs = (
+    return (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # Degrees ride the edge frame as windows (one extra exchange each on
-    # s and c) and flow THROUGH the pair aggregation as max() — no
-    # degree-table joins, no re-derivation of the edge frame for them
-    # (the single-pipeline discipline from the Jaccard rework; the b
-    # side of the self-join reuses the same exchange lineage).
+
+
+def supplier_similarity_pairs(
+    cs: DataFrame,
+    max_customer_degree: float | int | None = 0.5,
+    degree_floor: int = 64,
+) -> DataFrame:
+    """Scored supplier pairs (n_common / jaccard / adamic_adar) over a
+    distinct ``(c, s)`` bipartite edge frame, with the hot-customer
+    degree cap the round-4 verdict asked to make real (item 3) —
+    mirroring ``operators/dedup.py shingle_intersections(max_doc_freq=)``
+    exactly:
+
+    - the quadratic term of the customer-side pair enumeration is
+      per-customer-degree², so customers above the cap are the skew
+      hazard AND carry the least signal (Adamic-Adar's own rationale:
+      a promiscuous customer says nothing about supplier affinity);
+    - a float cap is a fraction of the DISTINCT SUPPLIER universe (a
+      customer's degree is bounded by it), never below ``degree_floor``
+      absolute — small graphs and tests are never over-pruned, at scale
+      the fraction governs; an int cap is absolute; ``None`` disables
+      (the gate query's oracle-pinned form);
+    - the cap is applied as an anti-join against the HOT set (tiny by
+      construction, broadcasts at any scale), and degrees are then
+      computed ON the capped edge set so jaccard/adamic_adar stay
+      internally consistent (capped-universe semantics, same as the
+      stop-shingle contract).
+
+    Degrees ride the edge frame as windows (one extra exchange each on
+    s and c) and flow THROUGH the pair aggregation as max() — no
+    degree-table joins, no re-derivation of the edge frame (the
+    single-pipeline discipline from the Jaccard rework; the b side of
+    the self-join reuses the same exchange lineage).
+    """
+    if max_customer_degree is not None:
+        cdeg = cs.groupBy("c").agg(F.count("*").alias("__cd"))
+        if isinstance(max_customer_degree, float):
+            total = cs.select("s").distinct().select(F.count("*").alias("__n_supp"))
+            cap = F.greatest(
+                F.lit(degree_floor), F.col("__n_supp") * max_customer_degree
+            )
+            hot = cdeg.crossJoin(F.broadcast(total)).filter(F.col("__cd") > cap)
+        else:
+            hot = cdeg.filter(F.col("__cd") > max_customer_degree)
+        cs = cs.join(hot.select("c"), "c", "left_anti")
     cs_w = cs.withColumn("sd", F.count("*").over(W.partitionBy("s"))).withColumn(
         "cd", F.count("*").over(W.partitionBy("c"))
     )
@@ -630,20 +681,15 @@ def g_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("b.sd")).alias("sd_b"),
         )
     )
-    return (
-        pairs.select(
-            "supp_a",
-            "supp_b",
-            "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("sd_a") + F.col("sd_b") - F.col("n_common")),
-                4,
-            ).alias("jaccard"),
-            "adamic_adar",
-        )
-        .orderBy(F.desc("adamic_adar"), "supp_a", "supp_b")
-        .limit(20)
+    return pairs.select(
+        "supp_a",
+        "supp_b",
+        "n_common",
+        F.round(
+            F.col("n_common") / (F.col("sd_a") + F.col("sd_b") - F.col("n_common")),
+            4,
+        ).alias("jaccard"),
+        "adamic_adar",
     )
 
 

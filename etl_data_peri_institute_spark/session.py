@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferWindowGroupLimit (partial rank-limit before the exchange)
+        # only fires when the rank bound is under this threshold
+        # (default 1000). Our SF-adaptive edge/candidate budgets (e.g.
+        # g_kcore_decomposition's 5x supplier count) legitimately exceed
+        # that while staying orders of magnitude under the frame size —
+        # pushing the partial limit is still the winning plan there, so
+        # raise the ceiling. (Round-5 spill probe: the k-core window
+        # input is 5M rows at 10x; bounded, only ~tasks x budget move.)
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 20))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -691,3 +691,50 @@ def test_abandonment_rate_equal_ts_purchase_covers_click(spark, tmp_path):
     assert out[0].n_clicks == 3
     assert out[0].n_abandoned == 2
     assert abs(out[0].abandonment_rate - round(2 / 3, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Hot-customer degree cap (round-5, verdict item 3).
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_similarity_cap_bounds_pairs_and_keeps_top20(spark):
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.plans.round4b_ext import (
+        _customer_supplier_edges,
+        supplier_similarity_pairs,
+    )
+
+    cs = _customer_supplier_edges(spark, SF)
+    uncapped = supplier_similarity_pairs(cs, max_customer_degree=None)
+    # an aggressive absolute cap must strictly bound the candidate-pair
+    # volume (per-customer degree^2 is the quadratic term)
+    capped_hard = supplier_similarity_pairs(cs, max_customer_degree=3)
+    n_unc = uncapped.agg(F.sum("n_common")).collect()[0][0]
+    n_cap = capped_hard.agg(F.sum("n_common")).collect()[0][0]
+    assert n_cap < n_unc
+    # max degree on the capped edge set respects the cap
+    max_cd = (
+        cs.join(
+            cs.groupBy("c").agg(F.count("*").alias("cd")).filter(F.col("cd") > 3),
+            "c",
+            "left_anti",
+        )
+        .groupBy("c")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_cd <= 3
+    # the default float cap (fraction of supplier universe, floor 64)
+    # leaves the gate-data top-20 IDENTICAL: degrees here never exceed
+    # the floor, so the production default is a no-op on this graph
+    capped_default = supplier_similarity_pairs(cs)  # default 0.5 / floor 64
+    key = lambda df: [  # noqa: E731
+        (r.supp_a, r.supp_b, r.n_common, r.jaccard, r.adamic_adar)
+        for r in df.orderBy(F.desc("adamic_adar"), "supp_a", "supp_b")
+        .limit(20)
+        .collect()
+    ]
+    assert key(capped_default) == key(uncapped)
