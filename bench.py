@@ -123,11 +123,39 @@ def _minhash_lsh_pairs_xxh64(spark, sf_dir):
     )
 
 
-# engine-only variants (no DuckDB oracle possible — different hash family);
-# benched alongside their oracle-checked twins to record the fast-path delta
+def _token_budget_production(spark, sf_dir):
+    from etl_data_peri_institute_spark.plans.round4b_ext import (
+        token_budget_select_production,
+    )
+
+    return token_budget_select_production(spark, sf_dir)
+
+
+def _pareto_abc_production(spark, sf_dir):
+    from etl_data_peri_institute_spark.plans.round4b_ext import pareto_abc_production
+
+    return pareto_abc_production(spark, sf_dir)
+
+
+def _rfm_production(spark, sf_dir):
+    from etl_data_peri_institute_spark.plans.behavioral import (
+        rfm_segmentation_production,
+    )
+
+    return rfm_segmentation_production(spark, sf_dir)
+
+
+# engine-only variants (no DuckDB oracle needed — each is benched against
+# its oracle-checked twin to record the fast-path / distributed-path delta):
+# xxh64 MinHash vs md5, selective embedding near-dup regime, and the
+# round-5 distributed-cumsum production paths vs their global-window
+# gate pins (tested bit-identical in tests/test_cumsum.py)
 EXTRA = {
     "d_minhash_lsh_pairs_xxh64": _minhash_lsh_pairs_xxh64,
     "d_embedding_neardup_prod": _embedding_neardup_prod,
+    "b_token_budget_production": _token_budget_production,
+    "a_pareto_abc_production": _pareto_abc_production,
+    "b_rfm_production": _rfm_production,
 }
 
 
