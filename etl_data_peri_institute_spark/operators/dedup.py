@@ -214,3 +214,101 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         df.groupBy(F.md5(text_col).alias("content_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )
+
+
+def _positioned_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, g): word n-grams with their 1-based start position.
+    Same higher-order-column shape as word_shingles, plus posexplode."""
+    words = df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("w", i + k) for k in range(n)])
+    )
+    return (
+        words.filter(F.size("w") >= n)
+        .select("id", F.posexplode(gram).alias("pos0", "g"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+
+
+def duplicated_span_ranges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word-coordinate ranges ``(id, lo, hi)`` (1-based, inclusive) of
+    every MERGED run of n-gram occurrences whose n-gram appears in
+    ``min_docs``+ distinct documents — the span-level diagnostic behind
+    exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    spans drive memorization long before whole-document dedup fires).
+    t_duplicated_ngram_report is the REPORT over the same grams; this is
+    the per-document coordinate form the APPLY consumes.
+
+    Plan shape at 100 TB: one posexplode pass over the corpus, a
+    map-side-combined groupBy on the gram (singleton grams — the
+    overwhelming majority — never cross the wire past the partial agg),
+    a semi-join of positioned grams against the hot-gram set (shuffled
+    hash join on the gram key; the hot set is crawl-boilerplate-sized,
+    far smaller than the corpus), then merge_intervals' single per-doc
+    window. Overlapping occurrences of the same boilerplate collapse
+    into one island, so output size is bounded by distinct boilerplate
+    regions per doc, not occurrence count."""
+    from .intervals import merge_intervals
+
+    grams = _positioned_ngrams(df, id_col, text_col, n)
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    flagged = grams.join(hot, "g", "left_semi").select(
+        "id", F.col("pos").alias("lo"), (F.col("pos") + n - 1).alias("hi")
+    )
+    # adjacency=1: spans [1,8] and [9,16] cover contiguous words — merge
+    return merge_intervals(flagged, ["id"], adjacency=1)
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup APPLY: cut every duplicated span (per
+    duplicated_span_ranges) out of each document's text. Returns the
+    input columns plus ``text_clean`` (surviving words re-joined),
+    ``n_words_removed`` and ``n_spans_removed``; documents with no
+    duplicated span pass through with ``text_clean = text`` and zeros.
+
+    The per-doc merged-span set is collected into ONE small array column
+    (bounded by boilerplate regions per doc, not corpus size), joined
+    back to the corpus (left join on the doc id — one shuffle, or a
+    broadcast when the flagged-doc set is small), and the cut is a pure
+    higher-order expression: F.filter's (element, index) lambda keeps
+    words not covered by any span — JVM-side, no UDF, no second
+    explode of the corpus."""
+    spans = duplicated_span_ranges(df, id_col, text_col, n, min_docs)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("lo", "hi")).alias("__spans")
+    )
+    joined = df.join(per_doc, F.col(id_col) == per_doc["id"], "left").drop("id")
+    words = F.split(text_col, " ")
+    covered = lambda i: F.exists(  # noqa: E731 — i is the 0-based word index
+        "__spans", lambda s: (i + 1 >= s["lo"]) & (i + 1 <= s["hi"])
+    )
+    kept = F.filter(words, lambda w, i: ~covered(i))
+    n_spans = F.size("__spans")
+    has = F.col("__spans").isNotNull()
+    return joined.select(
+        *df.columns,
+        F.when(has, F.concat_ws(" ", kept)).otherwise(F.col(text_col)).alias("text_clean"),
+        F.when(has, F.size(words) - F.size(kept)).otherwise(F.lit(0)).alias("n_words_removed"),
+        F.when(has, n_spans).otherwise(F.lit(0)).alias("n_spans_removed"),
+    )

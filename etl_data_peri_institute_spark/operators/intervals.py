@@ -20,7 +20,7 @@ tailed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,4 +63,43 @@ def interval_overlap_join(
         .select(*out_cols)
         # a pair overlapping k bins appears k times — dedup to row pairs
         .distinct()
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    lo: str = "lo",
+    hi: str = "hi",
+    adjacency: int | float = 0,
+) -> DataFrame:
+    """Per-key interval UNION (gaps-and-islands): collapse overlapping —
+    and, with ``adjacency`` > 0, near-touching — [lo, hi] intervals into
+    their minimal disjoint cover. Two intervals merge when
+    ``next.lo <= running_max(hi) + adjacency`` (closed bounds; pass
+    ``adjacency=1`` for integer coordinates where [1,3] and [4,6] are
+    contiguous).
+
+    Plan shape: ONE shuffle on ``key_cols`` (the window partition), an
+    in-partition sort by (lo, hi), a running max and a running island
+    counter, then a key-local groupBy that Catalyst plans WITHOUT a
+    second exchange (it groups on a superset of the window partition
+    key). Per-key state is the key's own interval count — the operator
+    scales with the largest single key, not the table, so at 100 TB the
+    skew axis is a hot key (e.g. one document with millions of flagged
+    spans), which upstream producers bound (hot-gram caps, span
+    coalescing at generation).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(lo, hi)
+    prev_max = F.max(hi).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(
+        prev_max.isNull() | (F.col(lo) > prev_max + F.lit(adjacency)), 1
+    ).otherwise(0)
+    island = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("__new", is_new)
+        .withColumn("__island", island)
+        .groupBy(*key_cols, "__island")
+        .agg(F.min(lo).alias(lo), F.max(hi).alias(hi))
+        .drop("__island")
     )

@@ -1,0 +1,148 @@
+"""Exact-substring (span-level) dedup: duplicated_span_ranges /
+remove_duplicated_spans, and the merge_intervals island operator they
+build on. Reference model: Lee et al. 2022 span dedup — repeated n-gram
+runs are cut from each document; the reference repo has no counterpart
+(its dedup is keep-last row dedup, /root/reference/etl/transform.py),
+so these are north-star training-data operators verified by
+hand-computed fixtures + an invariant sweep on the gate corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_peri_institute_spark.operators.dedup import (
+    duplicated_span_ranges,
+    remove_duplicated_spans,
+)
+from etl_data_peri_institute_spark.operators.intervals import merge_intervals
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_merge_intervals_basic(spark):
+    df = spark.createDataFrame(
+        [
+            # key a: [1,3]+[2,5] overlap -> [1,5]; [7,9] separate
+            ("a", 1, 3), ("a", 2, 5), ("a", 7, 9),
+            # key b: nested interval swallowed
+            ("b", 10, 20), ("b", 12, 14),
+        ],
+        "k string, lo int, hi int",
+    )
+    got = rows(merge_intervals(df, ["k"]), "k", "lo")
+    assert got == [("a", 1, 5), ("a", 7, 9), ("b", 10, 20)]
+
+
+def test_merge_intervals_adjacency(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 4, 6), ("a", 8, 9)], "k string, lo int, hi int"
+    )
+    # adjacency=0: [1,3] and [4,6] stay apart; adjacency=1 merges them
+    assert rows(merge_intervals(df, ["k"]), "lo") == [
+        ("a", 1, 3), ("a", 4, 6), ("a", 8, 9),
+    ]
+    assert rows(merge_intervals(df, ["k"], adjacency=1), "lo") == [
+        ("a", 1, 6), ("a", 8, 9),
+    ]
+
+
+def test_merge_intervals_single_shuffle(spark):
+    """The window shuffle is the ONLY exchange: the follow-up groupBy
+    groups on a superset of the window partition key, so Catalyst must
+    not add a second one."""
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 5)], "k string, lo int, hi int"
+    )
+    plan = (
+        merge_intervals(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# duplicated_span_ranges / remove_duplicated_spans (n=3 fixtures)
+# ---------------------------------------------------------------------------
+
+BOILER = "all rights reserved contact us today"  # 6 words, shared 3-grams
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {BOILER} delta"),
+            (2, f"one two {BOILER} three four five"),
+            (3, "totally unique text with no repeats at all"),
+            # doc 4: boilerplate occurs TWICE -> two islands (separated
+            # by 2 words, under the n-1 adjacency) both cut
+            (4, f"{BOILER} mid gap {BOILER}"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_span_ranges_hand_computed(spark, docs):
+    got = rows(duplicated_span_ranges(docs, n=3, min_docs=2), "id", "lo")
+    # BOILER is 6 words -> four 3-grams starting at its offset o:
+    # positions o..o+3 merge (adjacency) into [o, o+5]
+    assert got == [
+        (1, 4, 9),   # BOILER at word 4 of doc 1
+        (2, 3, 8),   # BOILER at word 3 of doc 2
+        (4, 1, 6),   # first occurrence
+        (4, 9, 14),  # second occurrence, separate island
+    ]
+
+
+def test_remove_spans_hand_computed(spark, docs):
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_words_removed"], r["n_spans_removed"])
+        for r in remove_duplicated_spans(docs, n=3, min_docs=2).collect()
+    }
+    assert got[1] == ("alpha beta gamma delta", 6, 1)
+    assert got[2] == ("one two three four five", 6, 1)
+    assert got[3] == ("totally unique text with no repeats at all", 0, 0)
+    assert got[4] == ("mid gap", 12, 2)
+
+
+def test_remove_spans_no_udf_in_plan(spark, docs):
+    plan = (
+        remove_duplicated_spans(docs, n=3, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
+
+
+def test_remove_spans_invariants_on_corpus(spark):
+    """Gate-corpus sweep: cleaning never grows a document, removed word
+    mass equals the length delta, span-free docs pass through verbatim,
+    and re-running on the cleaned text is idempotent for docs that had
+    no spans (their text is unchanged)."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    out = remove_duplicated_spans(docs, n=8, min_docs=2).cache()
+    nwords = F.size(F.split("text", " "))
+    nclean = F.when(F.col("text_clean") == "", 0).otherwise(
+        F.size(F.split("text_clean", " "))
+    )
+    bad = out.filter(nclean + F.col("n_words_removed") != nwords)
+    assert bad.count() == 0, bad.limit(5).collect()
+    passthrough = out.filter(F.col("n_spans_removed") == 0)
+    assert passthrough.filter(F.col("text_clean") != F.col("text")).count() == 0
+    assert out.filter(F.col("n_words_removed") < 0).count() == 0
+    out.unpersist()
