@@ -77,6 +77,28 @@ def global_running_sum(
     total is a plain Python number (it was computed anyway for the
     offsets), so callers can embed it as a literal instead of running a
     ``sum() OVER ()`` global window.
+
+    Semantics vs the global-window form (documented divergences):
+
+    - NULL values count as 0 inside the running sum — identical to the
+      window form everywhere EXCEPT an all-NULL prefix, where the
+      window yields NULL until the first non-NULL and this operator
+      yields 0.
+    - DecimalType inputs widen to double (the window form keeps exact
+      decimal); use the window form when exact decimal semantics are
+      required.
+    - Integral inputs accumulate in int64 end-to-end (Arrow hands a
+      null-bearing long column to pandas as float64; the values are
+      coerced back to exact int64 after fillna so PARTIAL SUMS past
+      2^53 never round) — bit-identical to the window form's long sum.
+
+    Fault model: the frame is ``localCheckpoint``-ed (eager,
+    non-replicated) so the offset collect and the output join share one
+    materialization — building the plan therefore RUNS a Spark job, and
+    an executor loss after the checkpoint is not recomputable from
+    lineage (rerun the operator). On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint()``
+    if executor churn is expected.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -95,7 +117,12 @@ def global_running_sum(
         # scalar carry across batches yields the partition-local cumsum
         carry = 0
         for pdf in batches:
+            # a nullable long column arrives as float64; coerce back to
+            # exact int64 AFTER fillna so the running sum accumulates in
+            # integer space (float64 cumsum rounds past 2^53)
             vals = pdf[value_col].fillna(0)
+            if is_int:
+                vals = vals.astype("int64")
             run = vals.cumsum() + carry
             if len(run):
                 carry = run.iloc[-1]

@@ -294,11 +294,21 @@ def remove_duplicated_spans(
     higher-order expression: F.filter's (element, index) lambda keeps
     words not covered by any span — JVM-side, no UDF, no second
     explode of the corpus."""
+    clash = {"__spans", "__span_doc_id"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"remove_duplicated_spans: input must not contain reserved columns {sorted(clash)}"
+        )
     spans = duplicated_span_ranges(df, id_col, text_col, n, min_docs)
+    # reserved internal join key: per_doc's natural key is literally
+    # named 'id', which would be ambiguous (or silently drop caller
+    # data) whenever the input frame has its own 'id' column
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("lo", "hi")).alias("__spans")
-    )
-    joined = df.join(per_doc, F.col(id_col) == per_doc["id"], "left").drop("id")
+    ).withColumnRenamed("id", "__span_doc_id")
+    joined = df.join(
+        per_doc, F.col(id_col) == F.col("__span_doc_id"), "left"
+    ).drop("__span_doc_id")
     words = F.split(text_col, " ")
     covered = lambda i: F.exists(  # noqa: E731 — i is the 0-based word index
         "__spans", lambda s: (i + 1 >= s["lo"]) & (i + 1 <= s["hi"])

@@ -90,6 +90,11 @@ def merge_intervals(
     spans), which upstream producers bound (hot-gram caps, span
     coalescing at generation).
     """
+    clash = {"__new", "__island"} & set(df.columns)
+    if clash:  # the temp columns would silently clobber caller data
+        raise ValueError(
+            f"merge_intervals: input must not contain reserved columns {sorted(clash)}"
+        )
     w = Window.partitionBy(*key_cols).orderBy(lo, hi)
     prev_max = F.max(hi).over(w.rowsBetween(Window.unboundedPreceding, -1))
     is_new = F.when(

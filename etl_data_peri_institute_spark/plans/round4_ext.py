@@ -1509,7 +1509,12 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each peel round's frames SHRINK monotonically and per-round lineage
     is checkpoint-truncated, so the cost is bounded by the first
     round's two small shuffles; the expensive part (edge-weight build)
-    is shared with g_triangle_count and runs once."""
+    is shared with g_triangle_count and runs once.
+
+    NOTE for plan-audit/bench callers: building this DataFrame RUNS
+    Spark jobs (the 1-row supplier-count collect that makes the edge
+    budget a literal, plus the eager localCheckpoint of the bounded
+    edge list) — plan construction is not lazy here, by design."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     # The edge budget must be a LITERAL: with the old crossJoin'd column

@@ -67,6 +67,24 @@ def test_running_sum_negative_values_and_nulls(spark):
     assert total == 0  # 5-3+7-10+0+2-1
 
 
+def test_running_sum_int64_exact_past_2_53(spark):
+    """Round-5 advice: a null-bearing long column arrives in pandas as
+    float64; the running sum must be coerced back to exact int64 so
+    partial sums past 2^53 never round. 2^53 + 1 is the first long a
+    float64 cannot represent — accumulate across it and demand
+    exactness."""
+    big = 2**53
+    data = [(0, big), (1, None), (2, 1), (3, 1), (4, None), (5, 1)]
+    df = spark.createDataFrame(data, "id long, v long")
+    got, total = global_running_sum(
+        df, "v", [F.asc("id")], out_col="cum", num_partitions=3
+    )
+    rows = {r["id"]: r["cum"] for r in got.collect()}
+    assert rows == {0: big, 1: big, 2: big + 1, 3: big + 2, 4: big + 2, 5: big + 3}
+    assert total == big + 3
+    assert dict(got.dtypes)["cum"] == "bigint"
+
+
 def test_running_sum_double_type(spark):
     df = spark.createDataFrame(
         [(i, float(i) / 4) for i in range(50)], "id long, v double"

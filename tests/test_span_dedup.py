@@ -56,6 +56,43 @@ def test_merge_intervals_adjacency(spark):
     ]
 
 
+def test_merge_intervals_rejects_reserved_columns(spark):
+    """Round-5 advice: the fixed temp names would silently clobber a
+    caller column — the operator must refuse instead."""
+    df = spark.createDataFrame(
+        [("a", 1, 3, 0)], "k string, lo int, hi int, __island int"
+    )
+    with pytest.raises(ValueError, match="__island"):
+        merge_intervals(df, ["k"])
+
+
+def test_remove_spans_with_caller_id_column(spark):
+    """Round-5 advice: a caller frame whose id column is literally named
+    'id' used to make the per-doc span join ambiguous (or silently drop
+    the caller's column). The internal key is now reserved-named."""
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {BOILER} delta"),
+            (2, f"one two {BOILER} three four five"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["text_clean"], r["n_words_removed"])
+        for r in remove_duplicated_spans(df, id_col="id", n=3, min_docs=2).collect()
+    }
+    assert got[1] == ("alpha beta gamma delta", 6)
+    assert got[2] == ("one two three four five", 6)
+
+
+def test_remove_spans_rejects_reserved_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "x")], "doc_id int, text string, __spans string"
+    )
+    with pytest.raises(ValueError, match="__spans"):
+        remove_duplicated_spans(df, n=3, min_docs=2)
+
+
 def test_merge_intervals_single_shuffle(spark):
     """The window shuffle is the ONLY exchange: the follow-up groupBy
     groups on a superset of the window partition key, so Catalyst must
