@@ -61,73 +61,21 @@ def query(name: str, oracle: str | None = None):
 # covers the new code) — are listed here FIRST; everything else keeps
 # its evidence from a prior round's artifact. Re-derive each round from
 # the latest CORRECTNESS_r{N}.json.
-# ROUND-5 STATE: CORRECTNESS_r04 landed 48 oracled greens + 2
-# rows-only-by-design rows; the union of r01-r04 greens covers 181 of
-# the 241-query registry. The remaining backlog is EXACTLY the 58
-# oracled names below (the two rows-only queries --
-# m_multimodal_features, a_approx_sketches -- already carry their
-# by-design driver rows from r02/r04 and deliberately do NOT occupy
-# window slots). NO net-new gate queries this round (round-4 verdict
-# item 1), so positions 1-50 fill the driver window and only the 8
-# lowest-risk names overflow to 51-58.
+# ROUND-6 STATE: CORRECTNESS_r05 landed 50/50 oracled greens (its rows
+# were exactly r5's window), so the union of driver greens r01-r05
+# covers 231 of 241 prior registrations + the 2 rows-only-by-design
+# rows (m_multimodal_features, a_approx_sketches, evidence r02/r04).
+# This round's window, per the round-5 verdict item 1:
+#   1-8   the 8 names never driver-verified (r5 overflow; all pass the
+#         local full-precision replay),
+#   9-13  the 5 NET-NEW gate queries (span-dedup pair + the three
+#         distributed-cumsum production variants -- the driver, not
+#         just pytest, certifies bit-identity vs the window pins),
+#   14-50 backfill of the stalest r01-only evidence (48 candidates; the
+#         37 riskiest here, the 11 leftover p_* parity rows overflow
+#         to 51+ and lead next round's window).
 _VERIFY_FIRST: list[str] = [
-    # ---- riskiest cross-engine float patterns first (round-4 verdict's
-    # queue order): greedy float loops, quantization, regression, rank
-    # statistics, PMI/log-ratio accumulations
-    "e_mmr_rerank",             # greedy diversity loop over float scores
-    "e_pq_adc_topk",            # product-quantization ADC float sums
-    "a_ols_trend",              # OLS slope/intercept/r2 from raw moments
-    "e_nearest_centroid_eval",  # float argmin over centroid distances
-    "a_welch_ttest",            # unequal-variance t + Welch-Satterthwaite df
-    "t_cooccurrence_pmi",       # log-ratio PMI accumulation
-    "g_supplier_similarity",    # Adamic-Adar 1/ln + Jaccard (r5: denominators doc'd)
-    "ts_rolling_corr",          # Pearson from integer moments (r5: NULLIF guard)
-    "e_centroid_report",        # per-list float centroid means
-    "a_skewness_kurtosis",      # 3rd/4th standardized moments
-    "a_mannwhitney_u",          # rank-sum with tie correction
-    "a_chi2_independence",      # expected-count division (r5: NULLIF guard)
-    "g_association_rules",      # support/confidence/lift ratios
-    "a_gini_concentration",     # cumulative-share trapezoid
-    "t_top_keywords_per_doc",   # TF-IDF float ranking
-    "e_pq_recall_report",       # PQ recall vs exact top-k
-    "t_zipf_fit",               # log-log OLS exponent + r2
-    "a_mutual_information",     # plogp accumulation + NMI
-    "a_seasonality_strength",   # variance-ratio decomposition
-    "ts_seasonal_baseline",     # per-slot sd band (r5: NULLIF guard, n=1 slot)
-    "t_burstiness_report",      # CV^2-based burstiness floats
-    "a_pareto_abc",             # global cumulative share (float)
-    "b_cohort_ltv",             # cohort-relative cumulative revenue
-    "ts_cusum_changepoint",     # cumulative-deviation float peak
-    "b_ab_lift_report",         # lift ratio + pooled z
-    "a_skew_report",            # per-key share-of-total floats
-    "ts_autocorr",              # lag-k autocorrelation ratios
-    "ts_downsample_lttb",       # largest-triangle float areas
-    "a_benford_first_digit",    # digit-share vs log10 expectation
-    "st_streaming_drift_psi",   # streaming PSI accumulation
-    "d_lsh_recall_report",      # LSH recall vs exact neighbors
-    "e_ivf_recall_report",      # IVF recall vs exact neighbors
-    "b_token_budget_selection", # quality-ranked cumsum cut
-    "b_abandonment_rate",       # CHANGED r5: equal-ts tie order fixed (advice)
-    # ---- integer-exact / set-shaped remainder
-    "j_asof_tolerance",
-    "j_interval_union",
-    "j_salted_skew_join",
-    "b_negative_sampling",
-    "b_reservoir_per_group",
-    "p_cdc_apply",
-    "p_l_diversity",
-    "p_table_checksum",
-    "p_volume_anomaly",
-    "p_fd_violation_check",
-    "p_referential_integrity_report",
-    "g_kcore_decomposition",
-    "g_bipartite_projection",
-    "g_degree_distribution",
-    "b_time_to_convert",
-    "b_frequency_capping",
-    # ---- position 51+ (overflow past the ~50-row driver window; the
-    # window takes maximum risk, these are pure integer counts, bitmaps,
-    # regex/url parses) -- next round's window leads with these
+    # ---- never driver-verified (r5 positions 51-58)
     "b_new_vs_returning",
     "b_rolling_active_users",
     "b_last_touch_attribution",
@@ -136,18 +84,76 @@ _VERIFY_FIRST: list[str] = [
     "t_code_detect",
     "t_duplicated_ngram_report",
     "f_url_parse",
+    # ---- NET-NEW gate queries this round
+    "d_span_dedup_ranges",        # merged duplicated-span coordinates
+    "d_span_dedup_apply",         # higher-order-function span cut
+    "b_token_budget_production",  # cumsum.py vs global-window oracle
+    "a_pareto_abc_production",    # cumsum.py vs global-window oracle
+    "b_rfm_production",           # fused rank passes vs ntile oracle
+    # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
+    # operators whose code paths moved most since round 1
+    "d_dedup_components",
+    "d_dedup_apply",
+    "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_exact_dedup",
+    "d_simhash",
+    "e_knn_bruteforce",
+    "e_ivf_assign",
+    "e_lsh_buckets",
+    "t_quality_score",
+    "t_langid",
+    "t_fingerprint",
+    "t_token_count",
+    "b_hash_sample",
+    "b_cohort_retention",
+    "b_funnel_click_to_purchase",
+    "u_grouped_zscore_pandas",
+    "a_salted_skew_agg",
+    "a_exact_percentile",
+    "m_binary_metadata",
+    # ---- r01-only function/window surface
+    "f_array_functions",
+    "f_date_parts",
+    "f_json_struct",
+    "f_like_matrix",
+    "f_map_functions",
+    "f_null_handling",
+    "f_regexp_extract",
+    "f_unpivot_stack",
+    "w_first_last_value",
+    "w_lag_lead_user_events",
+    "w_rank_dense_ntile",
+    "w_running_revenue_per_supplier",
+    "w_topk_orders_per_customer",
+    # ---- r01-only parity rows (risk-ranked: consolidation union,
+    # date-format fan-in, rule-chain maps, string matrix)
+    "p_union_consolidation",
+    "p_flexible_date_parse",
+    "p_phone_country",
+    "p_string_functions",
+    # ---- position 51+ (overflow; pure column-wise parity projections,
+    # next round's window leads with these 11)
+    "p_anti_join_fk_violations",
+    "p_conditional_derivation",
+    "p_distinct_keys",
+    "p_duplicate_key_detection",
+    "p_incremental_date_filter",
+    "p_keep_last_dedup",
+    "p_map_lookup_fallback",
+    "p_null_count_per_column",
+    "p_prefix_filter",
+    "p_required_not_null_audit",
+    "p_semi_join_valid_keys",
 ]
-# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r05 when it
+# NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r06 when it
 # lands): every name above that received a green row drops out; promote
-# FIRST the 8 overflow names (positions 51-58 above), THEN any query
-# whose OUTPUT changed since its last green row, then continue
-# backfilling the oldest r01-only-evidence names (d_dedup_components,
-# d_dedup_apply, d_minhash_lsh_pairs, d_ngram_jaccard_pairs,
-# d_exact_dedup, e_knn_bruteforce, e_ivf_assign, e_lsh_buckets,
-# t_quality_score, t_langid, t_fingerprint, b_hash_sample,
-# u_grouped_zscore_pandas, a_salted_skew_agg, a_exact_percentile, the
-# f_* function surface, the p_* parity family, and the w_* window
-# family) so their evidence stays fresh against current code.
+# FIRST the 11 overflow p_* names (positions 51-61 above), THEN any
+# query whose OUTPUT changed since its last green row, then continue
+# backfilling the oldest evidence (after this round the floor is the
+# r02 cohort: the TPC-H q* family, j_* join surface, st_* streaming
+# batch queries, ts_ewma/ts_time_bucket_rollup, f_sql_macro etc.) so
+# every row's evidence stays fresh against current code.
 
 
 def load_all() -> None:
@@ -167,6 +173,7 @@ def load_all() -> None:
         relational,
         round4_ext,
         round4b_ext,
+        round6_ext,
         streaming_batch,
         textops,
         timeseries,
