@@ -1605,7 +1605,9 @@ def pareto_abc_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("rev_cents"), F.asc("l_partkey")],
         out_col="cum_cents",
     )
-    total = F.lit(int(total_cents))
+    # cast pins LongType even if a tiny corpus's total fits int32 — the
+    # *80/*95 constant folds must never run in int32 (ANSI overflow)
+    total = F.lit(int(total_cents)).cast("long")
     classed = runsum.select(
         F.when(F.col("cum_cents") * 100 <= total * 80, "A")
         .when(F.col("cum_cents") * 100 <= total * 95, "B")
@@ -3109,7 +3111,11 @@ def token_budget_select_production(spark: SparkSession, sf_dir: str) -> DataFram
         [F.desc("quality"), F.asc("doc_id")],
         out_col="cum_tokens",
     )
-    kept = F.col("cum_tokens") * 100 <= F.lit(int(total_tokens)) * _BUDGET_PCT
+    # the budget threshold multiplies DRIVER-side: a corpus of ~240M+
+    # tokens makes lit(total) an int32 literal whose *PCT constant-fold
+    # overflows under ANSI (caught by a 20M-doc scale test); Python
+    # ints are unbounded, and lit() widens to long automatically
+    kept = F.col("cum_tokens") * 100 <= F.lit(int(total_tokens) * _BUDGET_PCT)
     return (
         ranked.groupBy("source")
         .agg(

@@ -124,6 +124,16 @@ QUERIES = [
     "t_burstiness_report",
     "a_seasonality_strength",
     "a_mutual_information",
+    # round-6 additions: the distributed-cumsum production variants
+    # (probe BOTH sides of each pair — the window form is the semantics
+    # pin, the production form is the scale path; the gap between them
+    # is the whole point of operators/cumsum.py) and the span-dedup pair
+    "b_token_budget_production",
+    "a_pareto_abc_production",
+    "b_rfm_segmentation",
+    "b_rfm_production",
+    "d_span_dedup_ranges",
+    "d_span_dedup_apply",
 ]
 
 
@@ -198,8 +208,11 @@ def probe(spark) -> list[tuple[str, dict[int, float]]]:
     return rows
 
 
-# round-5: the current worst 10x ratios (j_salted_skew_join 4.5,
-# g_kcore_decomposition 4.4, ts_interpolate_linear 4.4, b_sessionize 4.3)
+# round-5: the then-worst 10x ratios (j_salted_skew_join 4.5,
+# g_kcore_decomposition 4.4, ts_interpolate_linear 4.4, b_sessionize
+# 4.3). Round 6 fixed g_kcore's 6.2 GB pair-build spill (adaptive
+# pair-stage parallelism; 10x now ~10 s, zero spill) — kept on the
+# watchlist to pin the fix.
 SPILL_QUERIES = [
     "j_salted_skew_join",
     "g_kcore_decomposition",
