@@ -239,6 +239,7 @@ def duplicated_span_ranges(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Word-coordinate ranges ``(id, lo, hi)`` (1-based, inclusive) of
     every MERGED run of n-gram occurrences whose n-gram appears in
@@ -248,6 +249,13 @@ def duplicated_span_ranges(
     spans drive memorization long before whole-document dedup fires).
     t_duplicated_ngram_report is the REPORT over the same grams; this is
     the per-document coordinate form the APPLY consumes.
+
+    ``min_count`` (optional) ALSO flags grams by TOTAL occurrence count
+    (a gram repeated ``min_count``+ times qualifies even inside one
+    document) — the self-repetition axis of Lee et al.: degenerate
+    generation-loop text repeats n-grams within a single doc, which
+    ``min_docs`` alone never sees. A gram qualifies when EITHER
+    threshold fires; both reduce in the same partial agg.
 
     Plan shape at 100 TB: one posexplode pass over the corpus, a
     map-side-combined groupBy on the gram (singleton grams — the
@@ -261,10 +269,16 @@ def duplicated_span_ranges(
     from .intervals import merge_intervals
 
     grams = _positioned_ngrams(df, id_col, text_col, n)
+    qualifies = F.col("n_docs") >= min_docs
+    if min_count is not None:
+        qualifies = qualifies | (F.col("n_occ") >= min_count)
     hot = (
         grams.groupBy("g")
-        .agg(F.count_distinct("id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(qualifies)
         .select("g")
     )
     flagged = grams.join(hot, "g", "left_semi").select(
@@ -280,6 +294,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Exact-substring dedup APPLY: cut every duplicated span (per
     duplicated_span_ranges) out of each document's text. Returns the
@@ -299,7 +314,7 @@ def remove_duplicated_spans(
         raise ValueError(
             f"remove_duplicated_spans: input must not contain reserved columns {sorted(clash)}"
         )
-    spans = duplicated_span_ranges(df, id_col, text_col, n, min_docs)
+    spans = duplicated_span_ranges(df, id_col, text_col, n, min_docs, min_count)
     # reserved internal join key: per_doc's natural key is literally
     # named 'id', which would be ambiguous (or silently drop caller
     # data) whenever the input frame has its own 'id' column

@@ -151,6 +151,42 @@ def test_remove_spans_hand_computed(spark, docs):
     assert got[4] == ("mid gap", 12, 2)
 
 
+def test_span_ranges_min_count_intra_doc(spark):
+    """min_count flags self-repetition: a gram repeated k+ times inside
+    ONE document qualifies even though min_docs never fires (the
+    degenerate-generation-loop case of Lee et al.)."""
+    loop = "the cat sat"  # 3 words; n=3 -> one gram per occurrence
+    df = spark.createDataFrame(
+        [
+            (1, f"{loop} x y z {loop} p q r {loop}"),  # 3 occurrences
+            (2, "completely different words here entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    # min_docs=2 alone: nothing (the gram lives in one doc)
+    assert duplicated_span_ranges(df, n=3, min_docs=2).count() == 0
+    # min_count=3: the three occurrences flag (positions 1, 7, 13)
+    got = rows(duplicated_span_ranges(df, n=3, min_docs=2, min_count=3), "id", "lo")
+    assert got == [(1, 1, 3), (1, 7, 9), (1, 13, 15)]
+    # and the apply cuts them
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_spans_removed"])
+        for r in remove_duplicated_spans(df, n=3, min_docs=2, min_count=3).collect()
+    }
+    assert out[1] == ("x y z p q r", 3)
+    assert out[2][1] == 0
+
+
+def test_span_ranges_min_count_does_not_weaken_min_docs(spark, docs):
+    """Either threshold qualifies a gram — adding a high min_count must
+    keep the cross-document behavior identical."""
+    base = rows(duplicated_span_ranges(docs, n=3, min_docs=2), "id", "lo")
+    both = rows(
+        duplicated_span_ranges(docs, n=3, min_docs=2, min_count=99), "id", "lo"
+    )
+    assert base == both
+
+
 def test_remove_spans_no_udf_in_plan(spark, docs):
     plan = (
         remove_duplicated_spans(docs, n=3, min_docs=2)
