@@ -76,6 +76,7 @@ HEADLINE = [
     "b_rfm_production",
     "d_span_dedup_ranges",
     "d_span_dedup_apply",
+    "b_source_token_budget_production",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

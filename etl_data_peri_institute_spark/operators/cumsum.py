@@ -45,6 +45,8 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 __all__ = [
     "global_running_sum",
     "global_row_number",
+    "grouped_global_running_sum",
+    "grouped_global_row_number",
     "ntile_from_rank",
 ]
 
@@ -172,6 +174,127 @@ def global_row_number(
         tagged, "__one", order_by, out_col=out_col, num_partitions=num_partitions
     )
     return out.drop("__one"), int(n)
+
+
+def grouped_global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    order_by: list[Column],
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Per-group ordered running sum WITHOUT a per-group window — for
+    the regime where one group dwarfs the rest (e.g. English is ~60% of
+    a web corpus): ``sum(x) OVER (PARTITION BY g ORDER BY ...)`` sends
+    the whole hot group to ONE task, which is the same single-partition
+    pathology :func:`global_running_sum` removes for the global case.
+
+    Same machinery, group-aware: range-partition on
+    ``(group_cols..., order_by...)`` — groups occupy contiguous
+    partition ranges and a hot group simply spans MANY partitions — then
+    an Arrow local cumsum whose carry resets on group change, then
+    per-``(partition, group)`` offsets (contiguity bounds that table at
+    ~partitions + touched-groups rows) prefix-summed per group on the
+    driver and broadcast back.
+
+    ``order_by`` must totally order rows WITHIN each group (unique
+    tiebreak). Group key columns must be non-null (pandas groupby drops
+    null keys; enforce upstream). Returns ``(frame with out_col,
+    {group_tuple: group_total})`` — the totals dict is groups-sized, so
+    callers can broadcast-join it instead of running a
+    ``sum() OVER (PARTITION BY g)`` companion window. NULL-value,
+    decimal, int64-exactness and checkpoint semantics are identical to
+    :func:`global_running_sum` (see its docstring)."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    gsort = [F.asc(c) for c in group_cols]
+    part = (
+        df.repartitionByRange(n, *gsort, *order_by)
+        .sortWithinPartitions(*gsort, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+
+    out_type = _numeric_spark_type(part.schema[value_col].dataType)
+    schema = T.StructType(part.schema.fields + [T.StructField(_LOCAL, out_type)])
+    is_int = isinstance(out_type, T.LongType)
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive group-contiguous and ordered; a vectorized
+        # group-local cumsum per batch + a (key, value) carry across
+        # batches yields the partition-local per-group cumsum
+        carry_key: tuple | None = None
+        carry = 0
+        for pdf in batches:
+            vals = pdf[value_col].fillna(0)
+            if is_int:
+                vals = vals.astype("int64")
+            run = vals.groupby([pdf[c] for c in group_cols], sort=False).cumsum()
+            if len(pdf):
+                if carry_key is not None:
+                    first_key = tuple(pdf[c].iloc[0] for c in group_cols)
+                    if first_key == carry_key:
+                        # sorted input: the carried group is exactly the
+                        # leading contiguous run of rows with that key
+                        mask = pd.Series(True, index=pdf.index)
+                        for c, v in zip(group_cols, carry_key):
+                            mask &= pdf[c].eq(v)
+                        run = run + mask.astype("int64" if is_int else "float64") * carry
+                carry_key = tuple(pdf[c].iloc[-1] for c in group_cols)
+                carry = run.iloc[-1]
+            pdf[_LOCAL] = run.astype("int64" if is_int else "float64")
+            yield pdf
+
+    local = part.mapInPandas(local_cumsum, schema)
+    local = local.localCheckpoint(eager=True)
+
+    totals = (
+        local.groupBy(_PID, *group_cols)
+        .agg(F.sum(value_col).alias("__ptotal"))
+        .collect()
+    )  # ~partitions + touched-groups rows (group-contiguity): safe to collect
+    by_group: dict[tuple, dict[int, object]] = {}
+    for r in totals:
+        gkey = tuple(r[c] for c in group_cols)
+        by_group.setdefault(gkey, {})[r[_PID]] = r["__ptotal"] or 0
+    offset_rows: list[tuple] = []
+    group_totals: dict[tuple, object] = {}
+    for gkey, pids in by_group.items():
+        acc = 0
+        for pid in sorted(pids):
+            offset_rows.append((*gkey, pid, int(acc) if is_int else float(acc)))
+            acc += pids[pid]
+        group_totals[gkey] = int(acc) if is_int else float(acc)
+
+    off_schema = T.StructType(
+        [part.schema[c] for c in group_cols]
+        + [T.StructField(_PID, T.IntegerType()), T.StructField(_OFFSET, out_type)]
+    )
+    off_df = spark.createDataFrame(offset_rows, off_schema)
+    out = (
+        local.join(F.broadcast(off_df), [_PID, *group_cols])
+        .withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSET))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+    return out, group_totals
+
+
+def grouped_global_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Per-group 1-based row number over a within-group total order,
+    distributed — a grouped running sum of 1s. Returns
+    ``(frame, {group_tuple: group_n_rows})``."""
+    tagged = df.withColumn("__one", F.lit(1))
+    out, totals = grouped_global_running_sum(
+        tagged, "__one", group_cols, order_by, out_col=out_col,
+        num_partitions=num_partitions,
+    )
+    return out.drop("__one"), {k: int(v) for k, v in totals.items()}
 
 
 def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:

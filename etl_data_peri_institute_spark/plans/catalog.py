@@ -90,6 +90,8 @@ _VERIFY_FIRST: list[str] = [
     "b_token_budget_production",  # cumsum.py vs global-window oracle
     "a_pareto_abc_production",    # cumsum.py vs global-window oracle
     "b_rfm_production",           # fused rank passes vs ntile oracle
+    "b_source_token_budget",      # per-group budget, window pin
+    "b_source_token_budget_production",  # grouped cumsum vs same oracle
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -127,13 +129,15 @@ _VERIFY_FIRST: list[str] = [
     "w_running_revenue_per_supplier",
     "w_topk_orders_per_customer",
     # ---- r01-only parity rows (risk-ranked: consolidation union,
-    # date-format fan-in, rule-chain maps, string matrix)
+    # date-format fan-in)
     "p_union_consolidation",
     "p_flexible_date_parse",
+    # ---- position 51+ (overflow; the 2 new per-source-budget slots
+    # above pushed p_phone_country / p_string_functions here — pure
+    # column-wise parity projections; next round's window leads with
+    # these 13)
     "p_phone_country",
     "p_string_functions",
-    # ---- position 51+ (overflow; pure column-wise parity projections,
-    # next round's window leads with these 11)
     "p_anti_join_fk_violations",
     "p_conditional_derivation",
     "p_distinct_keys",

@@ -18,13 +18,17 @@ operators per the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators.dedup import duplicated_span_ranges, remove_duplicated_spans
 from ..sources.tables import load_table
 from .behavioral import rfm_segmentation_production
 from .catalog import ORACLES, query
-from .round4b_ext import pareto_abc_production, token_budget_select_production
+from .round4b_ext import (
+    _BUDGET_PCT,
+    pareto_abc_production,
+    token_budget_select_production,
+)
 
 _SPAN_N = 8
 _SPAN_MIN_DOCS = 2
@@ -164,3 +168,116 @@ query("a_pareto_abc_production", oracle=ORACLES["a_pareto_abc"])(
 query("b_rfm_production", oracle=ORACLES["b_rfm_segmentation"])(
     rfm_segmentation_production
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-GROUP token budget: the grouped-cumsum operator's gate pair.
+# b_token_budget_selection spends ONE global budget; real training-data
+# assembly budgets PER SOURCE/LANGUAGE (each source keeps its own best
+# docs until that source's budget is spent). The window form partitions
+# by source — scale-broken for a hot group (English ~60% of a web corpus
+# lands on ONE window task); the production twin runs
+# operators/cumsum.py::grouped_global_running_sum (group-aware range
+# exchange — a hot group spans MANY partitions — Arrow local cumsum
+# with group-reset carry, per-(partition, group) offsets broadcast
+# back, groups-sized totals joined in place of the companion window).
+# ---------------------------------------------------------------------------
+
+_SRC_BUDGET_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(n_chars AS BIGINT) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total_tokens
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cum_tokens * 100 <= total_tokens * {_BUDGET_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum_tokens * 100 <= total_tokens * {_BUDGET_PCT}
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           round(sum(CASE WHEN cum_tokens * 100 <= total_tokens * {_BUDGET_PCT}
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.col("n_chars").alias("quality"),
+    )
+
+
+def _src_budget_report(ranked: DataFrame, kept) -> DataFrame:
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+            F.round(F.sum(kept.cast("long")) / F.count("*"), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("b_source_token_budget", oracle=_SRC_BUDGET_ORACLE)
+def b_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection, WINDOW form (the semantics
+    pin): within each source, keep the best-quality docs until that
+    source's {p}% token budget is spent. Kept as the oracle-shaped
+    per-group ordered cumsum; the scale path is
+    ``b_source_token_budget_production`` below, tested
+    bit-identical.""".format(p=_BUDGET_PCT)
+    scored = _scored_docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    ranked = scored.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("n_tokens").over(W.partitionBy("source")).alias("total_tokens"),
+    )
+    kept = F.col("cum_tokens") * 100 <= F.col("total_tokens") * _BUDGET_PCT
+    return _src_budget_report(ranked, kept)
+
+
+@query("b_source_token_budget_production", oracle=_SRC_BUDGET_ORACLE)
+def b_source_token_budget_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget, PRODUCTION form: grouped distributed
+    running sum (``operators/cumsum.py``) — no per-group window, so a
+    hot source spans many partitions instead of one task; the
+    groups-sized per-source totals broadcast-join in place of the
+    ``sum() OVER (PARTITION BY source)`` companion window. Long
+    arithmetic end-to-end (the per-source total times {p} never folds
+    in int32). Bit-identical to the window pin.""".format(p=_BUDGET_PCT)
+    from ..operators.cumsum import grouped_global_running_sum
+
+    scored = _scored_docs(spark, sf_dir)
+    ranked, totals = grouped_global_running_sum(
+        scored,
+        "n_tokens",
+        ["source"],
+        [F.desc("quality"), F.asc("doc_id")],
+        out_col="cum_tokens",
+    )
+    tot_df = spark.createDataFrame(
+        [(k[0], int(v)) for k, v in sorted(totals.items())],
+        "source string, total_tokens long",
+    )
+    ranked = ranked.join(F.broadcast(tot_df), "source")
+    kept = F.col("cum_tokens") * 100 <= F.col("total_tokens") * _BUDGET_PCT
+    return _src_budget_report(ranked, kept)

@@ -19,9 +19,11 @@ from pyspark.sql import Window as W, functions as F
 from etl_data_peri_institute_spark.operators.cumsum import (
     global_row_number,
     global_running_sum,
+    grouped_global_row_number,
+    grouped_global_running_sum,
     ntile_from_rank,
 )
-from etl_data_peri_institute_spark.plans import behavioral, round4b_ext
+from etl_data_peri_institute_spark.plans import behavioral, round4b_ext, round6_ext
 from etl_data_peri_institute_spark.plans.catalog import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -130,6 +132,86 @@ def test_running_sum_deterministic_across_runs(spark):
 
 
 # ---------------------------------------------------------------------------
+# Grouped variant: per-group cumsum without a per-group window.
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_running_sum_matches_partitioned_window(spark):
+    """8 range partitions over 3 groups of ~330 rows each: every group
+    SPANS multiple partitions, exercising the cross-partition carry and
+    the per-(pid, group) offset fold."""
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % 101).alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    got, totals = grouped_global_running_sum(
+        df, "v", ["grp"], [F.desc("v"), F.asc("id")], out_col="cum",
+        num_partitions=8,
+    )
+    want = df.withColumn(
+        "cum",
+        F.sum("v").over(W.partitionBy("grp").orderBy(F.desc("v"), F.asc("id"))),
+    )
+    assert _rows(got, "id", "cum") == _rows(want, "id", "cum")
+    expect_totals = {
+        (r["grp"],): r["t"]
+        for r in df.groupBy("grp").agg(F.sum("v").alias("t")).collect()
+    }
+    assert totals == expect_totals
+
+
+def test_grouped_running_sum_nulls_and_int64(spark):
+    big = 2**53
+    data = [
+        (0, "a", big), (1, "a", None), (2, "a", 1),
+        (3, "b", 5), (4, "b", -2), (5, "b", None),
+    ]
+    df = spark.createDataFrame(data, "id long, grp string, v long")
+    got, totals = grouped_global_running_sum(
+        df, "v", ["grp"], [F.asc("id")], out_col="cum", num_partitions=3
+    )
+    rows = {r["id"]: r["cum"] for r in got.collect()}
+    assert rows == {0: big, 1: big, 2: big + 1, 3: 5, 4: 3, 5: 3}
+    assert totals == {("a",): big + 1, ("b",): 3}
+    assert dict(got.dtypes)["cum"] == "bigint"
+
+
+def test_grouped_row_number_matches_window(spark):
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        ((F.col("id") * 13) % 7).alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+    got, ns = grouped_global_row_number(
+        df, ["grp"], [F.asc("k"), F.desc("id")], out_col="rn", num_partitions=6
+    )
+    want = df.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("grp").orderBy(F.asc("k"), F.desc("id"))
+        ),
+    )
+    assert _rows(got, "id", "rn") == _rows(want, "id", "rn")
+    assert sum(ns.values()) == 500 and set(ns.values()) == {125}
+
+
+def test_source_token_budget_production_matches_gate(spark):
+    gate = QUERIES["b_source_token_budget"].fn(spark, SF)
+    prod = round6_ext.b_source_token_budget_production(spark, SF)
+    cols = gate.columns
+    assert prod.columns == cols
+    assert _rows(gate, *cols) == _rows(prod, *cols)
+
+
+def test_source_budget_production_plan_window_free(spark):
+    df = round6_ext.b_source_token_budget_production(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
 # Production variants == gate-query semantics pins (bit-identical).
 # ---------------------------------------------------------------------------
 
@@ -180,3 +262,36 @@ def test_production_plan_has_no_global_window(spark, builder):
     # the only exchanges allowed are hash (group-bys / broadcast prep);
     # rework happened upstream of the checkpoint, so no global sort here
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rfm_fusion_single_range_exchange(spark):
+    """The round-6 fusion's whole point: ONE melted global_row_number
+    pass — so the pre-checkpoint plan of that pass must carry exactly
+    one range exchange (the old shape ran three). The post-checkpoint
+    gate plan is checked Window-free above; here we pin the melt itself
+    by running the production query and counting range exchanges across
+    ALL plans it executed (localCheckpoint materializes eagerly, so the
+    executed-plan string of the result only shows the post-checkpoint
+    stages; the melt's exchange count is visible in the checkpoint
+    frame, which global_row_number builds from the melted input)."""
+    from etl_data_peri_institute_spark.operators.cumsum import global_row_number
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    o = load_table(spark, SF, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+    )
+    melted = cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("mid"), F.col("frequency").cast("double").alias("v")),
+                F.struct(F.lit(1).alias("mid"), F.col("frequency").cast("double").alias("v")),
+            )
+        ).alias("x"),
+    ).select("o_custkey", F.col("x.mid").alias("mid"), F.col("x.v").alias("v"))
+    # the frame global_row_number range-partitions BEFORE checkpointing:
+    part = melted.repartitionByRange(8, F.asc("mid"), F.asc("v"), F.asc("o_custkey"))
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("rangepartitioning") == 1, plan

@@ -134,6 +134,8 @@ QUERIES = [
     "b_rfm_production",
     "d_span_dedup_ranges",
     "d_span_dedup_apply",
+    "b_source_token_budget",
+    "b_source_token_budget_production",
 ]
 
 
