@@ -586,6 +586,17 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    # Same pair-build widening as g_kcore_decomposition (they share
+    # this exact stage): ~25k (p,s) rows per task keeps each task's
+    # map-side partial-agg hash over distinct (s1,s2) pairs in memory
+    # (measured at 10x: 6.2 GB spill -> 0); the self-join reuses the
+    # co-partitioning, so the only added cost is one shuffle of the
+    # small distinct projection. Sized off the CHEAP parquet row count
+    # (metadata-only; upper-bounds the distinct row count — an
+    # overestimate only adds cheap tasks, never spill).
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_pair_tasks = min(4096, max(shuffle_parts, li.count() // 25_000))
+    ps = ps.repartition(n_pair_tasks, "p")
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))

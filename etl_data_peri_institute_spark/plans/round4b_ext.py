@@ -667,8 +667,21 @@ def supplier_similarity_pairs(
         else:
             hot = cdeg.filter(F.col("__cd") > max_customer_degree)
         cs = cs.join(hot.select("c"), "c", "left_anti")
-    cs_w = cs.withColumn("sd", F.count("*").over(W.partitionBy("s"))).withColumn(
-        "cd", F.count("*").over(W.partitionBy("c"))
+    # Pair-build widening (round-6; same discipline as the k-core /
+    # triangle pair stage): the c-window's exchange would otherwise
+    # feed the self-join at session shuffle parallelism, and at the 10x
+    # probe the map-side partial-agg hash over distinct supplier pairs
+    # spilled 11.3 GB. Re-hash on c to ~25k edge rows per task BETWEEN
+    # the two windows: the c-window only needs clustering on c, so it
+    # (and the self-join after it) reuse the widened exchange — one
+    # exchange serves both, no extra data movement vs the old plan.
+    spark = cs.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_pair_tasks = min(4096, max(shuffle_parts, cs.count() // 25_000))
+    cs_w = (
+        cs.withColumn("sd", F.count("*").over(W.partitionBy("s")))
+        .repartition(n_pair_tasks, "c")
+        .withColumn("cd", F.count("*").over(W.partitionBy("c")))
     )
     a, b = cs_w.alias("a"), cs_w.alias("b")
     pairs = (
