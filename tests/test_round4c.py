@@ -738,3 +738,42 @@ def test_supplier_similarity_cap_bounds_pairs_and_keeps_top20(spark):
         .collect()
     ]
     assert key(capped_default) == key(uncapped)
+
+
+def test_supplier_similarity_pair_stage_widens_with_input(spark):
+    """Round-6 spill fix pin: the customer-side pair build must run at
+    ~25k edge rows per task (the 10x probe spilled 11.3 GB when the
+    self-join ran off the session's 32-task exchange). On a 1M-edge
+    synthetic frame the plan's c-exchange must therefore carry more
+    partitions than the session default; on a small frame it must stay
+    at the session floor (no extra tasks for small graphs)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.plans.round4b_ext import (
+        supplier_similarity_pairs,
+    )
+
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def c_exchange_parts(n_rows):
+        cs = spark.range(n_rows).select(
+            (F.col("id") % (n_rows // 10)).alias("c"),
+            (F.col("id") % 97).alias("s"),
+        )
+        plan = (
+            supplier_similarity_pairs(cs, max_customer_degree=None)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        parts = [
+            int(m)
+            for m in re.findall(r"hashpartitioning\(c#\d+L?(?:, [^)]*?)?, (\d+)\)", plan)
+        ]
+        assert parts, plan
+        return max(parts)
+
+    assert c_exchange_parts(1_000_000) == 1_000_000 // 25_000
+    assert c_exchange_parts(10_000) == shuffle_parts
