@@ -48,6 +48,7 @@ __all__ = [
     "grouped_global_running_sum",
     "grouped_global_row_number",
     "ntile_from_rank",
+    "grouped_ntile_from_rank",
 ]
 
 _LOCAL = "__local_cum"
@@ -309,6 +310,27 @@ def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
         return rank.cast("int")
     return (
         F.when(rank <= extra * big, F.floor((rank - 1) / big) + 1)
+        .otherwise(extra + F.floor((rank - 1 - extra * big) / small) + 1)
+        .cast("int")
+    )
+
+
+def grouped_ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """Exact per-group ``ntile(k) OVER (PARTITION BY g ORDER BY ...)``
+    from a per-group 1-based rank (:func:`grouped_global_row_number`)
+    and a per-group row count COLUMN (broadcast-joined from that
+    function's totals dict). Same SQL ntile semantics as
+    :func:`ntile_from_rank` — bucket sizes differ by at most one,
+    larger buckets first — but with the group size as a Column, the
+    ``n < k`` degenerate case must also be an expression: when a group
+    has fewer rows than buckets, the rank IS the bucket. Pure integer
+    arithmetic; bit-identical to the per-group window form."""
+    extra = n_rows % k
+    big = F.floor(n_rows / k) + 1
+    small = F.floor(n_rows / k)
+    return (
+        F.when(small == 0, rank)
+        .when(rank <= extra * big, F.floor((rank - 1) / big) + 1)
         .otherwise(extra + F.floor((rank - 1 - extra * big) / small) + 1)
         .cast("int")
     )

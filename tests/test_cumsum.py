@@ -295,3 +295,36 @@ def test_rfm_fusion_single_range_exchange(spark):
     part = melted.repartitionByRange(8, F.asc("mid"), F.asc("v"), F.asc("o_custkey"))
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("rangepartitioning") == 1, plan
+
+
+@pytest.mark.parametrize("k", [3, 4, 7])
+def test_grouped_ntile_matches_window_ntile(spark, k):
+    """Per-group exact ntile: grouped rank + per-group n column through
+    the Column-valued formula must equal ntile(k) OVER (PARTITION BY g)
+    — including groups smaller than k (rank IS the bucket there)."""
+    from etl_data_peri_institute_spark.operators.cumsum import (
+        grouped_ntile_from_rank,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        # group sizes vary: g0 tiny (< k), others larger
+        F.when(F.col("id") < 2, "g0")
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 5).cast("string")))
+        .alias("grp"),
+        ((F.col("id") * 31) % 83).alias("v"),
+    )
+    ranked, ns = grouped_global_row_number(
+        df, ["grp"], [F.asc("v"), F.asc("id")], out_col="rn", num_partitions=6
+    )
+    n_df = spark.createDataFrame(
+        [(g[0], n) for g, n in ns.items()], "grp string, n long"
+    )
+    got = ranked.join(F.broadcast(n_df), "grp").withColumn(
+        "b", grouped_ntile_from_rank(F.col("rn"), F.col("n"), k)
+    )
+    want = df.withColumn(
+        "b",
+        F.ntile(k).over(W.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))),
+    )
+    assert _rows(got, "id", "b") == _rows(want, "id", "b")
