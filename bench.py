@@ -77,6 +77,12 @@ HEADLINE = [
     "d_span_dedup_ranges",
     "d_span_dedup_apply",
     "b_source_token_budget_production",
+    # round-6 continuation additions (plans/round6b_ext.py): the two
+    # heaviest of the four new operators — segment dedup's corpus
+    # explode + keep-first join, and quantile normalization's
+    # rank-window + pooled-percentile path
+    "d_segment_dedup_apply",
+    "t_quality_quantile_normalize",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -337,3 +337,67 @@ def remove_duplicated_spans(
         F.when(has, F.size(words) - F.size(kept)).otherwise(F.lit(0)).alias("n_words_removed"),
         F.when(has, n_spans).otherwise(F.lit(0)).alias("n_spans_removed"),
     )
+
+
+def segment_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-window segment occurrences with corpus-wide KEEP-FIRST
+    flags — the C4/RefinedWeb-style segment-level dedup primitive
+    (Raffel et al. 2020 dropped repeated three-sentence spans from C4;
+    with no sentence boundaries in the corpus the segmenter here is
+    fixed non-overlapping ``n``-token windows, the same operator shape).
+
+    Complements the two existing granularities: ``exact_dedup`` is
+    whole-document, ``duplicated_span_ranges`` is overlapping-gram runs;
+    this is the partitioned-segment middle ground (each word belongs to
+    exactly ONE segment, so the apply never double-cuts).
+
+    Output: one row per segment occurrence ``(id, chunk, segment,
+    kept, *extra_cols)`` — ``chunk`` is the 0-based segment index,
+    ``kept`` is true only for the first occurrence corpus-wide in
+    (id, chunk) order.
+
+    Plan shape at 100 TB: segmentation is a pure higher-order column
+    (sequence/transform/slice — no UDF, no groupBy) followed by ONE
+    posexplode; keep-first is a map-side-combined ``min(struct(id,
+    chunk))`` groupBy on the segment (a boilerplate segment repeated
+    10^9 times collapses to one row per map task — a row_number window
+    over the segment partition would instead sort every occurrence of
+    the hot segment in a single task), then a hash join of occurrences
+    against the distinct-segment winners (AQE skew-join splits any
+    residual hot segment's join partition).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.split(text_col, " ").alias("w"),
+    )
+    n_seg = F.ceil(F.size("w") / F.lit(n)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda c: F.concat_ws(" ", F.slice("w", c * n + 1, n)),
+    )
+    occ = words.select(
+        "id", *extra_cols, F.posexplode(segs).alias("chunk", "segment")
+    )
+    first = occ.groupBy("segment").agg(
+        F.min(F.struct(F.col("id"), F.col("chunk"))).alias("__first")
+    )
+    return (
+        occ.join(first, "segment")
+        .select(
+            "id",
+            "chunk",
+            "segment",
+            *extra_cols,
+            (
+                (F.col("id") == F.col("__first.id"))
+                & (F.col("chunk") == F.col("__first.chunk"))
+            ).alias("kept"),
+        )
+    )

@@ -68,12 +68,15 @@ def query(name: str, oracle: str | None = None):
 # This round's window, per the round-5 verdict item 1:
 #   1-8   the 8 names never driver-verified (r5 overflow; all pass the
 #         local full-precision replay),
-#   9-13  the 5 NET-NEW gate queries (span-dedup pair + the three
-#         distributed-cumsum production variants -- the driver, not
-#         just pytest, certifies bit-identity vs the window pins),
-#   14-50 backfill of the stalest r01-only evidence (48 candidates; the
-#         37 riskiest here, the 11 leftover p_* parity rows overflow
-#         to 51+ and lead next round's window).
+#   9-20  the 12 NET-NEW gate queries (span-dedup pair, the three
+#         distributed-cumsum production variants, the per-source
+#         budget pair, and the round-6 continuation operators:
+#         segment dedup pair / boilerplate prefix / quantile
+#         normalization / length bucketing -- the driver, not just
+#         pytest, certifies each),
+#   21-50 backfill of the stalest r01-only evidence (48 candidates;
+#         the 30 riskiest here, the rest overflow to 51+ and lead
+#         next round's window).
 _VERIFY_FIRST: list[str] = [
     # ---- never driver-verified (r5 positions 51-58)
     "b_new_vs_returning",
@@ -92,6 +95,12 @@ _VERIFY_FIRST: list[str] = [
     "b_rfm_production",           # fused rank passes vs ntile oracle
     "b_source_token_budget",      # per-group budget, window pin
     "b_source_token_budget_production",  # grouped cumsum vs same oracle
+    # ---- NET-NEW continuation operators (plans/round6b_ext.py)
+    "d_segment_dedup_report",     # C4-style segment dedup, per-source rates
+    "d_segment_dedup_apply",      # keep-first reassembly
+    "t_boilerplate_prefix_report",  # per-source dominant prefix + share
+    "t_quality_quantile_normalize",  # cross-source score calibration
+    "b_length_bucketing",         # padding-waste report
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -132,10 +141,10 @@ _VERIFY_FIRST: list[str] = [
     # date-format fan-in)
     "p_union_consolidation",
     "p_flexible_date_parse",
-    # ---- position 51+ (overflow; the 2 new per-source-budget slots
-    # above pushed p_phone_country / p_string_functions here — pure
-    # column-wise parity projections; next round's window leads with
-    # these 13)
+    # ---- position 51+ (overflow; the 7 net-new round-6 slots above
+    # pushed the tail w_* rows and the p_* parity projections here —
+    # all carry r01 driver evidence + this round's both-SF local
+    # replay; next round's window leads with these 18)
     "p_phone_country",
     "p_string_functions",
     "p_anti_join_fk_violations",
@@ -178,6 +187,7 @@ def load_all() -> None:
         round4_ext,
         round4b_ext,
         round6_ext,
+        round6b_ext,
         streaming_batch,
         textops,
         timeseries,

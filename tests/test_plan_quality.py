@@ -483,6 +483,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "d_containment_pairs", "t_shingle_novelty", "t_filter_funnel",
         "t_quality_percentile_filter", "a_ks_drift", "b_grouped_split",
         "t_burstiness_report",  # 1-row doc-count frame attached via crossJoin
+        "t_quality_quantile_normalize",  # 1-row pooled-quantile frame (11 numbers)
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():
