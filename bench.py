@@ -83,6 +83,13 @@ HEADLINE = [
     # rank-window + pooled-percentile path
     "d_segment_dedup_apply",
     "t_quality_quantile_normalize",
+    # round-6 continuation batch 2 (plans/round6c_ext.py): the three
+    # heaviest of the four new entries — the segment self-join overlap
+    # matrix, the grouped-cumsum epoch schedule, and the 2-iteration
+    # Lloyd fit (broadcast-join-per-iteration DAG)
+    "d_source_overlap_matrix",
+    "b_epoch_shuffle_production",
+    "e_kmeans_fit",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -68,14 +68,15 @@ def query(name: str, oracle: str | None = None):
 # This round's window, per the round-5 verdict item 1:
 #   1-8   the 8 names never driver-verified (r5 overflow; all pass the
 #         local full-precision replay),
-#   9-20  the 12 NET-NEW gate queries (span-dedup pair, the three
+#   9-24  the 16 NET-NEW gate queries (span-dedup pair, the three
 #         distributed-cumsum production variants, the per-source
 #         budget pair, and the round-6 continuation operators:
 #         segment dedup pair / boilerplate prefix / quantile
-#         normalization / length bucketing -- the driver, not just
-#         pytest, certifies each),
-#   21-50 backfill of the stalest r01-only evidence (48 candidates;
-#         the 30 riskiest here, the rest overflow to 51+ and lead
+#         normalization / length bucketing / source-overlap matrix /
+#         epoch-shuffle pin+production pair / k-means fit -- the
+#         driver, not just pytest, certifies each),
+#   25-50 backfill of the stalest r01-only evidence (48 candidates;
+#         the 26 riskiest here, the rest overflow to 51+ and lead
 #         next round's window).
 _VERIFY_FIRST: list[str] = [
     # ---- never driver-verified (r5 positions 51-58)
@@ -101,6 +102,11 @@ _VERIFY_FIRST: list[str] = [
     "t_boilerplate_prefix_report",  # per-source dominant prefix + share
     "t_quality_quantile_normalize",  # cross-source score calibration
     "b_length_bucketing",         # padding-waste report
+    # ---- NET-NEW continuation operators, batch 2 (plans/round6c_ext.py)
+    "d_source_overlap_matrix",    # cross-source segment Jaccard/containment
+    "b_epoch_shuffle",            # deterministic epoch order, window pin
+    "b_epoch_shuffle_production",  # grouped cumsum row-number twin
+    "e_kmeans_fit",               # 2-iteration Lloyd, centroid FIT side
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -141,10 +147,11 @@ _VERIFY_FIRST: list[str] = [
     # date-format fan-in)
     "p_union_consolidation",
     "p_flexible_date_parse",
-    # ---- position 51+ (overflow; the 7 net-new round-6 slots above
-    # pushed the tail w_* rows and the p_* parity projections here —
-    # all carry r01 driver evidence + this round's both-SF local
-    # replay; next round's window leads with these 18)
+    # ---- position 51+ (overflow; the 11 net-new round-6 slots above
+    # push everything from f_regexp_extract down here: the tail f_*/w_*
+    # rows and the p_* parity projections — all carry r01 driver
+    # evidence + this round's both-SF local replay; next round's window
+    # leads with these 22)
     "p_phone_country",
     "p_string_functions",
     "p_anti_join_fk_violations",
@@ -161,7 +168,8 @@ _VERIFY_FIRST: list[str] = [
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r06 when it
 # lands): every name above that received a green row drops out; promote
-# FIRST the 11 overflow p_* names (positions 51-61 above), THEN any
+# FIRST the 22 overflow names (positions 51+ above, f_regexp_extract
+# through p_semi_join_valid_keys), THEN any
 # query whose OUTPUT changed since its last green row, then continue
 # backfilling the oldest evidence (after this round the floor is the
 # r02 cohort: the TPC-H q* family, j_* join surface, st_* streaming
@@ -188,6 +196,7 @@ def load_all() -> None:
         round4b_ext,
         round6_ext,
         round6b_ext,
+        round6c_ext,
         streaming_batch,
         textops,
         timeseries,

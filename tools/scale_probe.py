@@ -136,6 +136,18 @@ QUERIES = [
     "d_span_dedup_apply",
     "b_source_token_budget",
     "b_source_token_budget_production",
+    # round-6 continuation: segment dedup pair, overlap matrix, epoch
+    # schedule pair (window pin vs grouped cumsum), Lloyd fit,
+    # quantile normalization
+    "d_segment_dedup_report",
+    "d_segment_dedup_apply",
+    "d_source_overlap_matrix",
+    "b_epoch_shuffle",
+    "b_epoch_shuffle_production",
+    "e_kmeans_fit",
+    "t_quality_quantile_normalize",
+    "b_length_bucketing",
+    "t_boilerplate_prefix_report",
 ]
 
 

@@ -125,6 +125,14 @@ QUERIES = [
     "b_token_budget_production",
     "a_pareto_abc_production",
     "b_rfm_production",
+    # round-6 continuation: segment dedup, overlap matrix, epoch
+    # schedule pair, Lloyd fit, quantile normalization
+    "d_segment_dedup_report",
+    "d_segment_dedup_apply",
+    "d_source_overlap_matrix",
+    "b_epoch_shuffle_production",
+    "e_kmeans_fit",
+    "t_quality_quantile_normalize",
 ]
 
 
