@@ -372,19 +372,7 @@ def segment_occurrences(
     against the distinct-segment winners (AQE skew-join splits any
     residual hot segment's join partition).
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in extra_cols],
-        F.split(text_col, " ").alias("w"),
-    )
-    n_seg = F.ceil(F.size("w") / F.lit(n)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda c: F.concat_ws(" ", F.slice("w", c * n + 1, n)),
-    )
-    occ = words.select(
-        "id", *extra_cols, F.posexplode(segs).alias("chunk", "segment")
-    )
+    occ = segment_explode(df, id_col, text_col, n, extra_cols)
     first = occ.groupBy("segment").agg(
         F.min(F.struct(F.col("id"), F.col("chunk"))).alias("__first")
     )
@@ -400,4 +388,33 @@ def segment_occurrences(
                 & (F.col("chunk") == F.col("__first.chunk"))
             ).alias("kept"),
         )
+    )
+
+
+def segment_explode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-window segmentation WITHOUT the keep-first pass: one row
+    per segment occurrence ``(id, chunk, segment, *extra_cols)``.
+    Consumers that only aggregate per segment (e.g. the cross-source
+    overlap matrix) use this directly and skip
+    :func:`segment_occurrences`' corpus-wide winner join entirely —
+    segmentation stays a pure higher-order column (sequence/transform/
+    slice, no UDF) followed by ONE posexplode."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.split(text_col, " ").alias("w"),
+    )
+    n_seg = F.ceil(F.size("w") / F.lit(n)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda c: F.concat_ws(" ", F.slice("w", c * n + 1, n)),
+    )
+    return words.select(
+        "id", *extra_cols, F.posexplode(segs).alias("chunk", "segment")
     )

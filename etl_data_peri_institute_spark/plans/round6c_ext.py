@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators.cumsum import grouped_global_row_number
-from ..operators.dedup import segment_occurrences
+from ..operators.dedup import segment_explode
 from ..sources.tables import load_table
 from .catalog import query
 from .round6b_ext import _SEG_CTES, _SEG_N
@@ -70,28 +70,46 @@ def d_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b_temperature_mixture consumes the answer). Pairs with zero
     overlap are omitted (inner-join semantics on both engines).
 
-    Scale shape: distinct (source, segment) is ONE map-side-combined
-    shuffle (the same segment exploded 10^6 times collapses per map
-    task); the segment self-join fans out at most
-    C(#sources-containing-it, 2) <= C(20, 2) pairs per distinct
-    segment — bounded by source-count squared, never by data; the
-    per-pair count is again map-side combined into a <=190-row frame,
-    and the two size joins broadcast a 20-row table.
+    Scale shape: ONE data-sized shuffle total. Instead of distinct +
+    self-join on segment (two segment-keyed exchanges and a join whose
+    hot keys need AQE splitting), each segment's SOURCE SET is built
+    directly by a map-side-combined collect_set groupBy — the set is
+    capped at #sources (~20), so a segment exploded 10^9 times
+    collapses to one <=20-element set per map task. Source pairs are
+    then enumerated JVM-side from the sorted set (a higher-order
+    nested transform, at most C(20, 2) structs per distinct segment —
+    bounded by source-count squared, never by data) and counted into
+    a <=190-row frame; per-source sizes re-derive from the same
+    grouped exchange (ReusedExchange), and the two size joins
+    broadcast a 20-row table.
     """
     docs = load_table(spark, sf_dir, "documents")
-    occ = segment_occurrences(docs, n=_SEG_N, extra_cols=("source",))
-    segs = occ.select("source", "segment").distinct()
-    sizes = segs.groupBy("source").agg(F.count("*").alias("n"))
-    a, b = segs.alias("a"), segs.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.segment") == F.col("b.segment"))
-            & (F.col("a.source") < F.col("b.source")),
+    occ = segment_explode(docs, n=_SEG_N, extra_cols=("source",))
+    per_seg = occ.groupBy("segment").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    sizes = (
+        per_seg.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    k = F.size("ss")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), k),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
         )
+    )
+    shared = (
+        per_seg.select(F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count("*").alias("n_shared"))
     )

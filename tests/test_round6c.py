@@ -47,6 +47,17 @@ def test_source_overlap_matrix_hand_case(spark, monkeypatch):
     assert out == [("src1", "src2", 2, 2, 3, round(2 / 3, 4), 1.0)]
 
 
+def test_source_overlap_matrix_plan_no_segment_join(spark):
+    # the source-set plan: pairs come from a JVM-side transform over
+    # the per-segment collect_set, NOT a segment self-join — the only
+    # joins left are the broadcast size attachments
+    plan = _q("d_source_overlap_matrix")(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "collect_set" in plan
+    assert "partial_collect_set" in plan  # map-side combine fires
+
+
 def test_source_overlap_matrix_gate_shapes(spark):
     out = _q("d_source_overlap_matrix")(spark, SF)
     assert out.columns == [
