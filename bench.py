@@ -90,6 +90,11 @@ HEADLINE = [
     "d_source_overlap_matrix",
     "b_epoch_shuffle_production",
     "e_kmeans_fit",
+    # round-6 continuation batch 3 (plans/round6d_ext.py): CDC apply is
+    # the heavy entry (rolling-hash window + keep-first join + per-doc
+    # reassembly); the card is the one-scan aggregate
+    "d_cdc_dedup_apply",
+    "p_corpus_card",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -391,6 +391,69 @@ def segment_occurrences(
     )
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 4,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking at word granularity (the FastCDC /
+    rsync idea): a chunk boundary opens BEFORE word ``pos`` whenever
+    the md5 of the ``w`` preceding words starts with hex ``'0'``
+    (p = 1/16, so chunks average ~16+w words), plus an unconditional
+    boundary at pos 1. Because boundaries depend only on LOCAL content,
+    inserting one word re-chunks only the neighborhood of the edit and
+    the remaining boundaries RE-SYNC — the property fixed-width
+    segmentation (segment_explode) lacks, where a one-word insertion
+    shifts every downstream segment and defeats chunk-level dedup.
+
+    Output: one row per chunk ``(id, chunk_id, chunk_text, n_words,
+    *extra_cols)`` — ``chunk_id`` is 1-based in document order.
+
+    Plan shape at 100 TB: one posexplode pass; the rolling window is
+    ``w`` lag() calls inside ONE per-doc window (doc-bounded partitions
+    — the same bounded-window discipline as merge_intervals), the
+    chunk id is a running sum over the same window spec (single
+    exchange on the doc id serves both), and reassembly is one per-doc
+    groupBy of (pos, word) structs. The boundary hash is md5 so the
+    DuckDB oracle replays chunking bit-identically.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(text_col, " ")).alias("pos0", "word"),
+    ).select(
+        "id", *extra_cols, (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    wdw = Window.partitionBy("id").orderBy("pos")
+    prev = F.concat_ws(
+        " ", *[F.lag("word", w - k).over(wdw) for k in range(w)]
+    )
+    is_start = F.when(
+        (F.col("pos") == 1)
+        | ((F.col("pos") > w) & F.md5(prev).startswith("0")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = words.withColumn(
+        "chunk_id",
+        F.sum(is_start).over(wdw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        tagged.groupBy("id", "chunk_id", *extra_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").alias("n_words"),
+        )
+    )
+
+
 def segment_explode(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -68,15 +68,16 @@ def query(name: str, oracle: str | None = None):
 # This round's window, per the round-5 verdict item 1:
 #   1-8   the 8 names never driver-verified (r5 overflow; all pass the
 #         local full-precision replay),
-#   9-24  the 16 NET-NEW gate queries (span-dedup pair, the three
+#   9-27  the 19 NET-NEW gate queries (span-dedup pair, the three
 #         distributed-cumsum production variants, the per-source
 #         budget pair, and the round-6 continuation operators:
 #         segment dedup pair / boilerplate prefix / quantile
 #         normalization / length bucketing / source-overlap matrix /
-#         epoch-shuffle pin+production pair / k-means fit -- the
-#         driver, not just pytest, certifies each),
-#   25-50 backfill of the stalest r01-only evidence (48 candidates;
-#         the 26 riskiest here, the rest overflow to 51+ and lead
+#         epoch-shuffle pin+production pair / k-means fit / CDC
+#         chunking pair / corpus card -- the driver, not just pytest,
+#         certifies each),
+#   28-50 backfill of the stalest r01-only evidence (48 candidates;
+#         the 23 riskiest here, the rest overflow to 51+ and lead
 #         next round's window).
 _VERIFY_FIRST: list[str] = [
     # ---- never driver-verified (r5 positions 51-58)
@@ -107,6 +108,10 @@ _VERIFY_FIRST: list[str] = [
     "b_epoch_shuffle",            # deterministic epoch order, window pin
     "b_epoch_shuffle_production",  # grouped cumsum row-number twin
     "e_kmeans_fit",               # 2-iteration Lloyd, centroid FIT side
+    # ---- NET-NEW continuation operators, batch 3 (plans/round6d_ext.py)
+    "d_cdc_chunking",             # content-defined chunk report (FastCDC)
+    "d_cdc_dedup_apply",          # insertion-robust keep-first apply
+    "p_corpus_card",              # one-scan dataset card
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -147,11 +152,11 @@ _VERIFY_FIRST: list[str] = [
     # date-format fan-in)
     "p_union_consolidation",
     "p_flexible_date_parse",
-    # ---- position 51+ (overflow; the 11 net-new round-6 slots above
-    # push everything from f_regexp_extract down here: the tail f_*/w_*
+    # ---- position 51+ (overflow; the 14 net-new round-6 slots above
+    # push everything from f_like_matrix down here: the tail f_*/w_*
     # rows and the p_* parity projections — all carry r01 driver
     # evidence + this round's both-SF local replay; next round's window
-    # leads with these 22)
+    # leads with these 25)
     "p_phone_country",
     "p_string_functions",
     "p_anti_join_fk_violations",
@@ -168,7 +173,7 @@ _VERIFY_FIRST: list[str] = [
 ]
 # NEXT-WINDOW QUEUE (rebuild _VERIFY_FIRST from CORRECTNESS_r06 when it
 # lands): every name above that received a green row drops out; promote
-# FIRST the 22 overflow names (positions 51+ above, f_regexp_extract
+# FIRST the 25 overflow names (positions 51+ above, f_like_matrix
 # through p_semi_join_valid_keys), THEN any
 # query whose OUTPUT changed since its last green row, then continue
 # backfilling the oldest evidence (after this round the floor is the
@@ -197,6 +202,7 @@ def load_all() -> None:
         round6_ext,
         round6b_ext,
         round6c_ext,
+        round6d_ext,
         streaming_batch,
         textops,
         timeseries,

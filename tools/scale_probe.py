@@ -148,6 +148,9 @@ QUERIES = [
     "t_quality_quantile_normalize",
     "b_length_bucketing",
     "t_boilerplate_prefix_report",
+    "d_cdc_chunking",
+    "d_cdc_dedup_apply",
+    "p_corpus_card",
 ]
 
 

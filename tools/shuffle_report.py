@@ -133,6 +133,9 @@ QUERIES = [
     "b_epoch_shuffle_production",
     "e_kmeans_fit",
     "t_quality_quantile_normalize",
+    "d_cdc_chunking",
+    "d_cdc_dedup_apply",
+    "p_corpus_card",
 ]
 
 
