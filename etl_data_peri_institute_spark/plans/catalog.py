@@ -112,6 +112,11 @@ _VERIFY_FIRST: list[str] = [
     "d_cdc_chunking",             # content-defined chunk report (FastCDC)
     "d_cdc_dedup_apply",          # insertion-robust keep-first apply
     "p_corpus_card",              # one-scan dataset card
+    # ---- NET-NEW continuation operators, batch 4 (plans/round6e_ext.py)
+    "d_bloom_dedup_report",       # distributed Bloom probe + FP accounting
+    "b_markov_transitions",       # next-event transition matrix
+    "t_bpe_pair_stats",           # first BPE merge-candidate scan
+    "b_ab_experiment_report",     # hash-assigned A/B + pooled z
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -203,6 +208,7 @@ def load_all() -> None:
         round6b_ext,
         round6c_ext,
         round6d_ext,
+        round6e_ext,
         streaming_batch,
         textops,
         timeseries,
