@@ -95,6 +95,12 @@ HEADLINE = [
     # reassembly); the card is the one-scan aggregate
     "d_cdc_dedup_apply",
     "p_corpus_card",
+    # round-6 continuation batch 4 (plans/round6e_ext.py): the two
+    # heaviest of the four new entries — the Bloom build+probe (corpus
+    # bit_or + batch distinct + broadcast probe) and the BPE pair scan
+    # (corpus explode -> vocabulary -> pair agg)
+    "d_bloom_dedup_report",
+    "t_bpe_pair_stats",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -117,6 +117,11 @@ _VERIFY_FIRST: list[str] = [
     "b_markov_transitions",       # next-event transition matrix
     "t_bpe_pair_stats",           # first BPE merge-candidate scan
     "b_ab_experiment_report",     # hash-assigned A/B + pooled z
+    # ---- NET-NEW continuation operators, batch 5 (plans/round6f_ext.py)
+    "g_label_propagation",        # 2-round deterministic LPA communities
+    "t_rag_chunk_manifest",       # overlapping sliding-window chunks
+    "b_session_path_topk",        # ordered session path mining
+    "a_column_entropy_report",    # per-column Shannon entropy profile
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -209,6 +214,7 @@ def load_all() -> None:
         round6c_ext,
         round6d_ext,
         round6e_ext,
+        round6f_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -526,6 +526,7 @@ def test_global_topn_sites_plan_bounded_window(spark):
         "b_negative_sampling",     # plans/round4_ext.py _NEG_CAND_PARTS site
         "a_skew_report",           # plans/round4b_ext.py _SKEW_TOPN site
         "t_zipf_fit",              # plans/round4b_ext.py top-vocab site
+        "g_label_propagation",     # plans/round6f_ext.py _LPA_TOP_EDGES site
     ]
     for name in names:
         plan = (

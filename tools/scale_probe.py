@@ -151,6 +151,12 @@ QUERIES = [
     "d_cdc_chunking",
     "d_cdc_dedup_apply",
     "p_corpus_card",
+    # round-6 continuation batch 4: bounded-bitmap membership, bounded
+    # matrix/vocabulary aggregates, one-row experiment readout
+    "d_bloom_dedup_report",
+    "b_markov_transitions",
+    "t_bpe_pair_stats",
+    "b_ab_experiment_report",
 ]
 
 
