@@ -68,16 +68,20 @@ def query(name: str, oracle: str | None = None):
 # This round's window, per the round-5 verdict item 1:
 #   1-8   the 8 names never driver-verified (r5 overflow; all pass the
 #         local full-precision replay),
-#   9-27  the 19 NET-NEW gate queries (span-dedup pair, the three
+#   9-39  the 31 NET-NEW gate queries (span-dedup pair, the three
 #         distributed-cumsum production variants, the per-source
-#         budget pair, and the round-6 continuation operators:
+#         budget pair, and the round-6 continuation batches 1-6:
 #         segment dedup pair / boilerplate prefix / quantile
 #         normalization / length bucketing / source-overlap matrix /
 #         epoch-shuffle pin+production pair / k-means fit / CDC
-#         chunking pair / corpus card -- the driver, not just pytest,
+#         chunking pair / corpus card / Bloom membership dedup /
+#         Markov transitions / BPE pair scan / A/B readout / LPA
+#         communities / RAG chunk manifest / session paths / column
+#         entropy / Matryoshka report / PCA power iteration /
+#         freshness / power analysis -- the driver, not just pytest,
 #         certifies each),
-#   28-50 backfill of the stalest r01-only evidence (48 candidates;
-#         the 23 riskiest here, the rest overflow to 51+ and lead
+#   40-50 backfill of the stalest r01-only evidence (the 11 riskiest
+#         dedup/ANN/text names; the rest overflow to 51+ and lead
 #         next round's window).
 _VERIFY_FIRST: list[str] = [
     # ---- never driver-verified (r5 positions 51-58)
@@ -122,6 +126,11 @@ _VERIFY_FIRST: list[str] = [
     "t_rag_chunk_manifest",       # overlapping sliding-window chunks
     "b_session_path_topk",        # ordered session path mining
     "a_column_entropy_report",    # per-column Shannon entropy profile
+    # ---- NET-NEW continuation operators, batch 6 (plans/round6g_ext.py)
+    "e_matryoshka_truncation_report",  # prefix-dim cosine/energy retention
+    "e_pca_power_iteration",      # covariance build + 2 power iterations
+    "p_freshness_report",         # per-feed arrival lag + staleness
+    "b_power_analysis",           # two-proportion sample-size planning
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -162,11 +171,12 @@ _VERIFY_FIRST: list[str] = [
     # date-format fan-in)
     "p_union_consolidation",
     "p_flexible_date_parse",
-    # ---- position 51+ (overflow; the 14 net-new round-6 slots above
-    # push everything from f_like_matrix down here: the tail f_*/w_*
-    # rows and the p_* parity projections — all carry r01 driver
-    # evidence + this round's both-SF local replay; next round's window
-    # leads with these 25)
+    # ---- position 51+ (overflow; the 31 net-new round-6 slots above
+    # push everything from t_fingerprint down here: the remaining
+    # dedup/behavioral backfill, the f_*/w_* function-window surface
+    # and the p_* parity projections — all carry r01 driver evidence +
+    # this round's both-SF local replay; next round's window leads
+    # with these)
     "p_phone_country",
     "p_string_functions",
     "p_anti_join_fk_violations",
@@ -215,6 +225,7 @@ def load_all() -> None:
         round6d_ext,
         round6e_ext,
         round6f_ext,
+        round6g_ext,
         streaming_batch,
         textops,
         timeseries,

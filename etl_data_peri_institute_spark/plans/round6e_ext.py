@@ -352,16 +352,38 @@ def t_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "b_ab_experiment_report",
-    oracle=f"""
-    WITH per_user AS (
+# Conversion = "heavy purchaser" (>= {_CONV_MIN_PURCHASES} purchase
+# events): the ever-purchased flag saturates at ~100% on the synthetic
+# stream (every user buys eventually), which would degenerate every
+# rate to 1.0 and the z to NULL; the threshold sits near the median
+# purchases-per-user so both arms see mid-range rates at every SF.
+_CONV_MIN_PURCHASES = 14
+
+# Shared two-CTE prefix (also used by b_power_analysis in
+# round6g_ext): per-user conversion flag, then the deterministic
+# hash-nibble arm assignment.
+_AB_PER_USER_CTES = f"""
+    pu0 AS (
+      SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= {_CONV_MIN_PURCHASES}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    per_user AS (
       SELECT user_id,
              CASE WHEN {_hex2_digit_sql("md5(CAST(user_id AS VARCHAR))", 1)} < 8
                   THEN 'A' ELSE 'B' END AS variant,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-      FROM events GROUP BY user_id
-    ),
+             conv
+      FROM pu0
+    )
+"""
+
+
+@query(
+    "b_ab_experiment_report",
+    oracle=f"""
+    WITH {_AB_PER_USER_CTES},
     arms AS (
       SELECT variant, count(*) AS n, sum(conv) AS c
       FROM per_user GROUP BY variant
@@ -388,8 +410,10 @@ def b_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users are assigned to variants by the
     first nibble of md5(user_id) (deterministic content-hash
     assignment — never rand(), so reruns and task retries keep the same
-    arms; the b_hash_sample discipline), conversion is "ever
-    purchased", and the one-row report carries per-arm sizes,
+    arms; the b_hash_sample discipline), conversion is "heavy
+    purchaser" (>= {14} purchase events — the ever-purchased flag
+    saturates at ~100% on this stream, degenerating every rate to 1.0),
+    and the one-row report carries per-arm sizes,
     conversion counts/rates, and the pooled two-proportion z-score —
     the binary-outcome twin of a_welch_ttest.
 
@@ -406,9 +430,14 @@ def b_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
         ev.groupBy("user_id")
         .agg(
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("conv")
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= _CONV_MIN_PURCHASES
+            )
+            .cast("int")
+            .alias("conv")
         )
         .withColumn("variant", F.when(nib < 8, "A").otherwise("B"))
     )

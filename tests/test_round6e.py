@@ -131,9 +131,10 @@ def test_bpe_pair_stats_match_python_replica(spark):
 
 
 def test_ab_experiment_report_matches_python_replica(spark):
-    conv: dict[int, int] = {}
+    npurch: Counter = Counter()
     for _, _, user_id, etype in _events():
-        conv[user_id] = max(conv.get(user_id, 0), int(etype == "purchase"))
+        npurch[user_id] += int(etype == "purchase")
+    conv = {u: int(n >= 14) for u, n in npurch.items()}
     arms = {"A": [0, 0], "B": [0, 0]}
     for user_id, c in conv.items():
         h = hashlib.md5(str(user_id).encode()).hexdigest()

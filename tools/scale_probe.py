@@ -157,6 +157,13 @@ QUERIES = [
     "b_markov_transitions",
     "t_bpe_pair_stats",
     "b_ab_experiment_report",
+    # round-6 continuation batch 5: iterative LPA (edge-bounded),
+    # map-only chunk manifest, single-shuffle path mining, 4-row
+    # entropy profile
+    "g_label_propagation",
+    "t_rag_chunk_manifest",
+    "b_session_path_topk",
+    "a_column_entropy_report",
 ]
 
 
