@@ -101,6 +101,20 @@ HEADLINE = [
     # (corpus explode -> vocabulary -> pair agg)
     "d_bloom_dedup_report",
     "t_bpe_pair_stats",
+    # round-6 continuation batches 5-7: the four heaviest new entries —
+    # iterative LPA over the co-supply graph, the d^2 covariance +
+    # power-iteration fit, the 3-config LSH sweep over one shared
+    # signature frame, and the shingle-join leakage audit
+    "g_label_propagation",
+    "e_pca_power_iteration",
+    "d_minhash_band_sweep",
+    "b_holdout_leakage_check",
+    # round-6 continuation batches 8-9: the cascade funnel (exact +
+    # shingle-join stages), the B x n bootstrap explode, and the
+    # 3-config IVF probe sweep over one shared assignment pass
+    "d_dedup_pipeline_funnel",
+    "a_bootstrap_ci",
+    "e_ivf_nprobe_sweep",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
@@ -246,6 +260,12 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
                     best[n] = min(best.get(n, float("inf")), dt)
         head_total = sum(head_best.values())
         base_total = sum(base_best.values())
+        # per-query movers (best-of-passes deltas), worst 5 each way:
+        # the drill-down for "which query moved" that the totals hide
+        deltas = sorted(
+            ((n, round(head_best[n] - base_best[n], 3)) for n in head_best),
+            key=lambda kv: kv[1],
+        )
         return {
             "ab_baseline_ref": AB_BASELINE_REF,
             "ab_shared_queries": len(shared),
@@ -256,6 +276,8 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
             # spread across passes IS the run's own noise estimate
             "ab_head_passes": head_passes,
             "ab_baseline_passes": base_passes,
+            "ab_regressions": dict(deltas[-5:]),
+            "ab_improvements": dict(deltas[:5]),
         }
     except Exception as exc:  # noqa: BLE001 — A/B is best-effort telemetry
         return {"ab_delta_pct": None, "ab_error": f"{type(exc).__name__}: {exc}"[:200]}

@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None = None):
 # This round's window, per the round-5 verdict item 1:
 #   1-8   the 8 names never driver-verified (r5 overflow; all pass the
 #         local full-precision replay),
-#   9-39  the 31 NET-NEW gate queries (span-dedup pair, the three
+#   9-50  the 42 NET-NEW gate queries (span-dedup pair, the three
 #         distributed-cumsum production variants, the per-source
 #         budget pair, and the round-6 continuation batches 1-6:
 #         segment dedup pair / boilerplate prefix / quantile
@@ -78,11 +78,15 @@ def query(name: str, oracle: str | None = None):
 #         Markov transitions / BPE pair scan / A/B readout / LPA
 #         communities / RAG chunk manifest / session paths / column
 #         entropy / Matryoshka report / PCA power iteration /
-#         freshness / power analysis -- the driver, not just pytest,
-#         certifies each),
-#   40-50 backfill of the stalest r01-only evidence (the 11 riskiest
-#         dedup/ANN/text names; the rest overflow to 51+ and lead
-#         next round's window).
+#         freshness / power analysis / LSH band sweep / holdout
+#         leakage / CUPED / EMD drift / langid confusion / snaive
+#         backtest+anomaly / dedup funnel / bootstrap CI / jackknife /
+#         IVF nprobe sweep -- the driver, not just pytest, certifies
+#         each; exactly fills the 50-row window with the 8 backlog
+#         names),
+#   51+   all backfill overflows to next round (every overflow name
+#         carries r01 driver evidence + this round's both-SF strict
+#         local replay).
 _VERIFY_FIRST: list[str] = [
     # ---- never driver-verified (r5 positions 51-58)
     "b_new_vs_returning",
@@ -131,6 +135,20 @@ _VERIFY_FIRST: list[str] = [
     "e_pca_power_iteration",      # covariance build + 2 power iterations
     "p_freshness_report",         # per-feed arrival lag + staleness
     "b_power_analysis",           # two-proportion sample-size planning
+    # ---- NET-NEW continuation operators, batch 7 (plans/round6h_ext.py)
+    "d_minhash_band_sweep",       # recall/precision per LSH band config
+    "b_holdout_leakage_check",    # cross-split near-dup leakage audit
+    "b_cuped_adjusted_ab",        # CUPED variance-reduced readout
+    "a_emd_drift",                # Wasserstein-1 drift per event type
+    # ---- NET-NEW continuation operators, batch 8 (plans/round6i_ext.py)
+    "t_langid_confusion",         # classifier eval vs labeled lang
+    "ts_snaive_forecast_eval",    # seasonal-naive MAE/MAPE backtest
+    "d_dedup_pipeline_funnel",    # raw -> exact -> near-dup survival
+    "a_bootstrap_ci",             # deterministic Poisson bootstrap CI
+    # ---- NET-NEW continuation operators, batch 9 (plans/round6j_ext.py)
+    "e_ivf_nprobe_sweep",         # recall/cost curve over probe counts
+    "a_jackknife_se",             # delete-a-group jackknife + influence
+    "ts_snaive_anomaly",          # 2-sigma residual day flags
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -226,6 +244,9 @@ def load_all() -> None:
         round6e_ext,
         round6f_ext,
         round6g_ext,
+        round6h_ext,
+        round6i_ext,
+        round6j_ext,
         streaming_batch,
         textops,
         timeseries,

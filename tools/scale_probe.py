@@ -164,6 +164,26 @@ QUERIES = [
     "t_rag_chunk_manifest",
     "b_session_path_topk",
     "a_column_entropy_report",
+    # round-6 continuation batch 6-7: per-vector/covariance embedding
+    # passes, the shared-signature LSH sweep, the cross-split leakage
+    # audit (shingle-join bounded), 1-row experiment readouts
+    "e_matryoshka_truncation_report",
+    "e_pca_power_iteration",
+    "d_minhash_band_sweep",
+    "b_holdout_leakage_check",
+    "b_cuped_adjusted_ab",
+    "a_emd_drift",
+    # round-6 continuation batch 8: cascade funnel (stage-shrinking),
+    # B-row bootstrap shuffle, bounded-matrix/series evals
+    "d_dedup_pipeline_funnel",
+    "a_bootstrap_ci",
+    "ts_snaive_forecast_eval",
+    "t_langid_confusion",
+    # round-6 continuation batch 9: shared-assignment probe sweep,
+    # g-row jackknife arithmetic, bounded-series anomaly flags
+    "e_ivf_nprobe_sweep",
+    "a_jackknife_se",
+    "ts_snaive_anomaly",
 ]
 
 
@@ -218,12 +238,12 @@ def build(spark) -> None:
         print(f"built {dest}")
 
 
-def probe(spark) -> list[tuple[str, dict[int, float]]]:
+def probe(spark, only: list[str] | None = None) -> list[tuple[str, dict[int, float]]]:
     from etl_data_peri_institute_spark.plans import catalog
 
     catalog.load_all()
     rows = []
-    for name in QUERIES:
+    for name in only if only is not None else QUERIES:
         fn = catalog.QUERIES[name].fn
         times: dict[int, float] = {}
         for n in FACTORS:
@@ -336,9 +356,23 @@ def main() -> None:
         spill_probe()
         return
     spark = get_spark("scale-probe")
-    if "--probe" not in sys.argv:
+    only = None
+    if "--only" in sys.argv:  # append-mode: probe a few names, reuse copies
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    if "--probe" not in sys.argv and only is None:
         build(spark)
-    rows = probe(spark)
+    rows = probe(spark, only)
+    if only is not None:
+        lines = ["", "## Addendum (targeted probe, same copies)", ""]
+        lines += ["| query | t(1x) s | t(3x) s | t(10x) s | ratio 10x |",
+                  "|---|---|---|---|---|"]
+        for name, t in rows:
+            ratio = round(t[10] / t[1], 1) if t[1] else float("nan")
+            lines.append(f"| {name} | {t[1]} | {t[3]} | {t[10]} | {ratio} |")
+        with Path("SCALE_PROBE.md").open("a") as f:
+            f.write("\n".join(lines) + "\n")
+        print("appended addendum to SCALE_PROBE.md")
+        return
     lines = [
         "# SCALE_PROBE — measured scaling, synthetic 3x / 10x of sf0.1",
         "",
