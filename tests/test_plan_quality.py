@@ -484,6 +484,17 @@ def test_catalog_wide_no_cartesian_products(spark):
         "t_quality_percentile_filter", "a_ks_drift", "b_grouped_split",
         "t_burstiness_report",  # 1-row doc-count frame attached via crossJoin
         "t_quality_quantile_normalize",  # 1-row pooled-quantile frame (11 numbers)
+        # round-6 continuation batches 4-9: every BNLJ below is the
+        # bounded 1-row-aggregate (or g-row moment-frame) crossJoin
+        # attachment — the q11 global-threshold pattern, never a
+        # data-sized side
+        "e_pca_power_iteration",   # 1-row norm frame per iteration
+        "p_freshness_report",      # 1-row global-max frame
+        "d_minhash_band_sweep",    # 3x 1-row count frames per config
+        "b_cuped_adjusted_ab",     # 1-row moment/theta + 2 arm rows
+        "a_bootstrap_ci",          # 1-row point/stats/CI frames
+        "e_ivf_nprobe_sweep",      # 1-row truth/cand/caught counts
+        "a_jackknife_se",          # g-row totals + 1-row influence pick
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():
