@@ -149,6 +149,12 @@ _VERIFY_FIRST: list[str] = [
     "e_ivf_nprobe_sweep",         # recall/cost curve over probe counts
     "a_jackknife_se",             # delete-a-group jackknife + influence
     "ts_snaive_anomaly",          # 2-sigma residual day flags
+    # ---- NET-NEW continuation operators, batch 10 (plans/round6k_ext.py)
+    # (positions 51+: outside this round's 50-row driver window — they
+    # carry both-SF local-replay evidence and lead next round's window)
+    "a_theil_sen_trend",          # median-of-slopes robust trend vs OLS
+    "ts_autocorrelation_report",  # ACF at lags 1/2/7 per type
+    "t_normalization_dedup_report",  # dup rates per canonical form
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -247,6 +253,7 @@ def load_all() -> None:
         round6h_ext,
         round6i_ext,
         round6j_ext,
+        round6k_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -184,6 +184,11 @@ QUERIES = [
     "e_ivf_nprobe_sweep",
     "a_jackknife_se",
     "ts_snaive_anomaly",
+    # round-6 continuation batch 10: days^2 pairwise frame, bounded
+    # series windows, pure-column-form distinct counts
+    "a_theil_sen_trend",
+    "ts_autocorrelation_report",
+    "t_normalization_dedup_report",
 ]
 
 
@@ -268,6 +273,13 @@ SPILL_QUERIES = [
     "g_kcore_decomposition",
     "ts_interpolate_linear",
     "b_sessionize",
+    # round-6 continuation: the new pair-enumeration / explode-heavy
+    # entries join the watchlist
+    "g_supplier_similarity",
+    "g_label_propagation",
+    "d_minhash_band_sweep",
+    "b_holdout_leakage_check",
+    "a_bootstrap_ci",
 ]
 
 
