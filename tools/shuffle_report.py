@@ -136,6 +136,33 @@ QUERIES = [
     "d_cdc_chunking",
     "d_cdc_dedup_apply",
     "p_corpus_card",
+    # round-6 continuation batches 4-10
+    "d_bloom_dedup_report",
+    "b_markov_transitions",
+    "t_bpe_pair_stats",
+    "b_ab_experiment_report",
+    "g_label_propagation",
+    "t_rag_chunk_manifest",
+    "b_session_path_topk",
+    "a_column_entropy_report",
+    "e_matryoshka_truncation_report",
+    "e_pca_power_iteration",
+    "p_freshness_report",
+    "b_power_analysis",
+    "d_minhash_band_sweep",
+    "b_holdout_leakage_check",
+    "b_cuped_adjusted_ab",
+    "a_emd_drift",
+    "t_langid_confusion",
+    "ts_snaive_forecast_eval",
+    "d_dedup_pipeline_funnel",
+    "a_bootstrap_ci",
+    "e_ivf_nprobe_sweep",
+    "a_jackknife_se",
+    "ts_snaive_anomaly",
+    "a_theil_sen_trend",
+    "ts_autocorrelation_report",
+    "t_normalization_dedup_report",
 ]
 
 
@@ -208,6 +235,15 @@ def main() -> None:
         "  a bounded handful of rows — the corpus-scale relevance scan",
         "  happens ONCE, before the checkpoint (see the operator",
         "  docstring; 177 s -> 15 s measured when the truncation landed).",
+        "- the sweep queries (`d_minhash_band_sweep`,",
+        "  `e_ivf_nprobe_sweep`) have sum-of-configs static counts by",
+        "  design: one shared signature/assignment frame (eagerly",
+        "  checkpointed) feeds 3 per-config pipelines whose extra",
+        "  exchanges move candidate- or count-sized frames; the",
+        "  corpus-scale pass happens once. Same reading for the",
+        "  1-row-aggregate crossJoin attachments on the stats queries",
+        "  (`a_bootstrap_ci`, `a_jackknife_se`, `b_cuped_adjusted_ab`):",
+        "  broadcast exchanges of single rows.",
     ]
     Path(__file__).resolve().parent.parent.joinpath("SHUFFLES.md").write_text(
         "\n".join(out) + "\n"
