@@ -155,6 +155,10 @@ _VERIFY_FIRST: list[str] = [
     "a_theil_sen_trend",          # median-of-slopes robust trend vs OLS
     "ts_autocorrelation_report",  # ACF at lags 1/2/7 per type
     "t_normalization_dedup_report",  # dup rates per canonical form
+    # ---- NET-NEW continuation operators, batch 11 (plans/round6l_ext.py)
+    # (positions 51+, same note as batch 10)
+    "a_survival_km",              # right-censored Kaplan-Meier curve
+    "p_partition_skew_planner",   # measured skew profile -> scale knobs
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -254,6 +258,7 @@ def load_all() -> None:
         round6i_ext,
         round6j_ext,
         round6k_ext,
+        round6l_ext,
         streaming_batch,
         textops,
         timeseries,

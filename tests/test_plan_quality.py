@@ -495,6 +495,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "a_bootstrap_ci",          # 1-row point/stats/CI frames
         "e_ivf_nprobe_sweep",      # 1-row truth/cand/caught counts
         "a_jackknife_se",          # g-row totals + 1-row influence pick
+        "a_survival_km",           # 1-row total-subjects frame for risk sets
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():

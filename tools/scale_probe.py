@@ -189,6 +189,10 @@ QUERIES = [
     "a_theil_sen_trend",
     "ts_autocorrelation_report",
     "t_normalization_dedup_report",
+    # round-6 continuation batch 11: bounded-support survival windows,
+    # key-sized skew profile
+    "a_survival_km",
+    "p_partition_skew_planner",
 ]
 
 
