@@ -159,6 +159,11 @@ _VERIFY_FIRST: list[str] = [
     # (positions 51+, same note as batch 10)
     "a_survival_km",              # right-censored Kaplan-Meier curve
     "p_partition_skew_planner",   # measured skew profile -> scale knobs
+    # ---- NET-NEW continuation operators, batch 12 (plans/round6m_ext.py)
+    # (positions 51+, same note as batch 10)
+    "b_preference_pairs",         # per-source best-vs-worst DPO pairs
+    "t_tokenizer_fertility",      # tokens/word + bytes/token per lang
+    "b_curriculum_schedule",      # quality-tier stages + cum token frac
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -259,6 +264,7 @@ def load_all() -> None:
         round6j_ext,
         round6k_ext,
         round6l_ext,
+        round6m_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -193,6 +193,11 @@ QUERIES = [
     # key-sized skew profile
     "a_survival_km",
     "p_partition_skew_planner",
+    # round-6 continuation batch 12: co-partitioned rank pair join,
+    # map-side-only fertility, 5-row curriculum frame
+    "b_preference_pairs",
+    "t_tokenizer_fertility",
+    "b_curriculum_schedule",
 ]
 
 
