@@ -164,6 +164,12 @@ _VERIFY_FIRST: list[str] = [
     "b_preference_pairs",         # per-source best-vs-worst DPO pairs
     "t_tokenizer_fertility",      # tokens/word + bytes/token per lang
     "b_curriculum_schedule",      # quality-tier stages + cum token frac
+    # ---- NET-NEW continuation operators, batch 13 (plans/round6n_ext.py)
+    # (positions 51+, same note as batch 10)
+    "d_dup_cluster_size_dist",    # dup-cluster size histogram + shares
+    "t_vocab_coverage_curve",     # token-mass coverage at vocab cutoffs
+    "a_bh_fdr",                   # Benjamini-Hochberg step-up control
+    "e_embedding_qa_report",      # norms/dims/zero-vector pre-flight
     # ---- r01-only evidence backfill, riskiest first: dedup/ANN/text
     # operators whose code paths moved most since round 1
     "d_dedup_components",
@@ -265,6 +271,7 @@ def load_all() -> None:
         round6k_ext,
         round6l_ext,
         round6m_ext,
+        round6n_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -198,6 +198,12 @@ QUERIES = [
     "b_preference_pairs",
     "t_tokenizer_fertility",
     "b_curriculum_schedule",
+    # round-6 continuation batch 13: hash-cluster histogram, vocab rank
+    # fold, hypotheses-sized BH frame, per-row norm fold
+    "d_dup_cluster_size_dist",
+    "t_vocab_coverage_curve",
+    "a_bh_fdr",
+    "e_embedding_qa_report",
 ]
 
 
