@@ -42,24 +42,45 @@ def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("m_multimodal_features", oracle=None)
+@query(
+    "m_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           md5(text) AS content_hash,
+           8 AS feature_dim,
+           TRUE AS features_sum_ok
+    FROM documents ORDER BY doc_id
+    """,
+)
 def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media feature extraction via mapInPandas (stub decode
-    with the deterministic fake — operators/multimodal.py). Rows-only
-    check: the per-byte histogram is not practically SQL-expressible in
-    the oracle dialect; unit tests pin exact feature values instead."""
+    with the deterministic fake — operators/multimodal.py).
+
+    Hash-oracle design (the per-byte histogram itself is not
+    SQL-expressible in the oracle dialect): the EXACT columns DuckDB can
+    recompute — payload byte length (``strlen`` counts utf-8 bytes, =
+    Spark's ``octet_length(encode(text))``) and the payload md5 (both
+    engines hash the same utf-8 bytes) — plus two PROPERTY columns the
+    oracle emits as literals and Spark computes from the real feature
+    vector: dimensionality (must be 8) and the histogram-normalization
+    invariant (fractions sum to 1 within 1e-4 whenever n_bytes > 0). A
+    decode regression flips a boolean / changes a hash and the driver
+    compare goes red; the exact per-bin values stay pinned by
+    tests/test_multimodal.py."""
     from ..operators.multimodal import attach_binary_payload, decode_image_features
 
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_image_features(attach_binary_payload(docs), fake=True)
-    # Gate outputs must be scalar columns: the driver's canonicalizer
-    # sorts rows via pandas and dies on array cells, so serialize the
-    # feature vector to its JSON text (deterministic for identical bytes).
+    fsum = F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x)
     return feats.select(
         "doc_id",
         "n_bytes",
         "content_hash",
-        F.to_json(F.col("features")).alias("features_json"),
+        F.size("features").alias("feature_dim"),
+        F.when(F.col("n_bytes") > 0, F.abs(fsum - 1.0) < 1e-4)
+        .otherwise(F.lit(True))
+        .alias("features_sum_ok"),
     ).orderBy("doc_id")
 
 
@@ -128,31 +149,60 @@ def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_approx_sketches", oracle=None)
+@query(
+    "a_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_p50_ok,
+           TRUE AS approx_p95_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches: HLL++ distinct counts and approximate
-    quantiles. No oracle — the estimates are algorithm-specific (DuckDB's
-    approx functions use different sketch parameters); the companion
-    a_exact_percentile query pins the exact counterparts."""
+    quantiles, hash-oracled as PROPERTIES (the raw estimates are
+    algorithm-specific — DuckDB's sketches use different parameters, so
+    value-matching them is meaningless). The oracle recomputes the EXACT
+    distinct count (two-sided check: Spark emits its own exact
+    countDistinct next to the sketch) and emits literal TRUE for three
+    tolerance booleans Spark computes from the real estimates:
+
+    - ``approx_parts_ok``: |HLL(rsd=0.02) − exact| ≤ 6 % of exact
+      (3 standard errors; HLL++ is deterministic for fixed data, so
+      this is a stable pass, not a flaky one);
+    - ``approx_p50_ok`` / ``approx_p95_ok``: percentile_approx
+      (accuracy 10000 ⇒ rank error ≤ n/10000) lands between the exact
+      p45–p55 / p90–p99 ranks, computed with exact ``percentile``.
+
+    A sketch regression flips a boolean → driver hash mismatch. The
+    companion a_exact_percentile query pins the exact counterparts."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Scalar-only gate output (array cells crash the driver canonicalizer):
-    # explode the three quantile levels into one scalar column each.
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            pcts.alias("_pcts"),
-        )
-        .select(
-            "l_returnflag",
-            "approx_parts",
-            F.col("_pcts")[0].alias("approx_p50"),
-            F.col("_pcts")[1].alias("approx_p95"),
-            F.col("_pcts")[2].alias("approx_p99"),
-        )
-        .orderBy("l_returnflag")
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99))"
     )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        pcts.alias("_pcts"),
+        exact.alias("_ex"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.06 * F.col("exact_parts")
+        ).alias("approx_parts_ok"),
+        F.col("_pcts")[0].between(F.col("_ex")[0], F.col("_ex")[1]).alias(
+            "approx_p50_ok"
+        ),
+        F.col("_pcts")[1].between(F.col("_ex")[2], F.col("_ex")[3]).alias(
+            "approx_p95_ok"
+        ),
+    ).orderBy("l_returnflag")
 
 
 @query(
