@@ -288,16 +288,51 @@ class ParquetStore:
         }
         return sorted(cols)
 
+    # Characters Spark's hive-path writer percent-escapes in partition
+    # directory names (ExternalCatalogUtils.escapePathName, public Spark
+    # source). _hive_part_dirname must produce the EXACT dir name Spark
+    # writes or the scoped swap would miss a partition — a roundtrip
+    # check in _upsert_scoped falls back to the full rewrite whenever
+    # the formatted name disagrees with what is actually on disk.
+    _HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+    @classmethod
+    def _hive_part_dirname(cls, col: str, value) -> str:
+        if value is None:
+            return f"{col}=__HIVE_DEFAULT_PARTITION__"
+        s = str(value)
+        escaped = "".join(
+            f"%{ord(ch):02X}" if ch in cls._HIVE_ESCAPE else ch for ch in s
+        )
+        return f"{col}={escaped}"
+
     def upsert(self, df: DataFrame, table: str, pk: str) -> int:
         """Insert-or-update on PK (reference upsert, etl/load.py:283).
 
-        Incoming is staged once (snapshot), then: anti-join keeps
-        non-colliding target rows; union with the staged incoming; write
-        to a temp dir and swap so a failed write never corrupts the
-        table (poor-man's MERGE INTO; see module docstring). A
-        partitioned table keeps its hive layout: the merged rewrite is
-        re-partitioned on the detected partition columns instead of
-        flattening them.
+        Incoming is staged once (snapshot); then:
+
+        - **Partition-scoped path** (hive-partitioned table, single
+          partition level — the layout ``insert(partition_by=...)``
+          writes): only the partitions that the upsert TOUCHES are
+          rewritten. Affected = partitions any incoming row lands in ∪
+          partitions currently holding a colliding PK (covers rows whose
+          partition value changes). Kept rows of affected partitions are
+          anti-joined against incoming PKs, unioned with incoming,
+          written to a temp dir, and swapped in per-partition via
+          backup-rename. Untouched partition directories are never
+          opened, read, or rewritten — at 100 TB a daily upsert against
+          a date-partitioned master table costs O(touched partitions),
+          not O(table), which is the plain-parquet analogue of Delta/
+          Iceberg MERGE file pruning. The partition-pruning filter means
+          the read side also scans only the affected directories.
+        - **Full-rewrite fallback** (unpartitioned table, multi-level
+          layouts, or a partition-name roundtrip mismatch): anti-join
+          keeps non-colliding target rows, union with incoming, write to
+          a temp dir and atomically swap — correct at any size, O(table)
+          write cost.
+
+        A failed write never corrupts the table on either path (temp dir
+        + backup-rename; no step holds the only copy mid-delete).
         """
         stage, n = self._stage(df, table)
         try:
@@ -305,6 +340,12 @@ class ParquetStore:
                 return 0
             incoming = self.spark.read.parquet(stage)
             part_cols = self._detect_partition_cols(table)
+            if (
+                self.exists(table)
+                and len(part_cols) == 1
+                and self._upsert_scoped(incoming, table, pk, part_cols[0])
+            ):
+                return n
             if self.exists(table):
                 current = self.read(table)
                 kept = current.join(incoming.select(pk).distinct(), pk, "left_anti")
@@ -324,6 +365,104 @@ class ParquetStore:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return n
+
+    def _upsert_scoped(
+        self, incoming: DataFrame, table: str, pk: str, pc: str
+    ) -> bool:
+        """Partition-scoped merge body. Returns True when the scoped swap
+        committed; False to signal 'use the full rewrite' (roundtrip
+        safety check failed — e.g. a partition value whose formatted dir
+        name does not match what Spark wrote)."""
+        final = self.path(table)
+        current = self.read(table)
+        in_keys = incoming.select(pk).distinct()
+        # Affected partition values: where incoming rows land + where
+        # colliding PKs currently live. The collect is bounded by the
+        # number of TOUCHED partitions (an operational number — days in
+        # the batch — never table-sized).
+        aff_rows = (
+            incoming.select(F.col(pc).alias("v"))
+            .unionByName(
+                current.join(in_keys, pk, "left_semi").select(F.col(pc).alias("v"))
+            )
+            .distinct()
+            .collect()
+        )
+        vals = [r["v"] for r in aff_rows]
+        want = {self._hive_part_dirname(pc, v) for v in vals}
+        on_disk = {
+            d for d in os.listdir(final)
+            if "=" in d and os.path.isdir(os.path.join(final, d))
+        }
+        # Roundtrip check: every affected partition that exists on disk
+        # must be addressable by its formatted name. Values sourced from
+        # `current` were parsed FROM dir names, so a miss means our
+        # formatter disagrees with Spark's writer — fall back.
+        current_vals = {
+            self._hive_part_dirname(pc, r["v"])
+            for r in current.join(in_keys, pk, "left_semi")
+            .select(F.col(pc).alias("v"))
+            .distinct()
+            .collect()
+        }
+        if current_vals - on_disk:
+            return False
+        non_null = [v for v in vals if v is not None]
+        has_null = len(non_null) < len(vals)
+        pred = F.col(pc).isin(non_null) if non_null else F.lit(False)
+        if has_null:
+            pred = pred | F.col(pc).isNull()
+        # Partition-pruned read: only affected directories are scanned.
+        kept = current.filter(pred).join(in_keys, pk, "left_anti")
+        merged = kept.unionByName(incoming)
+        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_pmerge_")
+        try:
+            merged.write.mode("overwrite").partitionBy(pc).parquet(tmp)
+            tmp_dirs = {
+                d for d in os.listdir(tmp)
+                if "=" in d and os.path.isdir(os.path.join(tmp, d))
+            }
+            if tmp_dirs - want:
+                # Formatter/writer disagreement the other way: a written
+                # dir we did not predict. Fall back before touching final.
+                return False
+            self._swap_partitions(tmp, table, sorted(want | tmp_dirs))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return True
+
+    def _swap_partitions(
+        self, tmp: str, table: str, affected_dirs: list[str]
+    ) -> None:
+        """Per-partition backup-rename swap: affected dirs in ``final``
+        are renamed aside, the rewritten dirs moved in from ``tmp``
+        (an affected dir absent from ``tmp`` was emptied by the merge
+        and stays removed), backups dropped on success, restored on
+        failure. Untouched partition directories are never renamed,
+        rewritten, or even opened — their files stay byte-identical
+        (pinned by tests/test_sinks.py)."""
+        final = self.path(table)
+        token = os.path.basename(tmp)
+        backups: list[tuple[str, str]] = []
+        try:
+            for d in affected_dirs:
+                src = os.path.join(final, d)
+                if os.path.isdir(src):
+                    bak = os.path.join(final, f".{d}.__bak_{token}")
+                    os.replace(src, bak)
+                    backups.append((src, bak))
+            for d in os.listdir(tmp):
+                p = os.path.join(tmp, d)
+                if "=" in d and os.path.isdir(p):
+                    os.replace(p, os.path.join(final, d))
+        except Exception:
+            for src, bak in backups:
+                shutil.rmtree(src, ignore_errors=True)
+                if not os.path.isdir(src):
+                    os.replace(bak, src)
+            raise
+        for _src, bak in backups:
+            shutil.rmtree(bak, ignore_errors=True)
 
     def delete_rows(self, table: str, key: str, keys: DataFrame) -> int:
         """Targeted deletion — the right-to-be-forgotten / takedown

@@ -122,6 +122,113 @@ def test_upsert_empty_noop(spark, tmp_path):
     assert not store.exists("t")
 
 
+def _file_state(root):
+    """(relative path -> (size, mtime_ns, sha256)) for every data file."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            p = os.path.join(dirpath, name)
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                digest = hashlib.sha256(fh.read()).hexdigest()
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, digest)
+    return out
+
+
+def test_upsert_partition_scoped_untouched_bytes(spark, tmp_path):
+    """The scale contract of the partition-scoped upsert: partitions the
+    upsert does not touch are not rewritten — their files stay
+    byte-identical (same bytes, same mtime: never re-opened)."""
+    import os
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40), (5, "c", 50)],
+        "pk int, dt string, v int",
+    )
+    store.insert(base, "t", partition_by=["dt"])
+    final = store.path("t")
+    before_b = _file_state(os.path.join(final, "dt=b"))
+    before_c = _file_state(os.path.join(final, "dt=c"))
+
+    up = spark.createDataFrame(
+        [(1, "a", 11), (6, "a", 60), (7, "d", 70)], "pk int, dt string, v int"
+    )
+    assert store.upsert(up, "t", "pk") == 3
+
+    # untouched partitions b and c: byte-identical, not even re-opened
+    assert _file_state(os.path.join(final, "dt=b")) == before_b
+    assert _file_state(os.path.join(final, "dt=c")) == before_c
+    # new partition dir materialized
+    assert os.path.isdir(os.path.join(final, "dt=d"))
+    rows = {r["pk"]: (r["dt"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {
+        1: ("a", 11), 2: ("a", 20), 3: ("b", 30), 4: ("c", 40),
+        5: ("c", 50), 6: ("a", 60), 7: ("d", 70),
+    }
+    # no stray backup/staging dirs left behind
+    leftovers = [
+        d for d in os.listdir(final)
+        if d.startswith(".") and os.path.isdir(os.path.join(final, d))
+    ]
+    assert leftovers == []
+
+
+def test_upsert_partition_move_and_empty_dir_removed(spark, tmp_path):
+    """A colliding PK whose partition value CHANGES must leave its old
+    partition (both affected); a partition emptied by the move loses its
+    directory entirely."""
+    import os
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk int, dt string, v int"
+    )
+    store.insert(base, "t", partition_by=["dt"])
+    up = spark.createDataFrame([(1, "b", 11)], "pk int, dt string, v int")
+    assert store.upsert(up, "t", "pk") == 1
+    rows = {r["pk"]: (r["dt"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {1: ("b", 11), 2: ("b", 20)}
+    assert not os.path.isdir(os.path.join(store.path("t"), "dt=a"))
+
+
+def test_upsert_partition_scoped_null_and_escaped_values(spark, tmp_path):
+    """Null partition values (__HIVE_DEFAULT_PARTITION__) and values
+    Spark percent-escapes in dir names route through the scoped path
+    correctly (or fall back to the full rewrite — either way the table
+    contents must be exact)."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, "x y:z", 20), (3, "plain", 30)],
+        "pk int, dt string, v int",
+    )
+    store.insert(base, "t", partition_by=["dt"])
+    up = spark.createDataFrame(
+        [(1, None, 11), (2, "x y:z", 21)], "pk int, dt string, v int"
+    )
+    assert store.upsert(up, "t", "pk") == 2
+    rows = {r["pk"]: (r["dt"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {1: (None, 11), 2: ("x y:z", 21), 3: ("plain", 30)}
+
+
+def test_upsert_int_partition_scoped(spark, tmp_path):
+    """Integer partition values roundtrip through the dir-name formatter
+    (hive reads them back typed; the formatted name must still match)."""
+    import os
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    base = spark.createDataFrame([(1, 7, 10), (2, 8, 20)], "pk int, b int, v int")
+    store.insert(base, "t", partition_by=["b"])
+    before = _file_state(os.path.join(store.path("t"), "b=8"))
+    store.upsert(spark.createDataFrame([(1, 7, 99)], "pk int, b int, v int"), "t", "pk")
+    assert _file_state(os.path.join(store.path("t"), "b=8")) == before
+    rows = {r["pk"]: r["v"] for r in store.read("t").collect()}
+    assert rows == {1: 99, 2: 20}
+
+
 def test_insert_layout_mismatch_raises(spark, tmp_path):
     """A flat insert into a partitioned table (or vice versa, or with
     different partition columns) must raise — a silent mixed layout
