@@ -91,6 +91,7 @@ _VERIFY_FIRST: list[str] = [
     "m_multimodal_features",
     "a_approx_sketches",
     # ---- NET-NEW round-7 gate queries
+    "t_vocab_coverage_curve_production",  # distributed-rank crossover twin
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",

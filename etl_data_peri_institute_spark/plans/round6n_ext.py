@@ -132,35 +132,35 @@ def _vocab_oracle() -> str:
     """
 
 
-@query("t_vocab_coverage_curve", oracle=_vocab_oracle())
-def t_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage curve: at each candidate vocab size k in
-    {100, 1k, 10k}, how much of the corpus token mass the top-k words
-    (by frequency, ties broken lexically) cover, and the complementary
-    OOV rate — the curve that sizes a word-level vocab or sanity-checks
-    a BPE budget (Zipf's law says coverage grows ~log k; t_zipf_fit
-    measures the exponent, this measures the planner's actual
-    question). vocab_used < k when the corpus has fewer types.
+# Above this many DOCUMENTS the vocab frame's type count is assumed to
+# outgrow a single-partition rank window (types grow ~ corpus^0.5-0.7,
+# Heaps' law; 5M docs ≈ tens of millions of types) and the curve
+# switches to the distributed row-number. Doc count is a parquet
+# metadata read — the switch costs no data scan.
+_VOCAB_DISTRIBUTED_MIN_DOCS = 5_000_000
 
-    Scale shape: one exploded-token count groupBy (map-side combined)
-    to the VOCAB frame; one rank window over that frame feeds a single
-    fold computing every cutoff at once (conditional sums), unpivoted
-    to 3 rows — the corpus is scanned once and nothing joins. At
-    web-scale type counts the rank window switches to the distributed
-    row-number (operators/cumsum.py), same report.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+
+def _vocab_curve(docs: DataFrame, distributed: bool) -> DataFrame:
+    """Shared body of the coverage curve; ``distributed`` selects the
+    rank machinery (global window vs operators/cumsum.py row-number).
+    Both paths produce identical output — pinned by
+    tests/test_round6n.py and the 10x scale probe."""
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    ranked = vocab.select(
-        "c",
-        F.row_number()
-        .over(W.orderBy(F.col("c").desc(), "word"))
-        .alias("rn"),
-    )
+    order = [F.col("c").desc(), F.col("word").asc()]
+    if distributed:
+        from ..operators.cumsum import global_row_number
+
+        with_rn, _n = global_row_number(vocab, order, out_col="rn")
+        ranked = with_rn.select("c", "rn")
+    else:
+        ranked = vocab.select(
+            "c",
+            F.row_number().over(W.orderBy(*order)).alias("rn"),
+        )
     folded = ranked.agg(
         F.sum("c").alias("total"),
         *[
@@ -197,6 +197,46 @@ def t_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_cutoff")
     )
+
+
+@query("t_vocab_coverage_curve", oracle=_vocab_oracle())
+def t_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: at each candidate vocab size k in
+    {100, 1k, 10k}, how much of the corpus token mass the top-k words
+    (by frequency, ties broken lexically) cover, and the complementary
+    OOV rate — the curve that sizes a word-level vocab or sanity-checks
+    a BPE budget (Zipf's law says coverage grows ~log k; t_zipf_fit
+    measures the exponent, this measures the planner's actual
+    question). vocab_used < k when the corpus has fewer types.
+
+    Scale shape: one exploded-token count groupBy (map-side combined)
+    to the VOCAB frame; one rank pass over that frame feeds a single
+    fold computing every cutoff at once (conditional sums), unpivoted
+    to 3 rows — the corpus is scanned once and nothing joins. The rank
+    machinery SWITCHES on corpus size (round-7, the wired crossover):
+    below _VOCAB_DISTRIBUTED_MIN_DOCS documents (a parquet metadata
+    count, no scan) the single-partition global window wins (one tiny
+    exchange); above it the distributed row-number
+    (operators/cumsum.py) removes the one-reducer bottleneck. Both
+    paths emit identical rows (test + 10x probe); the gate form
+    resolves to the window at driver SFs, and the _production twin
+    pins the distributed path under the same oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    distributed = docs.count() >= _VOCAB_DISTRIBUTED_MIN_DOCS
+    return _vocab_curve(docs, distributed=distributed)
+
+
+@query("t_vocab_coverage_curve_production", oracle=_vocab_oracle())
+def t_vocab_coverage_curve_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forced-distributed twin of t_vocab_coverage_curve: the rank runs
+    through operators/cumsum.py's range-partitioned row-number — the
+    path a web-scale type count takes — verified against the SAME
+    DuckDB oracle as the window form (the b_*_production pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _vocab_curve(docs, distributed=True)
 
 
 # --------------------------------------------------------------------------

@@ -170,3 +170,28 @@ def test_embedding_qa_matches_python_replica(spark):
         # QA invariants the synthetic embeddings must satisfy
         assert r["n_dims_seen"] == 1
         assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
+
+
+def test_vocab_curve_distributed_rank_identical_to_window(spark):
+    """The wired crossover (round 7): the distributed row-number path
+    must emit EXACTLY the window path's rows — same ranks, same folds,
+    same rounding."""
+    window = _q("t_vocab_coverage_curve")(spark, SF).collect()
+    dist = _q("t_vocab_coverage_curve_production")(spark, SF).collect()
+    assert [tuple(r) for r in window] == [tuple(r) for r in dist]
+
+
+def test_vocab_curve_auto_switch_threshold(spark):
+    """Below the doc-count threshold the gate form plans a window rank
+    (single Exchange to one partition); the production twin plans the
+    range-partitioned mapInPandas row-number instead."""
+    from etl_data_peri_institute_spark.plans import round6n_ext as m
+
+    gate_plan = _q("t_vocab_coverage_curve")(spark, SF)._jdf.queryExecution().toString()
+    prod_plan = _q("t_vocab_coverage_curve_production")(spark, SF)._jdf.queryExecution().toString()
+    assert "row_number()" in gate_plan.lower() or "RunningWindowFunction" in gate_plan
+    # the distributed path localCheckpoints (plan truncates to an
+    # ExistingRDD scan carrying the partition-id/offset merge columns)
+    assert "__pid" in prod_plan and "ExistingRDD" in prod_plan
+    assert "row_number()" not in prod_plan.lower()
+    assert m._VOCAB_DISTRIBUTED_MIN_DOCS > 1_000_000
