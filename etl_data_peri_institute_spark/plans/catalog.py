@@ -92,6 +92,11 @@ _VERIFY_FIRST: list[str] = [
     "a_approx_sketches",
     # ---- NET-NEW round-7 gate queries
     "t_vocab_coverage_curve_production",  # distributed-rank crossover twin
+    # round-7 batch 1 (plans/round7_ext.py): privacy + split hygiene
+    "t_pii_scrub_report",         # per-source PII/blocklist exposure audit
+    "t_pii_scrub_apply",          # redaction apply, scrubbed-bytes hash
+    "t_repetition_ratio",         # duplicate-bigram quality statistic
+    "b_kfold_assign",             # deterministic hash k-fold + balance
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -182,6 +187,7 @@ def load_all() -> None:
         round6l_ext,
         round6m_ext,
         round6n_ext,
+        round7_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -1,0 +1,93 @@
+"""Round-7 batch tests: python replicas at sf0.001 (the DuckDB oracle
+cross-check runs in tools/oracle_check.py / the driver gate; these pin
+the semantics against an independent in-process reimplementation)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+
+from etl_data_peri_institute_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    catalog.load_all()
+    return catalog.QUERIES[name].fn
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+
+def test_pii_scrub_report_matches_python_replica(spark):
+    block = {"customer", "spark"}
+    agg = defaultdict(lambda: [0, 0, 0])  # n_docs, block_hits, docs_with
+    for _id, text, source in _docs():
+        hits = sum(1 for w in text.split(" ") if w in block)
+        a = agg[source]
+        a[0] += 1
+        a[1] += hits
+        a[2] += 1 if hits else 0
+    rows = {r["source"]: r for r in _q("t_pii_scrub_report")(spark, SF).collect()}
+    assert set(rows) == set(agg)
+    for source, (n, bh, dw) in agg.items():
+        r = rows[source]
+        assert (r["n_docs"], r["blocklist_hits"], r["docs_with_blockterm"]) == (n, bh, dw)
+        # synthetic corpus has no digits or emails — the regex detectors
+        # must report the true zero, not a false positive
+        assert r["email_hits"] == r["ipv4_hits"] == r["longnum_hits"] == 0
+        assert abs(r["blockterm_doc_rate"] - round(dw / n, 4)) < 1e-9
+
+
+def test_pii_scrub_apply_matches_python_replica(spark):
+    pat = re.compile(r"\b(customer|spark)\b")
+    rows = {r["doc_id"]: r for r in _q("t_pii_scrub_apply")(spark, SF).collect()}
+    for doc_id, text, _source in _docs():
+        scrubbed = pat.sub("<TERM>", text)
+        r = rows[doc_id]
+        assert r["n_redactions"] == len(pat.findall(text))
+        assert r["scrub_hash"] == hashlib.md5(scrubbed.encode()).hexdigest()
+        assert r["scrub_len"] == len(scrubbed.encode())
+
+
+def test_repetition_ratio_matches_python_replica(spark):
+    per_source = defaultdict(list)
+    for _id, text, source in _docs():
+        toks = text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bgs:
+            per_source[source].append(1.0 - len(set(bgs)) / len(bgs))
+    rows = {r["source"]: r for r in _q("t_repetition_ratio")(spark, SF).collect()}
+    assert set(rows) == set(per_source)
+    for source, fracs in per_source.items():
+        r = rows[source]
+        assert r["n_docs"] == len(fracs)
+        assert abs(r["avg_dup_frac"] - round(sum(fracs) / len(fracs), 4)) <= 1e-4
+        assert abs(r["max_dup_frac"] - round(max(fracs), 4)) <= 1e-4
+        assert r["n_docs_over_half"] == sum(f > 0.5 for f in fracs)
+
+
+def test_kfold_assign_balanced_and_deterministic(spark):
+    out1 = _q("b_kfold_assign")(spark, SF).collect()
+    out2 = _q("b_kfold_assign")(spark, SF).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]  # no RNG
+    folds = {r["fold"]: r for r in out1}
+    assert set(folds) <= set(range(5))
+    total = sum(r["n_docs"] for r in out1)
+    docs = _docs()
+    assert total == len(docs)
+    # replica: fold from the md5 nibble
+    want = Counter(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[0], 16)) % 5
+        for d, _t, _s in docs
+    )
+    for fold, n in want.items():
+        assert folds[fold]["n_docs"] == n
+        assert abs(folds[fold]["doc_share"] - round(n / total, 4)) < 1e-9
