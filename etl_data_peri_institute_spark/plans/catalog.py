@@ -97,6 +97,11 @@ _VERIFY_FIRST: list[str] = [
     "t_pii_scrub_apply",          # redaction apply, scrubbed-bytes hash
     "t_repetition_ratio",         # duplicate-bigram quality statistic
     "b_kfold_assign",             # deterministic hash k-fold + balance
+    # round-7 batch 2 (plans/round7b_ext.py): weighting/mixing/causal/robust
+    "d_soft_dedup_weights",       # 1/cluster-size duplicate-aware weights
+    "b_token_waterline",          # budget-exact water-filling allocation
+    "b_did_estimator",            # difference-in-differences + pooled SE
+    "a_winsorized_stats",         # p05/p95-clamped robust moments
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -188,6 +193,7 @@ def load_all() -> None:
         round6m_ext,
         round6n_ext,
         round7_ext,
+        round7b_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -91,3 +91,82 @@ def test_kfold_assign_balanced_and_deterministic(spark):
     for fold, n in want.items():
         assert folds[fold]["n_docs"] == n
         assert abs(folds[fold]["doc_share"] - round(n / total, 4)) < 1e-9
+
+
+def test_soft_dedup_weights_matches_python_replica(spark):
+    texts = duckdb.sql(
+        f"SELECT text, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    sizes = Counter(t for t, _s in texts)
+    agg = defaultdict(lambda: [0, 0.0, 0])
+    for t, s in texts:
+        agg[s][0] += 1
+        agg[s][1] += 1.0 / sizes[t]
+        agg[s][2] += 1 if sizes[t] > 1 else 0
+    rows = {r["source"]: r for r in _q("d_soft_dedup_weights")(spark, SF).collect()}
+    assert set(rows) == set(agg)
+    total_eff = 0.0
+    for s, (n, eff, dup) in agg.items():
+        r = rows[s]
+        assert r["n_docs"] == n
+        assert abs(r["effective_docs"] - round(eff, 4)) <= 1e-4
+        assert r["n_duplicated_docs"] == dup
+        total_eff += eff
+    # invariant: total effective size == number of DISTINCT texts
+    assert abs(total_eff - len(sizes)) < 1e-6
+
+
+def test_token_waterline_solves_budget_exactly(spark):
+    rows = _q("b_token_waterline")(spark, SF).collect()
+    budget = rows[0]["budget"]
+    total_alloc = sum(r["allocated"] for r in rows)
+    # water-filling exactness: allocations sum to the budget (within
+    # rounding of the per-source 2-decimal rounding)
+    assert abs(total_alloc - budget) <= 0.01 * len(rows)
+    for r in rows:
+        assert 0 < r["allocated"] <= r["tokens"] + 1e-9
+        assert abs(r["kept_frac"] - round(r["allocated"] / r["tokens"], 4)) <= 1e-3
+        # sources under the waterline are taken whole
+        if r["tokens"] < r["waterline"]:
+            assert r["allocated"] == r["tokens"]
+
+
+def test_did_estimator_matches_python_replica(spark):
+    import math
+
+    evs = duckdb.sql(
+        f"SELECT event_type, user_id, ts, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    cells = defaultdict(list)
+    for et, uid, ts, v in evs:
+        treat = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+        post = 1 if ts.day > 15 else 0
+        cells[(et, treat, post)].append(v)
+    rows = {r["event_type"]: r for r in _q("b_did_estimator")(spark, SF).collect()}
+    for et in rows:
+        def m(t, p):
+            vals = cells[(et, t, p)]
+            return sum(vals) / len(vals)
+
+        def var_over_n(t, p):
+            vals = cells[(et, t, p)]
+            mu = sum(vals) / len(vals)
+            return (sum((x - mu) ** 2 for x in vals) / (len(vals) - 1)) / len(vals)
+
+        did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+        se = math.sqrt(sum(var_over_n(t, p) for t in (0, 1) for p in (0, 1)))
+        r = rows[et]
+        assert abs(r["did"] - round(did, 6)) <= 1e-6
+        assert abs(r["se"] - round(se, 6)) <= 1e-6
+        assert abs(r["t_stat"] - round(did / se, 4)) <= 1e-3
+
+
+def test_winsorized_stats_bounds(spark):
+    rows = _q("a_winsorized_stats")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # clamping can only shrink dispersion; means stay within the tails
+        assert r["wins_std"] <= r["raw_std"] + 1e-9
+        assert r["n_clamped"] <= r["n"]
+        # ~10% of mass sits outside [p05, p95] by construction
+        assert 0.02 <= r["n_clamped"] / r["n"] <= 0.2
