@@ -102,6 +102,10 @@ _VERIFY_FIRST: list[str] = [
     "b_token_waterline",          # budget-exact water-filling allocation
     "b_did_estimator",            # difference-in-differences + pooled SE
     "a_winsorized_stats",         # p05/p95-clamped robust moments
+    # round-7 batch 3 (plans/round7c_ext.py): PQ compression + STL-lite
+    "e_pq_codebook",              # 4x16 PQ fit, assignment census
+    "e_pq_adc_topk",              # asymmetric-distance top-k + exact d2
+    "ts_seasonal_decompose",      # MA trend + DOW indices + strength
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -194,6 +198,7 @@ def load_all() -> None:
         round6n_ext,
         round7_ext,
         round7b_ext,
+        round7c_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -170,3 +170,61 @@ def test_winsorized_stats_bounds(spark):
         assert r["n_clamped"] <= r["n"]
         # ~10% of mass sits outside [p05, p95] by construction
         assert 0.02 <= r["n_clamped"] / r["n"] <= 0.2
+
+
+def test_pq_codebook_census_shape(spark):
+    rows = _q("e_pq_codebook")(spark, SF).collect()
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    by_ss = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["ss"] < 4
+        assert r["avg_d2"] >= 0
+        by_ss[r["ss"]] += r["n_assigned"]
+    # every vector gets exactly one code per subspace
+    assert set(by_ss) == {0, 1, 2, 3}
+    assert all(v == n_vecs for v in by_ss.values())
+
+
+def test_pq_adc_topk_bounds_and_rank(spark):
+    rows = _q("e_pq_adc_topk")(spark, SF).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    adc = [r["adc_d2"] for r in rows]
+    assert adc == sorted(adc)
+    for r in rows:
+        assert r["adc_d2"] >= 0 and r["exact_d2"] >= 0
+
+
+def test_seasonal_decompose_matches_python_replica(spark):
+    from statistics import mean, variance
+
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+            FROM '{SF}/events.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, d, n in daily:
+        series[et].append((d, n))
+    rows = {(r["event_type"], r["dow"]): r for r in
+            _q("ts_seasonal_decompose")(spark, SF).collect()}
+    for et, pts in series.items():
+        ns = [n for _d, n in pts]
+        detr_by_dow, detr_all, rem_all = defaultdict(list), [], []
+        for i, (d, n) in enumerate(pts):
+            lo, hi = max(0, i - 3), min(len(pts), i + 4)
+            detr = n - mean(ns[lo:hi])
+            dow = (d.weekday() + 1) % 7  # python Mon=0 -> Sunday-start 0..6
+            detr_by_dow[dow].append(detr)
+            detr_all.append((dow, detr))
+        seas = {dow: mean(v) for dow, v in detr_by_dow.items()}
+        for dow, detr in detr_all:
+            rem_all.append(detr - seas[dow])
+        strength = round(max(0.0, 1 - variance(rem_all) /
+                             variance([x for _dw, x in detr_all])), 4)
+        for dow, s in seas.items():
+            r = rows[(et, dow)]
+            assert abs(r["seasonal_idx"] - round(s, 4)) <= 1e-4
+            assert r["n_days"] == len(detr_by_dow[dow])
+            assert abs(r["seasonal_strength"] - strength) <= 1e-4
