@@ -120,6 +120,15 @@ HEADLINE = [
     "d_dedup_pipeline_funnel",
     "a_bootstrap_ci",
     "e_ivf_nprobe_sweep",
+    # round-7 additions: the heaviest new entries — the bigram-explode
+    # repetition statistic, the content-hash-window soft-dedup weights,
+    # the two-Lloyd-step PQ fit + ADC search, and the distributed-rank
+    # vocab twin (its window form t_vocab_coverage_curve predates it in
+    # EXTRA-history; both now tracked)
+    "t_repetition_ratio",
+    "d_soft_dedup_weights",
+    "e_pq_adc_topk",
+    "t_vocab_coverage_curve_production",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -106,6 +106,11 @@ _VERIFY_FIRST: list[str] = [
     "e_pq_codebook",              # 4x16 PQ fit, assignment census
     "e_pq_adc_topk",              # asymmetric-distance top-k + exact d2
     "ts_seasonal_decompose",      # MA trend + DOW indices + strength
+    # round-7 batch 4 (plans/round7d_ext.py): semantic dedup + guardrails
+    "d_semdedup_report",          # cluster-scoped cosine near-dup census
+    "t_doc_entropy_filter",       # per-doc unigram entropy filter
+    "b_dedup_aware_mixture",      # effective-token temperature weights
+    "b_ab_srm_check",             # sample-ratio-mismatch chi-square
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -199,6 +204,7 @@ def load_all() -> None:
         round7_ext,
         round7b_ext,
         round7c_ext,
+        round7d_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -228,3 +228,69 @@ def test_seasonal_decompose_matches_python_replica(spark):
             assert abs(r["seasonal_idx"] - round(s, 4)) <= 1e-4
             assert r["n_days"] == len(detr_by_dow[dow])
             assert abs(r["seasonal_strength"] - strength) <= 1e-4
+
+
+def test_semdedup_report_matches_python_replica(spark):
+    import math
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    by_label = defaultdict(list)
+    for vid, lab, emb in vecs:
+        by_label[lab].append((vid, [float(x) for x in emb]))
+    rows = {r["label"]: r for r in _q("d_semdedup_report")(spark, SF).collect()}
+    assert set(rows) == set(by_label)
+    for lab, members in by_label.items():
+        members.sort()
+        pairs = 0
+        removed = set()
+        for i, (ia, va) in enumerate(members):
+            na = math.sqrt(sum(x * x for x in va))
+            for ib, vb in members[i + 1:]:
+                nb = math.sqrt(sum(x * x for x in vb))
+                cos = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+                if cos > 0.3:
+                    pairs += 1
+                    removed.add(ib)
+        r = rows[lab]
+        assert r["n_vecs"] == len(members)
+        assert r["n_dup_pairs"] == pairs
+        assert r["n_removed"] == len(removed)
+        assert r["n_kept"] == len(members) - len(removed)
+
+
+def test_doc_entropy_filter_matches_python_replica(spark):
+    import math
+
+    agg = defaultdict(list)
+    for _id, text, source in _docs():
+        words = Counter(text.split(" "))
+        n = sum(words.values())
+        h = -sum((c / n) * math.log2(c / n) for c in words.values())
+        agg[source].append(h)
+    rows = {r["source"]: r for r in _q("t_doc_entropy_filter")(spark, SF).collect()}
+    for source, hs in agg.items():
+        r = rows[source]
+        assert r["n_docs"] == len(hs)
+        assert abs(r["avg_entropy"] - round(sum(hs) / len(hs), 4)) <= 1e-4
+        assert abs(r["min_entropy"] - round(min(hs), 4)) <= 1e-4
+        assert r["n_low_entropy"] == sum(h < 3.0 for h in hs)
+
+
+def test_dedup_aware_mixture_weights_sum_to_one(spark):
+    rows = _q("b_dedup_aware_mixture")(spark, SF).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # effective tokens never exceed raw tokens (weights discount)
+        assert r["eff_tokens"] <= r["raw_tokens"] + 1e-9
+        assert r["weight"] > 0
+
+
+def test_ab_srm_check_no_mismatch_on_hash_assignment(spark):
+    rows = _q("b_ab_srm_check")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_treat"] + r["n_control"] == r["n"]
+        # md5-nibble %2 on user ids: genuinely balanced -> no SRM flags
+        assert r["chi2"] >= 0
