@@ -111,6 +111,10 @@ _VERIFY_FIRST: list[str] = [
     "t_doc_entropy_filter",       # per-doc unigram entropy filter
     "b_dedup_aware_mixture",      # effective-token temperature weights
     "b_ab_srm_check",             # sample-ratio-mismatch chi-square
+    # round-7 batch 5 (plans/round7e_ext.py): IVF-PQ + ratio CI + modularity
+    "e_ivf_pq_topk",              # pruned-lists ADC search (FAISS IVF,PQ)
+    "a_ratio_metric_delta_ci",    # user-clustered ratio metric CI
+    "g_community_modularity",     # Newman Q of the LPA partition
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -205,6 +209,7 @@ def load_all() -> None:
         round7b_ext,
         round7c_ext,
         round7d_ext,
+        round7e_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -95,34 +95,16 @@ def _lpa_oracle() -> str:
     return "".join(parts)
 
 
-@query("g_label_propagation", oracle=_lpa_oracle())
-def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-propagation communities over the supplier co-supply graph
-    (same strongest-500-edges base as g_triangle_count): labels start as
-    node ids; each of 2 synchronous rounds relabels every node with its
-    most frequent neighbor label (min label on ties — fully
-    deterministic, unlike classic randomized LPA); the report is the 20
-    largest resulting communities. Complements the graph family:
-    components finds reachability islands, LPA finds density
-    communities inside them.
-
-    Scale shape per round: one edge-sized shuffle (the neighbor-label
-    join re-keys edges by dst, then the (node, label) count
-    partial-aggregates map-side) and one node-sized argmax window over
-    per-node label groups (each partition is one node's <=deg labels,
-    never data-sized). Round count is a literal, so lineage is a
-    fixed-depth DAG — a deep fit would localCheckpoint between rounds
-    like g_pagerank_suppliers. The edge budget is a literal so the
-    top-edge window keeps its WindowGroupLimit rewrite
-    (plans/round4_ext.py:1515 discipline).
-    """
+def lpa_state(spark: SparkSession, sf_dir: str):
+    """Shared LPA machinery: returns (edges, sym, labels) — the
+    strongest-500-edges co-supply graph, its symmetrized frame, and the
+    final deterministic labels after _LPA_ROUNDS synchronous rounds.
+    Consumed by g_label_propagation (community sizes) and
+    g_community_modularity (partition quality, plans/round7e_ext.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    # Same pair-stage widening as g_triangle_count / g_kcore (shared
-    # stage shape): bound each task's map-side partial-agg hash over
-    # distinct (s1, s2) pairs, sized off the metadata-only row count.
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_pair_tasks = min(4096, max(shuffle_parts, li.count() // 25_000))
     ps = ps.repartition(n_pair_tasks, "p")
@@ -134,11 +116,6 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = F.row_number().over(W.orderBy(F.desc("c"), "s1", "s2"))
     edges = wgt.withColumn("rn", top).filter(F.col("rn") <= _LPA_TOP_EDGES)
-    # the edge list feeds the symmetrized frame (2 sides), the label
-    # init, and every LPA round — without truncation the expensive
-    # pair-enumeration subtree is planned ~6x. Bounded at
-    # _LPA_TOP_EDGES rows, so the eager checkpoint is ~free (the
-    # g_triangle_count discipline).
     edges = edges.select("s1", "s2").localCheckpoint(eager=True)
     sym = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b")).unionAll(
         edges.select(F.col("s2").alias("a"), F.col("s1").alias("b"))
@@ -160,6 +137,35 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("n").alias("node"), "label")
         )
+    return edges, sym, labels
+
+
+@query("g_label_propagation", oracle=_lpa_oracle())
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the supplier co-supply graph
+    (same strongest-500-edges base as g_triangle_count): labels start as
+    node ids; each of 2 synchronous rounds relabels every node with its
+    most frequent neighbor label (min label on ties — fully
+    deterministic, unlike classic randomized LPA); the report is the 20
+    largest resulting communities. Complements the graph family:
+    components finds reachability islands, LPA finds density
+    communities inside them.
+
+    Scale shape per round: one edge-sized shuffle (the neighbor-label
+    join re-keys edges by dst, then the (node, label) count
+    partial-aggregates map-side) and one node-sized argmax window over
+    per-node label groups (each partition is one node's <=deg labels,
+    never data-sized). Round count is a literal, so lineage is a
+    fixed-depth DAG — a deep fit would localCheckpoint between rounds
+    like g_pagerank_suppliers. The edge budget is a literal so the
+    top-edge window keeps its WindowGroupLimit rewrite
+    (plans/round4_ext.py:1515 discipline).
+    """
+    # (body shared with g_community_modularity via lpa_state above; the
+    # pair-stage widening + _LPA_TOP_EDGES eager-checkpoint discipline
+    # lives there — without truncation the expensive pair-enumeration
+    # subtree is planned ~6x.)
+    _edges, _sym, labels = lpa_state(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_members"))

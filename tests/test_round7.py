@@ -294,3 +294,65 @@ def test_ab_srm_check_no_mismatch_on_hash_assignment(spark):
         assert r["n_treat"] + r["n_control"] == r["n"]
         # md5-nibble %2 on user ids: genuinely balanced -> no SRM flags
         assert r["chi2"] >= 0
+
+
+def test_ivf_pq_topk_shape_and_pruning(spark):
+    rows = _q("e_ivf_pq_topk")(spark, SF).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    assert set(by_q) <= set(range(5))
+    for q, rs in by_q.items():
+        ranks = [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(rs) + 1))
+        adc = [r["adc_d2"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert adc == sorted(adc)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ratio_metric_delta_ci_matches_python_replica(spark):
+    import math
+    from statistics import mean, variance
+
+    evs = duckdb.sql(
+        f"SELECT event_type, user_id, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    per_user = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
+    for et, uid, v in evs:
+        per_user[et][uid][0] += v
+        per_user[et][uid][1] += 1
+    rows = {r["event_type"]: r for r in
+            _q("a_ratio_metric_delta_ci")(spark, SF).collect()}
+    for et, users in per_user.items():
+        xs = [x for x, _y in users.values()]
+        ys = [float(y) for _x, y in users.values()]
+        n = len(xs)
+        mx, my = mean(xs), mean(ys)
+        vx, vy = variance(xs), variance(ys)
+        cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+        r0 = mx / my
+        se = math.sqrt((vx - 2 * r0 * cxy + r0 * r0 * vy) / n) / my
+        r = rows[et]
+        assert r["n_users"] == n
+        assert abs(r["ratio"] - round(r0, 6)) <= 1e-6
+        assert abs(r["se"] - round(se, 6)) <= 1e-6
+        assert abs(r["ci_lo"] - round(r0 - 1.96 * se, 6)) <= 1e-5
+        assert abs(r["ci_hi"] - round(r0 + 1.96 * se, 6)) <= 1e-5
+
+
+def test_community_modularity_invariants(spark):
+    rows = _q("g_community_modularity")(spark, SF).collect()
+    assert rows
+    q_total = rows[0]["modularity"]
+    assert all(r["modularity"] == q_total for r in rows)
+    assert -1.0 <= q_total <= 1.0
+    for r in rows:
+        # internal edges bounded by the community's possible pairs
+        assert r["internal_edges"] <= r["n_members"] * (r["n_members"] - 1) / 2
+        assert r["degree_sum"] >= 2 * r["internal_edges"]
+    # sizes must agree with g_label_propagation's report
+    lpa = {r["label"]: r["n_members"] for r in
+           _q("g_label_propagation")(spark, SF).collect()}
+    for r in rows:
+        if r["label"] in lpa:
+            assert lpa[r["label"]] == r["n_members"]
