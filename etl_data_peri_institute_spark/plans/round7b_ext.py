@@ -312,7 +312,10 @@ def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type next to the raw moments — the outlier-robust summary a
     metrics pipeline reports when heavy tails make the plain mean
     unstable (the trimmed-family cousin of a_mannwhitney_u's rank
-    tests).
+    tests; f_winsorized_stats in plans/quality_ext.py is the
+    rank-cutoff SUM variant over n_chars — this one clamps at
+    interpolated quantiles and reports MOMENTS, the A/B-metrics
+    shape).
 
     Scale shape: exact percentiles in one groupBy pass, broadcast back
     onto the events (the percentile frame is event-type-sized), clamp

@@ -163,6 +163,26 @@ QUERIES = [
     "a_theil_sen_trend",
     "ts_autocorrelation_report",
     "t_normalization_dedup_report",
+    # round-7 additions
+    "t_pii_scrub_report",
+    "t_pii_scrub_apply",
+    "t_repetition_ratio",
+    "b_kfold_assign",
+    "d_soft_dedup_weights",
+    "b_token_waterline",
+    "b_did_estimator",
+    "a_winsorized_stats",
+    "e_pq_codebook",
+    "e_pq_adc_topk",
+    "ts_seasonal_decompose",
+    "d_semdedup_report",
+    "t_doc_entropy_filter",
+    "b_dedup_aware_mixture",
+    "b_ab_srm_check",
+    "e_ivf_pq_topk",
+    "a_ratio_metric_delta_ci",
+    "g_community_modularity",
+    "t_vocab_coverage_curve_production",
 ]
 
 
