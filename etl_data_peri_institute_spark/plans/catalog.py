@@ -115,6 +115,9 @@ _VERIFY_FIRST: list[str] = [
     "e_ivf_pq_topk",              # pruned-lists ADC search (FAISS IVF,PQ)
     "a_ratio_metric_delta_ci",    # user-clustered ratio metric CI
     "g_community_modularity",     # Newman Q of the LPA partition
+    # round-7 batch 6 (plans/round7f_ext.py): sequential/featurize/bars
+    "b_sequential_mean_monitor",  # always-valid z path + first crossing
+    "t_feature_hashing",          # signed hashing-trick featurization
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -210,6 +213,7 @@ def load_all() -> None:
         round7c_ext,
         round7d_ext,
         round7e_ext,
+        round7f_ext,
         streaming_batch,
         textops,
         timeseries,

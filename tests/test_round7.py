@@ -356,3 +356,70 @@ def test_community_modularity_invariants(spark):
     for r in rows:
         if r["label"] in lpa:
             assert lpa[r["label"]] == r["n_members"]
+
+
+def test_sequential_monitor_matches_python_replica(spark):
+    import math
+
+    evs = duckdb.sql(
+        f"SELECT event_type, user_id, ts, value FROM '{SF}/events.parquet'"
+        " ORDER BY ts, event_id"
+    ).fetchall()
+    days = defaultdict(lambda: defaultdict(lambda: [0, 0.0, 0.0]))
+    for et, uid, ts, v in evs:
+        treat = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+        cell = days[et][(ts.date(), treat)]
+        cell[0] += 1
+        cell[1] += v
+        cell[2] += v * v
+    rows = {r["event_type"]: r for r in
+            _q("b_sequential_mean_monitor")(spark, SF).collect()}
+    for et, cells in days.items():
+        dates = sorted({d for d, _t in cells})
+        cum = {0: [0, 0.0, 0.0], 1: [0, 0.0, 0.0]}
+        zs = []
+        for d in dates:
+            for t in (0, 1):
+                c = cells.get((d, t), [0, 0.0, 0.0])
+                cum[t] = [a + b for a, b in zip(cum[t], c)]
+            # the monitor evaluates on days where BOTH arms logged
+            # events (the cells inner join) — mirror that here
+            if (d, 0) not in cells or (d, 1) not in cells:
+                continue
+            if cum[0][0] > 1 and cum[1][0] > 1:
+                stats = {}
+                for t in (0, 1):
+                    n, s, ss = cum[t]
+                    stats[t] = (s / n, (ss - s * s / n) / (n - 1), n)
+                mt, vt, nt = stats[1]
+                mc, vc, nc = stats[0]
+                zs.append(round((mt - mc) / math.sqrt(vt / nt + vc / nc), 6))
+        r = rows[et]
+        assert r["n_days"] == len(zs)
+        assert abs(r["final_z"] - round(zs[-1], 4)) <= 1e-4
+        cross = next((i + 1 for i, z in enumerate(zs) if abs(z) > 2.8), 0)
+        assert r["first_cross_day"] == cross
+        assert r["crossed"] == (cross > 0)
+
+
+def test_feature_hashing_matches_python_replica(spark):
+    import math
+
+    agg = defaultdict(list)
+    for _id, text, source in _docs():
+        feats = defaultdict(int)
+        for w in text.split(" "):
+            h = hashlib.md5(w.encode()).hexdigest()
+            bucket = (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+            sgn = 1 if int(h[2], 16) % 2 == 0 else -1
+            feats[bucket] += sgn
+        l2 = math.sqrt(sum(v * v for v in feats.values()))
+        nnz = sum(1 for v in feats.values() if v != 0)
+        agg[source].append((l2, nnz))
+    rows = {r["source"]: r for r in _q("t_feature_hashing")(spark, SF).collect()}
+    for source, vals in agg.items():
+        r = rows[source]
+        assert r["n_docs"] == len(vals)
+        assert abs(r["avg_l2"] - round(sum(v[0] for v in vals) / len(vals), 4)) <= 1e-3
+        assert abs(r["avg_nnz"] - round(sum(v[1] for v in vals) / len(vals), 4)) <= 1e-3
+        assert r["max_nnz"] == max(v[1] for v in vals)
