@@ -127,7 +127,7 @@ HEADLINE = [
     # EXTRA-history; both now tracked)
     "t_repetition_ratio",
     "d_soft_dedup_weights",
-    "e_pq_adc_topk",
+    "e_pq_fitted_adc_topk",
     "t_vocab_coverage_curve_production",
 ]
 

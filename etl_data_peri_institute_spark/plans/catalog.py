@@ -104,7 +104,7 @@ _VERIFY_FIRST: list[str] = [
     "a_winsorized_stats",         # p05/p95-clamped robust moments
     # round-7 batch 3 (plans/round7c_ext.py): PQ compression + STL-lite
     "e_pq_codebook",              # 4x16 PQ fit, assignment census
-    "e_pq_adc_topk",              # asymmetric-distance top-k + exact d2
+    "e_pq_fitted_adc_topk",              # asymmetric-distance top-k + exact d2
     "ts_seasonal_decompose",      # MA trend + DOW indices + strength
     # round-7 batch 4 (plans/round7d_ext.py): semantic dedup + guardrails
     "d_semdedup_report",          # cluster-scoped cosine near-dup census

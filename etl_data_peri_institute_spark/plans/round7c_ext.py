@@ -3,7 +3,7 @@ seasonal decomposition.
 
 - e_pq_codebook   — PQ codebook fit (m=4 subspaces × k=8 sub-centroids,
   one Lloyd iteration from deterministic seeds) + assignment census
-- e_pq_adc_topk   — PQ asymmetric-distance top-k search (the
+- e_pq_fitted_adc_topk   — PQ asymmetric-distance top-k search (the
   distance-table lookup path real billion-vector ANN serves from)
 - ts_seasonal_decompose — 7-day moving-average trend + day-of-week
   seasonal indices + seasonal-strength per event type
@@ -192,7 +192,7 @@ def e_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e_pq_adc_topk",
+    "e_pq_fitted_adc_topk",
     oracle=_PQ_SQL_PREFIX
     + f"""
     , q AS (SELECT min(vec_id) AS qid FROM embeddings),
@@ -223,7 +223,7 @@ def e_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.adc_d2, a.vec_id LIMIT {_PQ_TOPK}
     """,
 )
-def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e_pq_fitted_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: the query stays FULL
     precision; every corpus vector is represented only by its m=4
     sub-centroid codes; distance = Σ_subspaces LUT[ss, code] where the

@@ -11,7 +11,7 @@ metrics, community quality.
 
 e_ivf_pq_topk completes the compression×pruning matrix: e_ivf_topk
 (floats, pruned), e_sq_int8_topk (int8, unpruned), e_ivf_sq_topk
-(int8, pruned), e_pq_adc_topk (codes, unpruned) — this is (codes,
+(int8, pruned), e_pq_fitted_adc_topk (codes, unpruned) — this is (codes,
 pruned), the shape billion-vector serving actually runs.
 """
 

@@ -188,7 +188,7 @@ def test_pq_codebook_census_shape(spark):
 
 
 def test_pq_adc_topk_bounds_and_rank(spark):
-    rows = _q("e_pq_adc_topk")(spark, SF).collect()
+    rows = _q("e_pq_fitted_adc_topk")(spark, SF).collect()
     assert len(rows) == 10
     assert [r["rank"] for r in rows] == list(range(1, 11))
     adc = [r["adc_d2"] for r in rows]

@@ -101,7 +101,7 @@ QUERIES = [
     "e_nearest_centroid_eval",
     "b_time_to_convert",
     "p_volume_anomaly",
-    "e_pq_adc_topk",
+    "e_pq_fitted_adc_topk",
     "b_rolling_active_users",
     "j_salted_skew_join",
     "a_pareto_abc",
@@ -173,7 +173,7 @@ QUERIES = [
     "b_did_estimator",
     "a_winsorized_stats",
     "e_pq_codebook",
-    "e_pq_adc_topk",
+    "e_pq_fitted_adc_topk",
     "ts_seasonal_decompose",
     "d_semdedup_report",
     "t_doc_entropy_filter",
