@@ -46,6 +46,15 @@ def query(name: str, oracle: str | None = None):
     """Register a query implementation (decorator)."""
 
     def wrap(fn: QueryFn) -> QueryFn:
+        prior = QUERIES.get(name)
+        if prior is not None and prior.fn.__module__ != fn.__module__:
+            # A silent overwrite once shadowed round-4b's e_pq_adc_topk
+            # behind a later module's same-named query and broke its
+            # tests — make name collisions loud at import time.
+            raise ValueError(
+                f"gate query name {name!r} already registered by "
+                f"{prior.fn.__module__}; pick a distinct name"
+            )
         QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         if oracle is not None:
             ORACLES[name] = oracle
