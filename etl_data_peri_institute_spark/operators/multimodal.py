@@ -171,3 +171,65 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sum_amp bigint, sum_sq bigint, peak int"
+)
+
+
+def decode_audio_stats(df: DataFrame, fake: bool = False) -> DataFrame:
+    """payload → per-document waveform statistics via Arrow-batched
+    mapInPandas — the audio leg of the multimodal family (image =
+    decode_image_features, video = sample_video_frames). A real
+    implementation decodes containers (torchaudio/ffmpeg) to PCM;
+    the deterministic stand-in interprets the payload as big-endian
+    int16 PCM frames (trailing odd byte dropped), which keeps the full
+    pipeline — schema, batch shape, vectorized frame math — real and
+    makes the stats REPRODUCIBLE BY SQL over the same bytes (the gate
+    query m_audio_stats carries a DuckDB oracle, unlike the image
+    histogram whose binning is not SQL-reachable).
+
+    Emits EXACT integer moments (n, Σv, Σv², peak) — additive and
+    mergeable, so shard-level stats combine without precision loss, and
+    the float derivations (RMS, mean) happen in engine SQL where both
+    engines execute identical IEEE ops (numpy's pairwise summation
+    differs from SQL's sequential sum by ~1 ulp, which a rounded float
+    column would surface as a hash mismatch — integer moments make the
+    cross-engine compare exact).
+
+    Scale: same contract as the other decoders — executor-parallel
+    Arrow batches, bounded memory, no driver round-trip; output is
+    5 scalars per doc so downstream joins stay narrow."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode libs not available in this image; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            ids, ns, s1, s2, peak = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                usable = len(b) // 2 * 2
+                samples = np.frombuffer(b[:usable], dtype=">i2").astype(np.int64)
+                ids.append(doc_id)
+                ns.append(len(samples))
+                s1.append(int(samples.sum()) if len(samples) else 0)
+                s2.append(int((samples * samples).sum()) if len(samples) else 0)
+                peak.append(int(np.max(np.abs(samples))) if len(samples) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "sum_amp": s1,
+                    "sum_sq": s2,
+                    "peak": peak,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)

@@ -127,6 +127,9 @@ _VERIFY_FIRST: list[str] = [
     # round-7 batch 6 (plans/round7f_ext.py): sequential/featurize/bars
     "b_sequential_mean_monitor",  # always-valid z path + first crossing
     "t_feature_hashing",          # signed hashing-trick featurization
+    # round-7 batch 7 (plans/round7g_ext.py): multimodal hash-exact gates
+    "m_audio_stats",              # PCM int16 stats via Arrow decode path
+    "m_frame_sample_census",      # 1-to-many frame-sampling arithmetic
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -223,6 +226,7 @@ def load_all() -> None:
         round7d_ext,
         round7e_ext,
         round7f_ext,
+        round7g_ext,
         streaming_batch,
         textops,
         timeseries,

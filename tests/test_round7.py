@@ -423,3 +423,49 @@ def test_feature_hashing_matches_python_replica(spark):
         assert abs(r["avg_l2"] - round(sum(v[0] for v in vals) / len(vals), 4)) <= 1e-3
         assert abs(r["avg_nnz"] - round(sum(v[1] for v in vals) / len(vals), 4)) <= 1e-3
         assert r["max_nnz"] == max(v[1] for v in vals)
+
+
+def test_audio_stats_matches_python_replica(spark):
+    import math
+
+    rows = {r["doc_id"]: r for r in _q("m_audio_stats")(spark, SF).collect()}
+    for doc_id, text, _source in _docs():
+        b = text.encode()
+        usable = len(b) // 2 * 2
+        samples = [
+            int.from_bytes(b[i:i + 2], "big", signed=True)
+            for i in range(0, usable, 2)
+        ]
+        r = rows[doc_id]
+        assert r["n_samples"] == len(samples)
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert abs(r["rms"] - round(math.sqrt(
+            sum(s * s for s in samples) / len(samples)), 4)) <= 1e-4
+        assert abs(r["mean_amp"] - round(
+            sum(samples) / len(samples), 4)) <= 1e-4
+
+
+def test_frame_sample_census_matches_python_replica(spark):
+    rows = {r["doc_id"]: r for r in
+            _q("m_frame_sample_census")(spark, SF).collect()}
+    for doc_id, text, _source in _docs():
+        n_frames = len(text.encode()) // 32
+        if n_frames == 0:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert r["n_frames"] == n_frames
+        assert r["n_sampled"] == -(-n_frames // 4)  # ceil division
+        assert r["frame_bytes"] == 32
+
+
+def test_audio_decode_real_raises(spark):
+    from etl_data_peri_institute_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_audio_stats,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        decode_audio_stats(attach_binary_payload(docs), fake=False).collect()
