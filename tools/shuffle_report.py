@@ -183,6 +183,10 @@ QUERIES = [
     "a_ratio_metric_delta_ci",
     "g_community_modularity",
     "t_vocab_coverage_curve_production",
+    "b_sequential_mean_monitor",
+    "t_feature_hashing",
+    "m_audio_stats",
+    "m_frame_sample_census",
 ]
 
 
