@@ -263,11 +263,19 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
         base_best: dict[str, float] = {}
         head_passes: list[float] = []
         base_passes: list[float] = []
-        for _ in range(AB_PASSES):
-            for root, best, passes in (
-                (head_root, head_best, head_passes),
-                (wt, base_best, base_passes),
-            ):
+        # Counterbalanced ABBA order: the session warms monotonically
+        # (JIT, page cache), so a fixed H,B,H,B order hands HEAD the
+        # colder slot every cycle — round 7 measured ~+2.6% pure bias
+        # from exactly that. Alternating (H,B),(B,H) cancels first-order
+        # drift.
+        sides = {
+            "H": (head_root, head_best, head_passes),
+            "B": (wt, base_best, base_passes),
+        }
+        for i in range(AB_PASSES):
+            order = "HB" if i % 2 == 0 else "BH"
+            for key in order:
+                root, best, passes = sides[key]
                 times = _run_side(root, spark, shared, sf_dir)
                 passes.append(round(sum(times.values()), 3))
                 for n, dt in times.items():
