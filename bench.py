@@ -145,7 +145,9 @@ HEADLINE = [
 # truncated the (long) JSON mid-stream and recorded parsed:null.
 VARIANCE_NOTE = (
     "cross-round totals not comparable (sandbox drift); judge "
-    "ab_delta_pct sign across the interleaved ab_*_passes"
+    "ab_delta_pct sign across the interleaved ab_*_passes; a round-7 "
+    "NULL A/B (HEAD vs HEAD) measured +7.8% before the untimed warmup "
+    "pass landed — deltas inside a few percent are session noise"
 )
 
 
@@ -203,7 +205,11 @@ EXTRA = {
 # commit measured alternately in the SAME Spark session/JVM. The pin is
 # the previous round's final commit; bump each round.
 AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "15edb00")  # r6 final
-AB_PASSES = 2  # per side, alternating A/B/A/B; best-of-passes per query
+# per side; one untimed warmup then HB/BH/HB...; best-of-passes per
+# query. Raised 2 -> 3 in round 7: the null A/B still swung ±3.5% at 2
+# passes (sandbox stalls hit whole passes) — best-of-3 absorbs a
+# stalled pass per side.
+AB_PASSES = 3
 
 
 def _purge_engine_modules() -> None:
@@ -263,11 +269,16 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
         base_best: dict[str, float] = {}
         head_passes: list[float] = []
         base_passes: list[float] = []
-        # Counterbalanced ABBA order: the session warms monotonically
-        # (JIT, page cache), so a fixed H,B,H,B order hands HEAD the
-        # colder slot every cycle — round 7 measured ~+2.6% pure bias
-        # from exactly that. Alternating (H,B),(B,H) cancels first-order
-        # drift.
+        # Untimed warmup pass: the FIRST execution of each shared plan
+        # pays its whole-stage-codegen compile; whichever side runs a
+        # query first eats that one-time cost. A round-7 NULL A/B
+        # (HEAD vs HEAD, identical code both sides) measured +7.8%
+        # "regression" from exactly this + session drift — the noise
+        # floor, not a signal. Warm everything once, untimed, so both
+        # timed sides run fully hot.
+        _run_side(head_root, spark, shared, sf_dir)
+        # Counterbalanced ABBA order cancels first-order session drift
+        # (GC/page-cache trends) on top of the warmup.
         sides = {
             "H": (head_root, head_best, head_passes),
             "B": (wt, base_best, base_passes),
@@ -331,7 +342,11 @@ def main() -> None:
     # run-to-run spread.
     timings: dict[str, float] = {}
     worsts: dict[str, float] = {}
-    for name in HEADLINE + list(EXTRA):
+    # SPARK_GRAFT_AB_ONLY=1 skips the headline timing loop — used for
+    # A/B methodology validation runs (e.g. the null A/B) where only
+    # the interleaved comparison matters.
+    names = [] if os.environ.get("SPARK_GRAFT_AB_ONLY") else HEADLINE + list(EXTRA)
+    for name in names:
         fn = EXTRA.get(name) or catalog.QUERIES[name].fn
         best, worst = float("inf"), 0.0
         for _ in range(2):

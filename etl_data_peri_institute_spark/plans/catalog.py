@@ -130,6 +130,9 @@ _VERIFY_FIRST: list[str] = [
     # round-7 batch 7 (plans/round7g_ext.py): multimodal hash-exact gates
     "m_audio_stats",              # PCM int16 stats via Arrow decode path
     "m_frame_sample_census",      # 1-to-many frame-sampling arithmetic
+    # round-7 batch 8 (plans/round7h_ext.py): distributional + stratified
+    "a_quantile_treatment_effect",  # per-quantile treat-control deltas
+    "b_stratified_ate",           # activity-decile post-stratified ATE
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -227,6 +230,7 @@ def load_all() -> None:
         round7e_ext,
         round7f_ext,
         round7g_ext,
+        round7h_ext,
         streaming_batch,
         textops,
         timeseries,
