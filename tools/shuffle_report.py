@@ -187,6 +187,8 @@ QUERIES = [
     "t_feature_hashing",
     "m_audio_stats",
     "m_frame_sample_census",
+    "a_quantile_treatment_effect",
+    "b_stratified_ate",
 ]
 
 
