@@ -184,12 +184,23 @@ _VERIFY_FIRST: list[str] = [
     "p_required_not_null_audit",
     "p_semi_join_valid_keys",
 ]
-# NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r07 when it lands): drop
-# every green row; promote any query whose OUTPUT changed, then the
-# remaining r01-evidence overflow, then the r02 cohort (TPC-H q*
-# family, j_* join surface, st_* streaming batch, ts_ewma /
-# ts_time_bucket_rollup, f_sql_macro) so every row's evidence stays
-# fresh against current code.
+# NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r07 when it lands).
+# This round's 50-row window = the 12 never-verified + the 2
+# changed-output + the 24 round-7 net-new + the first 11 backfill
+# names (d_dedup_components .. t_langid). Round 8 leads with:
+#   1. any round-7 name that did NOT land green (expect none — all 50
+#      replay green locally at sf0.01, the 27 round-7-touched also at
+#      sf0.1),
+#   2. any query whose OUTPUT changes in round 8 (new oracles/columns),
+#   3. round-8 net-new registrations,
+#   4. the 37 remaining r01-evidence backfill names (t_fingerprint,
+#      t_token_count, b_hash_sample, b_cohort_retention,
+#      b_funnel_click_to_purchase, u_grouped_zscore_pandas,
+#      a_salted_skew_agg, a_exact_percentile, m_binary_metadata, the
+#      f_*/w_* function-window surface, the p_* parity rows),
+#   5. then the r02 cohort (TPC-H q* family, j_* join surface, st_*
+#      streaming batch, ts_ewma / ts_time_bucket_rollup, f_sql_macro)
+# so every row's evidence stays fresh against current code.
 
 
 def load_all() -> None:

@@ -556,3 +556,36 @@ def test_global_topn_sites_plan_bounded_window(spark):
             assert re.search(r"(WindowGroupLimit|TakeOrderedAndProject)", child), (
                 f"{name}: unbounded row_number window\n{line}\n{child}"
             )
+
+
+def test_pii_scrub_apply_is_map_only(spark):
+    """The redaction rewrite must stay a narrow map-only plan — no hash
+    exchange anywhere (the ORDER BY adds only the presentation range
+    exchange). At 100 TB this is the difference between one read+write
+    and a shuffle of the whole corpus."""
+    plan = _plan(spark, "t_pii_scrub_apply")
+    assert "Exchange hashpartitioning" not in plan
+    assert "regexp_replace" in plan.lower() or "Project" in plan
+
+
+def test_feature_hashing_no_vocabulary_join(spark):
+    """The hashing trick's whole point: NO vocabulary frame exists, so
+    the plan has no join at all — hash in codegen, then aggregates."""
+    plan = _plan(spark, "t_feature_hashing")
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, join
+
+
+def test_semdedup_pair_join_keyed_on_cluster(spark):
+    """The SemDeDup pair enumeration must join on the cluster label
+    (bounded candidates), never as a pure cross product."""
+    plan = _plan(spark, "d_semdedup_report")
+    assert "CartesianProduct" not in plan
+    assert "label" in plan
+
+
+def test_pq_fit_broadcasts_centroids(spark):
+    """PQ fitting must broadcast the (m*k*subdim)-row codebook to the
+    distance joins — the corpus is never shuffled to meet centroids."""
+    plan = _plan(spark, "e_pq_codebook")
+    assert "BroadcastHashJoin" in plan

@@ -295,6 +295,12 @@ SPILL_QUERIES = [
     "d_minhash_band_sweep",
     "b_holdout_leakage_check",
     "a_bootstrap_ci",
+    # round-7: the new pair/explode-heavy entries
+    "d_semdedup_report",
+    "t_repetition_ratio",
+    "e_ivf_pq_topk",
+    "g_community_modularity",
+    "t_doc_entropy_filter",
 ]
 
 
