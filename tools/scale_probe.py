@@ -375,10 +375,21 @@ def spill_probe() -> None:
             print(name, n, round(dt, 3), round(mem, 1), round(disk, 1))
     md = Path("SCALE_PROBE.md")
     text = md.read_text()
+    # replace ONLY the spill section, preserving anything after it
+    # (targeted-probe addenda live below; round 7 lost them once to
+    # the old to-EOF cut)
     cut = text.find("\n## Spill telemetry")
+    tail = ""
     if cut != -1:
+        rest = text[cut + 1:]
+        nxt = rest.find("\n## ", rest.find("\n"))
+        if nxt != -1:
+            tail = rest[nxt + 1:]
         text = text[:cut] + "\n"
-    md.write_text(text.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+    out = text.rstrip("\n") + "\n" + "\n".join(lines) + "\n"
+    if tail:
+        out += "\n" + tail.rstrip("\n") + "\n"
+    md.write_text(out)
     print("appended spill section to SCALE_PROBE.md")
 
 
