@@ -133,6 +133,8 @@ _VERIFY_FIRST: list[str] = [
     # round-7 batch 8 (plans/round7h_ext.py): distributional + stratified
     "a_quantile_treatment_effect",  # per-quantile treat-control deltas
     "b_stratified_ate",           # activity-decile post-stratified ATE
+    # round-7 batch 9 (plans/round7i_ext.py): binary quantization
+    "e_binary_hamming_topk",      # sign-bit packing + Hamming top-k
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -242,6 +244,7 @@ def load_all() -> None:
         round7f_ext,
         round7g_ext,
         round7h_ext,
+        round7i_ext,
         streaming_batch,
         textops,
         timeseries,

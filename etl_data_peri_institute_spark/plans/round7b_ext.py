@@ -143,6 +143,14 @@ def b_token_waterline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("t"))
     )
+    return waterline_allocate(tot, _WATERLINE_BUDGET_FRAC)
+
+
+def waterline_allocate(tot: DataFrame, budget_frac: float) -> DataFrame:
+    """The water-filling solver over a (source, t) totals frame —
+    extracted so the closed form is property-testable on arbitrary
+    distributions (tests/test_properties.py pits it against a python
+    bisection reference under hypothesis)."""
     order = W.orderBy("t", "source")
     everything = W.orderBy("t", "source").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
@@ -156,7 +164,7 @@ def b_token_waterline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").over(everything).alias("grand"),
     ).withColumn(
         "budget",
-        F.floor(F.col("grand") * _WATERLINE_BUDGET_FRAC).cast("long"),
+        F.floor(F.col("grand") * budget_frac).cast("long"),
     )
     jstar = F.coalesce(
         F.max(

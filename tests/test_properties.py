@@ -363,3 +363,45 @@ def test_asof_tolerance_matches_pandas(spark, case, tol):
     # pairs are unique on the right
     if len(rp) == len(rp.drop_duplicates(["k", "rt"])):
         assert got == expected, (left_rows, right_rows, tol)
+
+
+@st.composite
+def waterline_case(draw):
+    n = draw(st.integers(2, 12))
+    tokens = [draw(st.integers(1, 10_000)) for _ in range(n)]
+    frac = draw(st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]))
+    return tokens, frac
+
+
+@given(waterline_case())
+@settings(max_examples=12, deadline=None)
+def test_waterline_closed_form_matches_bisection(spark, case):
+    """The water-filling closed form (sorted prefix sums, j* pick) must
+    agree with a brute-force bisection of f(c) = sum(min(t, c)) on
+    arbitrary distributions — budget exactness and per-source
+    allocations both."""
+    from etl_data_peri_institute_spark.plans.round7b_ext import waterline_allocate
+
+    tokens, frac = case
+    rows = [(f"s{i:02d}", t) for i, t in enumerate(tokens)]
+    tot = spark.createDataFrame(rows, "source string, t long")
+    out = {r["source"]: r for r in waterline_allocate(tot, frac).collect()}
+
+    budget = int(sum(tokens) * frac)  # floor, as the operator computes
+    # bisection reference on f(c) = sum(min(t, c))
+    lo, hi = 0.0, float(max(tokens))
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if sum(min(t, mid) for t in tokens) < budget:
+            lo = mid
+        else:
+            hi = mid
+    c_ref = (lo + hi) / 2
+
+    total_alloc = sum(r["allocated"] for r in out.values())
+    assert abs(total_alloc - budget) <= 0.01 * len(tokens) + 1e-6
+    for (src, t) in rows:
+        r = out[src]
+        assert abs(r["allocated"] - round(min(t, c_ref), 2)) <= 0.05, (
+            src, t, c_ref, r["allocated"])
+        assert r["budget"] == budget

@@ -550,3 +550,21 @@ def test_streaming_upsert_partition_scoped_sink(spark, tmp_path):
     assert snap(frozen) == before  # day-1 files never touched
     rows = {r["pk"]: r["v"] for r in store.read("t").collect()}
     assert rows == {1: 10.0, 2: 21.0, 3: 30.0}
+
+
+def test_binary_hamming_topk_matches_python_replica(spark):
+    vecs = dict(duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall())
+    signs = {vid: [1 if float(x) >= 0 else 0 for x in emb]
+             for vid, emb in vecs.items()}
+    rows = defaultdict(list)
+    for r in _q("e_binary_hamming_topk")(spark, SF).collect():
+        rows[r["query_id"]].append(r)
+    for qid in range(5):
+        dists = sorted(
+            (sum(a != b for a, b in zip(signs[qid], signs[c])), c)
+            for c in signs if c >= 5
+        )[:10]
+        got = sorted(rows[qid], key=lambda r: r["rank"])
+        assert [(r["hamming"], r["neighbor_id"]) for r in got] == dists
