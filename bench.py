@@ -129,6 +129,8 @@ HEADLINE = [
     "d_soft_dedup_weights",
     "e_pq_fitted_adc_topk",
     "t_vocab_coverage_curve_production",
+    "e_ivf_pq_topk",
+    "e_binary_hamming_topk",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

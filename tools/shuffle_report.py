@@ -189,6 +189,7 @@ QUERIES = [
     "m_frame_sample_census",
     "a_quantile_treatment_effect",
     "b_stratified_ate",
+    "e_binary_hamming_topk",
 ]
 
 
