@@ -496,6 +496,10 @@ def test_catalog_wide_no_cartesian_products(spark):
         "e_ivf_nprobe_sweep",      # 1-row truth/cand/caught counts
         "a_jackknife_se",          # g-row totals + 1-row influence pick
         "a_survival_km",           # 1-row total-subjects frame for risk sets
+        # round-7: the query side is a bounded 5-row broadcast crossed
+        # against packed 1-long-per-vector codes — the e_knn_bruteforce
+        # pattern at 1/64th the bytes
+        "e_binary_hamming_topk",
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():
