@@ -131,6 +131,7 @@ HEADLINE = [
     "t_vocab_coverage_curve_production",
     "e_ivf_pq_topk",
     "e_binary_hamming_topk",
+    "e_compression_recall_matrix",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -135,6 +135,9 @@ _VERIFY_FIRST: list[str] = [
     "b_stratified_ate",           # activity-decile post-stratified ATE
     # round-7 batch 9 (plans/round7i_ext.py): binary quantization
     "e_binary_hamming_topk",      # sign-bit packing + Hamming top-k
+    # round-7 batch 10 (plans/round7j_ext.py): capstone eval + balance
+    "e_compression_recall_matrix",  # recall@10 per compression tier
+    "a_covariate_balance",        # SMD across arms, |SMD|>0.1 flags
     # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
     # paths that moved most since round 1, then functions/windows/parity)
     "d_dedup_components",
@@ -245,6 +248,7 @@ def load_all() -> None:
         round7g_ext,
         round7h_ext,
         round7i_ext,
+        round7j_ext,
         streaming_batch,
         textops,
         timeseries,

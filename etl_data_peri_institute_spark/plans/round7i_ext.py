@@ -21,6 +21,18 @@ _BQ_NQUERIES = 5
 _BQ_TOPK = 10
 
 
+def packed_sign_code():
+    """Column expr packing a 64-dim embedding's sign bits into ONE
+    BIGINT — a JVM aggregate fold in codegen, no UDF (SQL form because
+    shiftleft takes a column shift amount there). Shared with
+    e_compression_recall_matrix (plans/round7j_ext.py)."""
+    return F.expr(
+        "aggregate(transform(embedding,"
+        " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),"
+        " 0L, (acc, x) -> acc | x)"
+    )
+
+
 @query(
     "e_binary_hamming_topk",
     oracle=f"""
@@ -67,14 +79,7 @@ def e_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTANCES are the contract).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # pack sign bits into one BIGINT per 64-dim vector: JVM fold, no UDF
-    # (SQL form — shiftleft takes a column shift amount there)
-    packed = F.expr(
-        "aggregate(transform(embedding,"
-        " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),"
-        " 0L, (acc, x) -> acc | x)"
-    )
-    bits = emb.select("vec_id", packed.alias("code"))
+    bits = emb.select("vec_id", packed_sign_code().alias("code"))
     q = bits.where(F.col("vec_id") < _BQ_NQUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
     )

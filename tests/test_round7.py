@@ -568,3 +568,70 @@ def test_binary_hamming_topk_matches_python_replica(spark):
         )[:10]
         got = sorted(rows[qid], key=lambda r: r["rank"])
         assert [(r["hamming"], r["neighbor_id"]) for r in got] == dists
+
+
+def test_compression_recall_matrix_shape_and_ladder(spark):
+    rows = _q("e_compression_recall_matrix")(spark, SF).collect()
+    by_m = defaultdict(dict)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall_at_10"] - round(r["n_hits"] / 10, 2)) < 1e-9
+        by_m[r["method"]][r["query_id"]] = r["n_hits"]
+    assert set(by_m) == {"sq8", "pq_fitted", "binary"}
+    assert all(set(q) == set(range(5)) for q in by_m.values())
+    # int8 symmetric SQ is near-lossless at these magnitudes: it must
+    # dominate the coarser tiers on average
+    avg = {m: sum(v.values()) / len(v) for m, v in by_m.items()}
+    assert avg["sq8"] >= avg["binary"]
+    assert avg["sq8"] >= avg["pq_fitted"]
+
+
+def test_covariate_balance_hash_assignment_is_balanced(spark):
+    rows = _q("a_covariate_balance")(spark, SF).collect()
+    assert {r["covariate"] for r in rows} == {
+        "activity", "mean_value", "type_breadth"
+    }
+    import math
+
+    for r in rows:
+        assert r["n_treat"] > 0 and r["n_control"] > 0
+        # the flag must agree with the value; magnitude itself is data
+        # (at sf0.001 ~50 users/arm the SMD sampling spread is wide —
+        # mean_value reads |SMD|≈1.0 there, which is exactly the
+        # imbalance signal the gate exists to surface)
+        if r["smd"] is not None:
+            assert math.isfinite(r["smd"])
+            assert r["imbalanced"] == (abs(r["smd"]) > 0.1)
+
+
+def test_covariate_balance_matches_python_replica(spark):
+    import math
+    from statistics import mean, variance
+
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    users = defaultdict(lambda: [0, 0.0, set()])
+    for uid, et, v in evs:
+        u = users[uid]
+        u[0] += 1
+        u[1] += v
+        u[2].add(et)
+    cov = defaultdict(lambda: ([], []))
+    for uid, (n, s, types) in users.items():
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+        cov["activity"][arm].append(float(n))
+        cov["mean_value"][arm].append(s / n)
+        cov["type_breadth"][arm].append(float(len(types)))
+    rows = {r["covariate"]: r for r in _q("a_covariate_balance")(spark, SF).collect()}
+    for name, (ctrl, trt) in cov.items():
+        r = rows[name]
+        assert r["n_treat"] == len(trt) and r["n_control"] == len(ctrl)
+        pooled = math.sqrt((variance(trt) + variance(ctrl)) / 2)
+        if pooled == 0:
+            # constant covariate in both arms (type_breadth at this SF):
+            # the NULLIF guard yields NULL instead of an ANSI div error
+            assert r["smd"] is None
+            continue
+        want = (mean(trt) - mean(ctrl)) / pooled
+        assert abs(r["smd"] - round(want, 4)) <= 1e-4

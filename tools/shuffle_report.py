@@ -190,6 +190,8 @@ QUERIES = [
     "a_quantile_treatment_effect",
     "b_stratified_ate",
     "e_binary_hamming_topk",
+    "e_compression_recall_matrix",
+    "a_covariate_balance",
 ]
 
 
