@@ -500,6 +500,10 @@ def test_catalog_wide_no_cartesian_products(spark):
         # against packed 1-long-per-vector codes — the e_knn_bruteforce
         # pattern at 1/64th the bytes
         "e_binary_hamming_topk",
+        # the ladder capstone crosses the same bounded 5-query broadcast
+        # against each tier's code column (truth/sq8/binary legs) — the
+        # recall-report evaluation shape, truth on a sample by design
+        "e_compression_recall_matrix",
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():
