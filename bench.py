@@ -132,6 +132,9 @@ HEADLINE = [
     "e_ivf_pq_topk",
     "e_binary_hamming_topk",
     "e_compression_recall_matrix",
+    # round-8 additions: the capacity-balanced IVF assignment (top-2
+    # centroid pass + per-list capacity window + spill join)
+    "e_ivf_balanced_assign",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
@@ -207,12 +210,19 @@ EXTRA = {
 # number that carries meaning across rounds is HEAD vs a PINNED baseline
 # commit measured alternately in the SAME Spark session/JVM. The pin is
 # the previous round's final commit; bump each round.
-AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "15edb00")  # r6 final
-# per side; one untimed warmup then HB/BH/HB...; best-of-passes per
-# query. Raised 2 -> 3 in round 7: the null A/B still swung ±3.5% at 2
-# passes (sandbox stalls hit whole passes) — best-of-3 absorbs a
-# stalled pass per side.
-AB_PASSES = 3
+AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "e393ab0")  # r7 final
+# per side; one untimed warmup then counterbalanced passes; best-of-
+# passes per query. Raised 2 -> 3 in round 7 (the null A/B swung ±3.5%
+# at 2 passes), 3 -> 5 in round 8: the r7 end-of-round driver reading
+# (+9.66%, every head pass slower) contradicted the committed run
+# (+1.27%) — more passes + a balanced order sequence + per-pass
+# per-query logging make order effects visible instead of arguable.
+AB_PASSES = 5
+# ABBA counterbalancing ACROSS passes (not just within): pass i runs
+# H-then-B when _PASS_ORDERS[i % 4] says so, giving the sequence
+# HB BH BH HB HB BH ... — first-order AND second-order session drift
+# (monotone slowdown, sawtooth GC) cancel between sides.
+_PASS_ORDERS = ("HB", "BH", "BH", "HB")
 
 
 def _purge_engine_modules() -> None:
@@ -272,6 +282,7 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
         base_best: dict[str, float] = {}
         head_passes: list[float] = []
         base_passes: list[float] = []
+        pass_log: list[dict] = []
         # Untimed warmup pass: the FIRST execution of each shared plan
         # pays its whole-stage-codegen compile; whichever side runs a
         # query first eats that one-time cost. A round-7 NULL A/B
@@ -287,11 +298,20 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
             "B": (wt, base_best, base_passes),
         }
         for i in range(AB_PASSES):
-            order = "HB" if i % 2 == 0 else "BH"
+            order = _PASS_ORDERS[i % len(_PASS_ORDERS)]
             for key in order:
                 root, best, passes = sides[key]
                 times = _run_side(root, spark, shared, sf_dir)
                 passes.append(round(sum(times.values()), 3))
+                pass_log.append(
+                    {
+                        "side": "head" if key == "H" else "baseline",
+                        "pass": i,
+                        "order": order,
+                        "total": round(sum(times.values()), 3),
+                        "queries": {n: round(dt, 3) for n, dt in times.items()},
+                    }
+                )
                 for n, dt in times.items():
                     best[n] = min(best.get(n, float("inf")), dt)
         head_total = sum(head_best.values())
@@ -314,6 +334,11 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
             "ab_baseline_passes": base_passes,
             "ab_regressions": dict(deltas[-5:]),
             "ab_improvements": dict(deltas[:5]),
+            # per-pass per-query raw times in execution order: the
+            # round-8 adjudication instrument — a session-wide drag
+            # shows as thin uniform deltas tracking wall-clock order,
+            # a plan regression shows as one query slow in EVERY pass
+            "ab_pass_log": pass_log,
         }
     except Exception as exc:  # noqa: BLE001 — A/B is best-effort telemetry
         return {"ab_delta_pct": None, "ab_error": f"{type(exc).__name__}: {exc}"[:200]}

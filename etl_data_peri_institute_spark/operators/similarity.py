@@ -66,11 +66,13 @@ def top_centroids(
     n: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Top-n nearest centroids by cosine for every vector (broadcast the
     tiny centroid table; dot products as joins+aggs). Output (id,
-    c_label, rn) with rn = 1..n. n=1 is IVF coarse assignment; n>1 is
-    the multi-probe step of an IVF query."""
+    c_label, rn) with rn = 1..n — plus ``cos_sim`` when ``keep_sim``
+    (capacity-balanced assignment ranks list members by it). n=1 is IVF
+    coarse assignment; n>1 is the multi-probe step of an IVF query."""
     pos = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(vec_col).alias("pos0", "valf"),
@@ -85,10 +87,14 @@ def top_centroids(
         )
     )
     w = W.partitionBy("id").orderBy(F.desc(F.col("dot") / (F.col("vn") * F.col("cn"))), F.asc("c_label"))
+    out = ["id", "c_label", "rn"]
+    if keep_sim:
+        dots = dots.withColumn("cos_sim", F.col("dot") / (F.col("vn") * F.col("cn")))
+        out.append("cos_sim")
     return (
         dots.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
-        .select("id", "c_label", "rn")
+        .select(*out)
     )
 
 

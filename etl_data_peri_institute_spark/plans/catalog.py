@@ -70,96 +70,38 @@ def query(name: str, oracle: str | None = None):
 # covers the new code) — are listed here FIRST; everything else keeps
 # its evidence from a prior round's artifact. Re-derive each round from
 # the latest CORRECTNESS_r{N}.json.
-# ROUND-7 STATE: CORRECTNESS_r06 landed 50/50 oracled greens (exactly
-# r6's window). Union of driver greens r01-r06: 283 of 295 prior
-# registrations. This round's window, per the round-6 verdict:
-#   1-12  the 12 names never driver-verified (batches 10-13; all
-#         judge-replayed green in round 6 and re-replayed locally),
-#   13-14 the 2 formerly rows-only queries whose OUTPUT changed this
-#         round (m_multimodal_features / a_approx_sketches now carry
-#         property-style hash oracles — fresh rows required),
-#   15+   NET-NEW round-7 gate queries (inserted as built), then the
-#         48-name r01-evidence backfill (dedup/ANN/text risk-ranked,
-#         then the f_*/w_* function-window surface and p_* parity
-#         rows; whatever overflows the 50-row window leads round 8).
+# ROUND-8 STATE: CORRECTNESS_r07 landed 50/50 oracled greens; union of
+# driver greens r01-r07 now covers ALL 323 prior registrations (total
+# certification, confirmed by the round-7 verdict). The goal from here
+# is FRESHNESS: no query's newest driver row older than ~3 rounds.
+# Staleness census against CORRECTNESS_r01..r07 (tools in round-8
+# notes): 40 names' newest green is r01, 35 names' is r02 — 75 stale.
+# This round's ~50-row window:
+#   1. round-8 net-new registrations and any query whose OUTPUT
+#      changes in round 8 (inserted at the top as built),
+#   2. the 40 r01-evidence names (risk-ranked: text/ANN/behavioral
+#      paths first, then the f_*/w_* function-window surface, then the
+#      p_* parity rows),
+#   3. the first of the 35 r02-evidence names (TPC-H q* family, j_*
+#      join surface, st_* streaming batch, set ops, a_* olap-agg
+#      family); the overflow leads round 9.
 _VERIFY_FIRST: list[str] = [
-    # ---- never driver-verified (r6 batches 10-13; judge-green r6)
-    "a_bh_fdr",
-    "a_survival_km",
-    "a_theil_sen_trend",
-    "b_curriculum_schedule",
-    "b_preference_pairs",
-    "d_dup_cluster_size_dist",
-    "e_embedding_qa_report",
-    "p_partition_skew_planner",
-    "t_normalization_dedup_report",
-    "t_tokenizer_fertility",
-    "t_vocab_coverage_curve",
-    "ts_autocorrelation_report",
-    # ---- output changed round 7: property-style hash oracles added
-    "m_multimodal_features",
-    "a_approx_sketches",
-    # ---- NET-NEW round-7 gate queries
-    "t_vocab_coverage_curve_production",  # distributed-rank crossover twin
-    # round-7 batch 1 (plans/round7_ext.py): privacy + split hygiene
-    "t_pii_scrub_report",         # per-source PII/blocklist exposure audit
-    "t_pii_scrub_apply",          # redaction apply, scrubbed-bytes hash
-    "t_repetition_ratio",         # duplicate-bigram quality statistic
-    "b_kfold_assign",             # deterministic hash k-fold + balance
-    # round-7 batch 2 (plans/round7b_ext.py): weighting/mixing/causal/robust
-    "d_soft_dedup_weights",       # 1/cluster-size duplicate-aware weights
-    "b_token_waterline",          # budget-exact water-filling allocation
-    "b_did_estimator",            # difference-in-differences + pooled SE
-    "a_winsorized_stats",         # p05/p95-clamped robust moments
-    # round-7 batch 3 (plans/round7c_ext.py): PQ compression + STL-lite
-    "e_pq_codebook",              # 4x16 PQ fit, assignment census
-    "e_pq_fitted_adc_topk",              # asymmetric-distance top-k + exact d2
-    "ts_seasonal_decompose",      # MA trend + DOW indices + strength
-    # round-7 batch 4 (plans/round7d_ext.py): semantic dedup + guardrails
-    "d_semdedup_report",          # cluster-scoped cosine near-dup census
-    "t_doc_entropy_filter",       # per-doc unigram entropy filter
-    "b_dedup_aware_mixture",      # effective-token temperature weights
-    "b_ab_srm_check",             # sample-ratio-mismatch chi-square
-    # round-7 batch 5 (plans/round7e_ext.py): IVF-PQ + ratio CI + modularity
-    "e_ivf_pq_topk",              # pruned-lists ADC search (FAISS IVF,PQ)
-    "a_ratio_metric_delta_ci",    # user-clustered ratio metric CI
-    "g_community_modularity",     # Newman Q of the LPA partition
-    # round-7 batch 6 (plans/round7f_ext.py): sequential/featurize/bars
-    "b_sequential_mean_monitor",  # always-valid z path + first crossing
-    "t_feature_hashing",          # signed hashing-trick featurization
-    # round-7 batch 7 (plans/round7g_ext.py): multimodal hash-exact gates
-    "m_audio_stats",              # PCM int16 stats via Arrow decode path
-    "m_frame_sample_census",      # 1-to-many frame-sampling arithmetic
-    # round-7 batch 8 (plans/round7h_ext.py): distributional + stratified
-    "a_quantile_treatment_effect",  # per-quantile treat-control deltas
-    "b_stratified_ate",           # activity-decile post-stratified ATE
-    # round-7 batch 9 (plans/round7i_ext.py): binary quantization
-    "e_binary_hamming_topk",      # sign-bit packing + Hamming top-k
-    # round-7 batch 10 (plans/round7j_ext.py): capstone eval + balance
-    "e_compression_recall_matrix",  # recall@10 per compression tier
-    "a_covariate_balance",        # SMD across arms, |SMD|>0.1 flags
-    # ---- r01-only evidence backfill (risk-ranked: dedup/ANN/text code
-    # paths that moved most since round 1, then functions/windows/parity)
-    "d_dedup_components",
-    "d_dedup_apply",
-    "d_minhash_lsh_pairs",
-    "d_ngram_jaccard_pairs",
-    "d_exact_dedup",
-    "d_simhash",
-    "e_knn_bruteforce",
-    "e_ivf_assign",
-    "e_lsh_buckets",
+    # ---- NET-NEW round-8 gate queries (inserted as built)
+    "e_compression_recall_matrix",  # OUTPUT CHANGED r8: +ivf_pq tier row
+    "e_ivf_balanced_assign",        # skew-capped IVF assignment (round-8)
+    # ---- r01-evidence refresh (newest driver row is round 1)
     "t_quality_score",
     "t_langid",
     "t_fingerprint",
     "t_token_count",
+    "e_lsh_buckets",
+    "m_binary_metadata",
     "b_hash_sample",
     "b_cohort_retention",
     "b_funnel_click_to_purchase",
     "u_grouped_zscore_pandas",
     "a_salted_skew_agg",
     "a_exact_percentile",
-    "m_binary_metadata",
     "f_array_functions",
     "f_date_parts",
     "f_json_struct",
@@ -188,23 +130,52 @@ _VERIFY_FIRST: list[str] = [
     "p_prefix_filter",
     "p_required_not_null_audit",
     "p_semi_join_valid_keys",
+    # ---- r02-evidence refresh (overflow of the ~50 window leads r9)
+    "q4_order_priority",
+    "q12_shipmode_buckets",
+    "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "q20_excess_inventory_suppliers",
+    "j_asof_backward",
+    "j_exists_correlated",
+    "j_full_outer",
+    "j_not_in_anti",
+    "j_range_join_band",
+    "j_scalar_subquery",
+    "a_cube_status_priority",
+    "a_grouping_sets",
+    "a_having_filter",
+    "a_pivot_returnflag_linestatus",
+    "a_rollup_region_nation",
+    "a_stats_aggregates",
+    "s_except_customers_no_orders",
+    "s_intersect_customers",
+    "s_intersect_except_all",
+    "s_union_all_priorities",
+    "st_session_window",
+    "st_sliding_window",
+    "st_stateful_user_totals",
+    "st_stream_static_join",
+    "st_streaming_tumbling",
+    "st_tumbling_window",
+    "t_normalize",
+    "t_redact_pii",
+    "t_repetition",
+    "d_decontaminate",
+    "d_levenshtein_candidates",
+    "w_bounded_sliding_frame",
+    "w_cume_dist_nth",
+    "w_moving_avg_range_frame",
 ]
-# NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r07 when it lands).
-# This round's 50-row window = the 12 never-verified + the 2
-# changed-output + the 24 round-7 net-new + the first 11 backfill
-# names (d_dedup_components .. t_langid). Round 8 leads with:
-#   1. any round-7 name that did NOT land green (expect none — all 50
-#      replay green locally at sf0.01, the 27 round-7-touched also at
-#      sf0.1),
-#   2. any query whose OUTPUT changes in round 8 (new oracles/columns),
-#   3. round-8 net-new registrations,
-#   4. the 37 remaining r01-evidence backfill names (t_fingerprint,
-#      t_token_count, b_hash_sample, b_cohort_retention,
-#      b_funnel_click_to_purchase, u_grouped_zscore_pandas,
-#      a_salted_skew_agg, a_exact_percentile, m_binary_metadata, the
-#      f_*/w_* function-window surface, the p_* parity rows),
-#   5. then the r02 cohort (TPC-H q* family, j_* join surface, st_*
-#      streaming batch, ts_ewma / ts_time_bucket_rollup, f_sql_macro)
+# NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r08 when it lands).
+# Round 8's 50-row window = 3 net-new/changed + the 40 r01 names + the
+# first ~7 r02 names (q4..j_exists_correlated or so, depending on how
+# many round-8 registrations land above them). Round 9 leads with:
+#   1. any round-8 name that did NOT land green,
+#   2. any query whose OUTPUT changes in round 9,
+#   3. round-9 net-new registrations,
+#   4. the remaining ~28 r02-evidence names listed above (j_full_outer
+#      onward), then the r03 cohort,
 # so every row's evidence stays fresh against current code.
 
 
@@ -249,6 +220,7 @@ def load_all() -> None:
         round7h_ext,
         round7i_ext,
         round7j_ext,
+        round8_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -30,12 +30,15 @@ _CM_TOPK = 10
 # (round7c), the int8 symmetric codes (llmdata_ext's e_ivf_sq oracle),
 # the sign-bit Hamming distances (round7i), and the rounded exact-L2
 # truth (round4b's e_pq_recall_report).
+_CM_NPROBE = 2  # matches e_ivf_pq_topk's pruning dial
+
 _CM_ORACLE = f"""
     WITH pos AS (
       SELECT vec_id,
              (i - 1) // {_PQ_SUBDIM} AS ss,
              (i - 1) % {_PQ_SUBDIM} AS sp,
              i AS pos,
+             label,
              CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ),
@@ -137,10 +140,50 @@ _CM_ORACLE = f"""
         GROUP BY q.vec_id, c.vec_id
       ) WHERE rn <= {_CM_TOPK}
     ),
+    centroids AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY 1, 2
+    ),
+    cdots AS (
+      SELECT p.vec_id, c.c_label,
+             sum(p.val * c.cval) AS dot,
+             sqrt(sum(p.val * p.val)) AS vn,
+             sqrt(sum(c.cval * c.cval)) AS cn
+      FROM pos p JOIN centroids c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.c_label
+    ),
+    cranked AS (
+      SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / (vn * cn) DESC, c_label) AS rn
+      FROM cdots
+    ),
+    ivf_lists AS (SELECT vec_id AS neighbor_id, c_label FROM cranked WHERE rn = 1),
+    ivf_probes AS (
+      SELECT vec_id AS query_id, c_label
+      FROM cranked WHERE rn <= {_CM_NPROBE} AND vec_id < {_CM_NQ}
+    ),
+    ivf_cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id
+      FROM ivf_probes p JOIN ivf_lists l ON p.c_label = l.c_label
+      WHERE l.neighbor_id >= {_CM_NQ}
+    ),
+    ivfpq_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY round(sum(l.ld), 4), c.neighbor_id) AS rn
+        FROM ivf_cand c
+        JOIN a2 ON a2.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.ss = a2.ss AND l.cid = a2.cid
+        GROUP BY c.query_id, c.neighbor_id
+      ) WHERE rn <= {_CM_TOPK}
+    ),
     all_tops AS (
       SELECT 'sq8' AS method, * FROM sq8_top
       UNION ALL SELECT 'pq_fitted', * FROM pq_top
       UNION ALL SELECT 'binary', * FROM bin_top
+      UNION ALL SELECT 'ivf_pq', * FROM ivfpq_top
     )
     SELECT m.method, m.query_id,
            CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -263,10 +306,40 @@ def e_compression_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
     )
 
+    # IVF-pruned PQ/ADC (the (codes, pruned) cell of the
+    # compression×pruning matrix — e_ivf_pq_topk's production shape,
+    # recall-scored here so the recall COST of pruning is measured
+    # against the unpruned pq_fitted row, not asserted). Same coarse
+    # quantizer (label centroids, nprobe=2) as e_ivf_pq_topk; the
+    # candidate set is bounded by the probed lists, so this tier adds
+    # no corpus-sized work beyond the one-time list assignment.
+    from ..operators.similarity import centroids_by, top_centroids
+
+    cents = centroids_by(emb, "label").localCheckpoint(eager=False)
+    ivf_lists = top_centroids(emb, cents, n=1).select(
+        F.col("id").alias("neighbor_id"), "c_label"
+    ).where(F.col("neighbor_id") >= _CM_NQ)
+    ivf_probes = top_centroids(emb.where(is_q), cents, n=_CM_NPROBE).select(
+        F.col("id").alias("query_id"), "c_label"
+    )
+    ivf_cand = (
+        ivf_probes.join(ivf_lists, "c_label")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ivf_adc = (
+        ivf_cand.join(a2, a2["vec_id"] == ivf_cand["neighbor_id"])
+        .join(F.broadcast(lut), ["query_id", "ss", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("ld"), 4).alias("d"))
+    )
+    ivfpq_top = topk(ivf_adc, "d")
+
     all_tops = (
         sq8_top.select(F.lit("sq8").alias("method"), "query_id", "neighbor_id")
         .unionAll(pq_top.select(F.lit("pq_fitted").alias("method"), "query_id", "neighbor_id"))
         .unionAll(bin_top.select(F.lit("binary").alias("method"), "query_id", "neighbor_id"))
+        .unionAll(ivfpq_top.select(F.lit("ivf_pq").alias("method"), "query_id", "neighbor_id"))
     )
     hit = truth.withColumn("hit", F.lit(1))
     return (

@@ -267,7 +267,7 @@ class ParquetStore:
             return
         existing = self._detect_partition_cols(table)
         requested = sorted(partition_by or [])
-        if existing != requested:
+        if sorted(existing) != requested:
             raise ValueError(
                 f"ParquetStore layout mismatch for table {table!r}: "
                 f"existing partition columns {existing} != requested "
@@ -276,17 +276,38 @@ class ParquetStore:
             )
 
     def _detect_partition_cols(self, table: str) -> list[str]:
-        """Infer hive partition columns from first-level col=value dirs
-        (single level — the layouts insert(partition_by=...) writes)."""
+        """Infer hive partition columns from col=value directory levels,
+        RECURSING through nested layouts so a table written with
+        ``insert(partition_by=["l1", "l2"])`` reports ``["l1", "l2"]``
+        in NESTING order (the order ``partitionBy`` must replay to
+        preserve the layout on a rewrite). Accuracy here is what keeps
+        the partition-scoped upsert honest: it engages only when
+        ``len(part_cols) == 1``, and a nested table mis-detected as
+        single-level would be flattened by the scoped rewrite. A level
+        that mixes more than one column name (a layout no Spark write
+        produces) is reported with every name appended, so the result
+        length > 1 routes such tables to the full rewrite too."""
         final = self.path(table)
         if not os.path.isdir(final):
             return []
-        cols = {
-            d.split("=", 1)[0]
-            for d in os.listdir(final)
-            if "=" in d and os.path.isdir(os.path.join(final, d))
-        }
-        return sorted(cols)
+        cols: list[str] = []
+        level = [final]
+        while level:
+            names: set[str] = set()
+            nxt: list[str] = []
+            for base in level:
+                for d in os.listdir(base):
+                    p = os.path.join(base, d)
+                    if "=" in d and os.path.isdir(p):
+                        names.add(d.split("=", 1)[0])
+                        nxt.append(p)
+            if not names:
+                break
+            if len(names) > 1:
+                return cols + sorted(names)
+            cols.append(names.pop())
+            level = nxt
+        return cols
 
     # Characters Spark's hive-path writer percent-escapes in partition
     # directory names (ExternalCatalogUtils.escapePathName, public Spark
@@ -320,7 +341,8 @@ class ParquetStore:
           anti-joined against incoming PKs, unioned with incoming,
           written to a temp dir, and swapped in per-partition via
           backup-rename. Untouched partition directories are never
-          opened, read, or rewritten — at 100 TB a daily upsert against
+          rewritten (affected-partition discovery does read the table
+          once, via a PK semi-join) — at 100 TB a daily upsert against
           a date-partitioned master table costs O(touched partitions),
           not O(table), which is the plain-parquet analogue of Delta/
           Iceberg MERGE file pruning. The partition-pruning filter means
@@ -377,15 +399,19 @@ class ParquetStore:
         current = self.read(table)
         in_keys = incoming.select(pk).distinct()
         # Affected partition values: where incoming rows land + where
-        # colliding PKs currently live. The collect is bounded by the
-        # number of TOUCHED partitions (an operational number — days in
-        # the batch — never table-sized).
+        # colliding PKs currently live — ONE pass, with each value's
+        # origin tagged, so the colliding-PK semi-join over the current
+        # table runs exactly once. The collect is bounded by the number
+        # of TOUCHED partitions (an operational number — days in the
+        # batch — never table-sized).
         aff_rows = (
-            incoming.select(F.col(pc).alias("v"))
+            incoming.select(F.col(pc).alias("v"), F.lit(False).alias("from_current"))
             .unionByName(
-                current.join(in_keys, pk, "left_semi").select(F.col(pc).alias("v"))
+                current.join(in_keys, pk, "left_semi")
+                .select(F.col(pc).alias("v"), F.lit(True).alias("from_current"))
             )
-            .distinct()
+            .groupBy("v")
+            .agg(F.max("from_current").alias("from_current"))
             .collect()
         )
         vals = [r["v"] for r in aff_rows]
@@ -400,10 +426,8 @@ class ParquetStore:
         # formatter disagrees with Spark's writer — fall back.
         current_vals = {
             self._hive_part_dirname(pc, r["v"])
-            for r in current.join(in_keys, pk, "left_semi")
-            .select(F.col(pc).alias("v"))
-            .distinct()
-            .collect()
+            for r in aff_rows
+            if r["from_current"]
         }
         if current_vals - on_disk:
             return False
@@ -438,12 +462,19 @@ class ParquetStore:
         are renamed aside, the rewritten dirs moved in from ``tmp``
         (an affected dir absent from ``tmp`` was emptied by the merge
         and stays removed), backups dropped on success, restored on
-        failure. Untouched partition directories are never renamed,
-        rewritten, or even opened — their files stay byte-identical
-        (pinned by tests/test_sinks.py)."""
+        failure. Untouched partition directories are never renamed or
+        rewritten — their files stay byte-identical (pinned by
+        tests/test_operators.py and tests/test_round7.py).
+
+        Rollback removes every dir already moved in from ``tmp`` —
+        including NEW partitions that had no backup to restore —
+        before restoring backups, so a mid-swap failure leaves the
+        exact pre-upsert state (no PK left duplicated across its old
+        and new partition)."""
         final = self.path(table)
         token = os.path.basename(tmp)
         backups: list[tuple[str, str]] = []
+        moved_in: list[str] = []
         try:
             for d in affected_dirs:
                 src = os.path.join(final, d)
@@ -454,10 +485,13 @@ class ParquetStore:
             for d in os.listdir(tmp):
                 p = os.path.join(tmp, d)
                 if "=" in d and os.path.isdir(p):
-                    os.replace(p, os.path.join(final, d))
+                    dst = os.path.join(final, d)
+                    os.replace(p, dst)
+                    moved_in.append(dst)
         except Exception:
+            for dst in moved_in:
+                shutil.rmtree(dst, ignore_errors=True)
             for src, bak in backups:
-                shutil.rmtree(src, ignore_errors=True)
                 if not os.path.isdir(src):
                     os.replace(bak, src)
             raise

@@ -262,6 +262,92 @@ def test_upsert_preserves_partition_layout(spark, tmp_path):
     assert rows == {"a": 1, "b": 99, "c": 3}
 
 
+def test_upsert_nested_partition_layout_full_rewrite(spark, tmp_path):
+    """A multi-level hive layout must NOT take the partition-scoped
+    path (a single-partition-column rewrite would flatten the inner
+    level into data files, leaving a mixed, unreadable layout).
+    Detection recurses (round-8 fix), the upsert falls back to the
+    full rewrite, and the nested layout survives byte-for-layout."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    base = spark.createDataFrame(
+        [(1, "a", "x", 10), (2, "a", "y", 20), (3, "b", "x", 30)],
+        "pk int, l1 string, l2 string, v int",
+    )
+    store.insert(base, "t", partition_by=["l1", "l2"])
+    assert store._detect_partition_cols("t") == ["l1", "l2"]
+    up = spark.createDataFrame(
+        [(1, "a", "x", 11), (4, "b", "y", 40)],
+        "pk int, l1 string, l2 string, v int",
+    )
+    assert store.upsert(up, "t", "pk") == 2
+    # still a clean two-level layout, still readable
+    assert store._detect_partition_cols("t") == ["l1", "l2"]
+    assert os.path.isdir(os.path.join(store.path("t"), "l1=a", "l2=x"))
+    rows = {r["pk"]: (r["l1"], r["l2"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {
+        1: ("a", "x", 11), 2: ("a", "y", 20),
+        3: ("b", "x", 30), 4: ("b", "y", 40),
+    }
+
+
+def test_detect_partition_cols_nesting_order(spark, tmp_path):
+    """Detection reports partition columns in NESTING order (what
+    partitionBy must replay to preserve the layout), not sorted."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame(
+        [(1, "x", "2024", 1), (2, "y", "2025", 2)],
+        "pk int, b string, a string, v int",
+    )
+    store.insert(df, "t", partition_by=["b", "a"])
+    assert store._detect_partition_cols("t") == ["b", "a"]
+    up = spark.createDataFrame(
+        [(1, "x", "2024", 9)], "pk int, b string, a string, v int"
+    )
+    store.upsert(up, "t", "pk")
+    assert store._detect_partition_cols("t") == ["b", "a"]  # not flipped to sorted
+
+
+def test_swap_partitions_rollback_removes_new_dirs(spark, tmp_path, monkeypatch):
+    """Mid-swap failure rollback must remove NEW partition dirs already
+    moved in from tmp (they have no backup entry) before restoring
+    backups — otherwise a PK whose partition changed exists in both its
+    restored old partition and the new dir (round-8 fix)."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk int, dt string, v int"
+    )
+    store.insert(base, "t", partition_by=["dt"])
+    final = store.path("t")
+    before = _file_state(final)
+
+    # Hand-built merge output: a rewritten dt=a plus two NEW partitions.
+    tmp = str(tmp_path / "merge_tmp")
+    for d in ("dt=a", "dt=c", "dt=d"):
+        os.makedirs(os.path.join(tmp, d))
+        with open(os.path.join(tmp, d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+
+    real_replace = os.replace
+    real_listdir = os.listdir
+
+    def failing_replace(src, dst, **kw):
+        if str(dst).endswith("dt=d"):
+            raise OSError("disk full")
+        return real_replace(src, dst, **kw)
+
+    # deterministic move-in order: dt=a, dt=c succeed, dt=d fails
+    monkeypatch.setattr(os, "listdir", lambda p: sorted(real_listdir(p)))
+    monkeypatch.setattr(os, "replace", failing_replace)
+    with pytest.raises(OSError, match="disk full"):
+        store._swap_partitions(tmp, "t", ["dt=a", "dt=c", "dt=d"])
+    monkeypatch.undo()
+
+    # exact pre-upsert state: moved-in dirs gone, backups restored
+    assert _file_state(final) == before
+    rows = {r["pk"]: (r["dt"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {1: ("a", 10), 2: ("b", 20)}
+
+
 def test_audit_csv_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([("x", None), ("y", "2")], "a string, b string")
     path = audit_csv(df, str(tmp_path / "audit"), "rejects")

@@ -504,6 +504,10 @@ def test_catalog_wide_no_cartesian_products(spark):
         # against each tier's code column (truth/sq8/binary legs) — the
         # recall-report evaluation shape, truth on a sample by design
         "e_compression_recall_matrix",
+        # round-8: 1-row (N, K) stats frame attached via broadcast
+        # crossJoin (the q11 global-threshold pattern) to derive the
+        # per-list capacity cap
+        "e_ivf_balanced_assign",
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():

@@ -173,7 +173,6 @@ QUERIES = [
     "b_did_estimator",
     "a_winsorized_stats",
     "e_pq_codebook",
-    "e_pq_fitted_adc_topk",
     "ts_seasonal_decompose",
     "d_semdedup_report",
     "t_doc_entropy_filter",
@@ -192,6 +191,8 @@ QUERIES = [
     "e_binary_hamming_topk",
     "e_compression_recall_matrix",
     "a_covariate_balance",
+    # round-8 additions
+    "e_ivf_balanced_assign",
 ]
 
 
