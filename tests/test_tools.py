@@ -73,3 +73,26 @@ def test_verify_first_names_all_registered():
     catalog.load_all()
     missing = [n for n in catalog._VERIFY_FIRST if n not in catalog.QUERIES]
     assert missing == [], missing
+
+
+def test_catalog_index_in_sync():
+    """CATALOG_INDEX.md is the generated query->module->domain map (the
+    round-7 verdict's alternative to renaming 40 round-named modules).
+    It must exist, list every registered query, and carry no stale
+    names — i.e. someone reran tools/catalog_index.py after the last
+    registration change."""
+    import os
+    import re
+
+    from etl_data_peri_institute_spark.plans import catalog
+
+    catalog.load_all()
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CATALOG_INDEX.md")
+    assert os.path.exists(path), "run python tools/catalog_index.py"
+    text = open(path).read()
+    indexed = set(
+        re.findall(r"^\| ([a-z0-9_]+) \| \w+ \| (?:yes|rows-only) \|", text, re.M)
+    )
+    registered = set(catalog.QUERIES)
+    assert registered - indexed == set(), f"missing from index: {sorted(registered - indexed)[:5]} — rerun tools/catalog_index.py"
+    assert indexed - registered == set(), f"stale in index: {sorted(indexed - registered)[:5]} — rerun tools/catalog_index.py"
