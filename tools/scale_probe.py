@@ -204,6 +204,10 @@ QUERIES = [
     "t_vocab_coverage_curve",
     "a_bh_fdr",
     "e_embedding_qa_report",
+    # round-8: capacity-balanced IVF assignment (top-2 centroid pass +
+    # per-list capacity window + spill join — the window partitions by
+    # list, so 10x deepens lists, never a global sort)
+    "e_ivf_balanced_assign",
 ]
 
 
