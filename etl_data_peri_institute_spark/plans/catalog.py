@@ -89,6 +89,8 @@ _VERIFY_FIRST: list[str] = [
     # ---- NET-NEW round-8 gate queries (inserted as built)
     "e_compression_recall_matrix",  # OUTPUT CHANGED r8: +ivf_pq tier row
     "e_ivf_balanced_assign",        # skew-capped IVF assignment (round-8)
+    "a_survival_km",  # OUTPUT CHANGED r8: exact centihour durations
+    #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
     # ---- r01-evidence refresh (newest driver row is round 1)
     "t_quality_score",
     "t_langid",

@@ -45,7 +45,7 @@ _KM_VALUE_MIN = 98.0  # 'high-value purchase' event; ~18% of users never
     durs AS (
       SELECT user_id,
              CASE WHEN ev_s IS NOT NULL THEN 1 ELSE 0 END AS ev,
-             round((coalesce(ev_s, last_s) - first_s) / 3600.0, 2) AS dur
+             ((coalesce(ev_s, last_s) - first_s) * 100 + 1800) // 3600 AS dur
       FROM per_user
     ),
     ud AS (
@@ -71,7 +71,7 @@ _KM_VALUE_MIN = 98.0  # 'high-value purchase' event; ~18% of users never
              max(zf) OVER (ORDER BY dur) AS cum_zero
       FROM terms
     )
-    SELECT dur AS t_hours,
+    SELECT dur / 100.0 AS t_hours,
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS n_events,
            CASE WHEN cum_zero = 1 THEN 0.0
@@ -94,9 +94,12 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve machinery runs entirely over the DISTINCT-DURATION frame —
     risk counts are an exclusive prefix sum and the product is
     exp(cumulative sum of logs), both windows over the bounded support,
-    never user-sized partitions. Whole-second epochs then one rounded
-    divide pin the support across engines; the log-sum runs in the
-    same dur order on both sides.
+    never user-sized partitions. Durations are EXACT integer
+    centihours — half-up integer division, no float rounding in the
+    group key (round(s/3600.0, 2) hit a .xx5 double-rounding boundary
+    at sf0.1: Spark's BigDecimal HALF_UP said 134.3, DuckDB's
+    double-repr round said 134.29 — the round-8 sf0.1 full replay
+    caught it); the log-sum runs in the same dur order on both sides.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -114,8 +117,8 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     durs = per_user.select(
         F.when(F.col("ev_s").isNotNull(), 1).otherwise(0).alias("ev"),
-        F.round(
-            (F.coalesce("ev_s", "last_s") - F.col("first_s")) / 3600.0, 2
+        F.expr(
+            "((coalesce(ev_s, last_s) - first_s) * 100 + 1800) div 3600"
         ).alias("dur"),
     )
     ud = durs.groupBy("dur").agg(
@@ -144,7 +147,7 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         terms.select(
-            F.col("dur").alias("t_hours"),
+            (F.col("dur") / 100.0).alias("t_hours"),
             F.col("n_risk").cast("long").alias("n_risk"),
             F.col("d").cast("long").alias("n_events"),
             F.when(F.max("zf").over(wall) == 1, F.lit(0.0))

@@ -40,10 +40,13 @@ def _km_reference():
             if etype == "purchase" and value >= 98.0:
                 ev_s = int(ts.timestamp())
                 break
+        # exact integer centihours, half-up — matches the engine/oracle
+        # (float round(s/3600.0, 2) hit a .xx5 double-rounding boundary
+        # at sf0.1; see plans/round6l_ext.py)
         if ev_s is not None:
-            durs.append((round((ev_s - first_s) / 3600.0, 2), 1))
+            durs.append((((ev_s - first_s) * 100 + 1800) // 3600 / 100.0, 1))
         else:
-            durs.append((round((last_s - first_s) / 3600.0, 2), 0))
+            durs.append((((last_s - first_s) * 100 + 1800) // 3600 / 100.0, 0))
     return durs
 
 
