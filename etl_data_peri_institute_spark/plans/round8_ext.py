@@ -116,12 +116,16 @@ def e_ivf_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means shape) bounds every list by construction; this census
     measures the dial (load_before vs load_after).
 
-    Scale shape: one top-2-centroid pass over the corpus (broadcast
-    K-row centroid table, posexplode + map-side-combined dot products),
-    ONE window over each list's members (partitioned by c_label — never
-    global), a spill join keyed on vec id, and label-sized aggregates.
-    The 1-row (N, K) stats frame is a broadcast crossJoin attachment
-    (the audited q11 global-threshold pattern).
+    Scale shape: ONE top-2-centroid pass over the corpus (broadcast
+    K-row centroid table, posexplode + map-side-combined dot products);
+    the spill target rides along as lead(c_label) over the SAME
+    id-partitioned window top_centroids already shuffled for (no
+    second corpus pass, no spill join); one capacity window per list
+    (partitioned by c_label — never global); then a single
+    contribution explode (1 row kept / 2 rows spilled) folds primary,
+    kept, and spill-in counts in ONE label-keyed groupBy. The 1-row
+    (N, K) stats frame is a broadcast crossJoin attachment (the
+    audited q11 global-threshold pattern).
     """
     from ..operators.similarity import centroids_by, top_centroids
 
@@ -136,22 +140,41 @@ def e_ivf_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("c_label").orderBy(F.round("cos_sim", 6).desc(), F.asc("id"))
     )
     prim = (
-        t2.where(F.col("rn") == 1)
+        t2.withColumn(
+            "spill_label",
+            F.lead("c_label").over(W.partitionBy("id").orderBy("rn")),
+        )
+        .where(F.col("rn") == 1)
         .withColumn("caprank", caprank)
         .crossJoin(F.broadcast(stats))
         .withColumn("cap", F.ceil(F.col("n_tot") / F.col("k_lists")))
     )
-    sec = t2.where(F.col("rn") == 2).select("id", F.col("c_label").alias("spill_label"))
-    spill = prim.where(F.col("caprank") > F.col("cap")).join(sec, "id")
 
-    p_agg = prim.groupBy("c_label").agg(F.count("*").alias("n_primary"))
-    k_agg = (
-        prim.where(F.col("caprank") <= F.col("cap"))
-        .groupBy("c_label")
-        .agg(F.count("*").alias("n_kept"))
+    def entry(lbl, p, k, i):
+        return F.struct(
+            lbl.alias("lbl"),
+            F.lit(p).alias("p"),
+            F.lit(k).alias("k"),
+            F.lit(i).alias("i"),
+        )
+
+    contrib = prim.select(
+        F.explode(
+            F.when(
+                F.col("caprank") <= F.col("cap"),
+                F.array(entry(F.col("c_label"), 1, 1, 0)),
+            ).otherwise(
+                F.array(
+                    entry(F.col("c_label"), 1, 0, 0),
+                    entry(F.col("spill_label"), 0, 0, 1),
+                )
+            )
+        ).alias("e")
     )
-    s_agg = spill.groupBy(F.col("spill_label").alias("c_label")).agg(
-        F.count("*").alias("n_spill_in")
+    census = contrib.groupBy(F.col("e.lbl").alias("c_label")).agg(
+        F.sum("e.p").alias("n_primary"),
+        F.sum("e.k").alias("n_kept"),
+        F.sum("e.i").alias("n_spill_in"),
     )
     n_primary = F.coalesce("n_primary", F.lit(0))
     n_kept = F.coalesce("n_kept", F.lit(0))
@@ -159,9 +182,7 @@ def e_ivf_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cents.select("c_label")
         .distinct()
-        .join(p_agg, "c_label", "left")
-        .join(k_agg, "c_label", "left")
-        .join(s_agg, "c_label", "left")
+        .join(census, "c_label", "left")
         .crossJoin(F.broadcast(stats))
         .select(
             "c_label",
