@@ -577,7 +577,8 @@ def test_compression_recall_matrix_shape_and_ladder(spark):
         assert 0 <= r["n_hits"] <= 10
         assert abs(r["recall_at_10"] - round(r["n_hits"] / 10, 2)) < 1e-9
         by_m[r["method"]][r["query_id"]] = r["n_hits"]
-    assert set(by_m) == {"sq8", "pq_fitted", "binary"}
+    # round-8 grew the ivf_pq tier (the pruned+compressed cell)
+    assert set(by_m) == {"sq8", "pq_fitted", "binary", "ivf_pq"}
     assert all(set(q) == set(range(5)) for q in by_m.values())
     # int8 symmetric SQ is near-lossless at these magnitudes: it must
     # dominate the coarser tiers on average
