@@ -133,8 +133,10 @@ HEADLINE = [
     "e_binary_hamming_topk",
     "e_compression_recall_matrix",
     # round-8 additions: the capacity-balanced IVF assignment (top-2
-    # centroid pass + per-list capacity window + spill join)
+    # centroid pass + per-list capacity window + contribution explode)
+    # and its recall/cost twin (shared exact-d2 frame, both variants)
     "e_ivf_balanced_assign",
+    "e_ivf_balanced_recall",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

@@ -111,6 +111,52 @@ def assign_nearest_centroid(
     )
 
 
+def capacity_balanced_labels(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Capacity-balanced IVF assignment (FAISS balanced-k-means shape):
+    every list is capped at ceil(N/K); within a list members rank by
+    cosine (closest keep the list — ties broken on rounded similarity
+    then id, deterministic cross-engine) and the overflow spills to its
+    second-nearest centroid. One spill round. Output (id,
+    primary_label, balanced_label, over) — `over` marks spilled rows.
+
+    Scale shape: ONE top-2-centroid pass over the corpus; the spill
+    target rides as lead(c_label) over the id window top_centroids
+    already shuffled for (no second corpus pass); one capacity window
+    per list (partitioned by c_label, never global); the 1-row N and
+    K frames attach via broadcast crossJoin."""
+    t2 = top_centroids(df, cents, n=2, id_col=id_col, vec_col=vec_col, keep_sim=True)
+    prim = t2.withColumn(
+        "spill_label", F.lead("c_label").over(W.partitionBy("id").orderBy("rn"))
+    ).where(F.col("rn") == 1)
+    caprank = F.row_number().over(
+        W.partitionBy("c_label").orderBy(F.round("cos_sim", 6).desc(), F.asc("id"))
+    )
+    n = df.agg(F.count("*").alias("n_tot"))
+    k = cents.select("c_label").distinct().agg(
+        F.count("*").alias("k_lists")
+    )
+    out = (
+        prim.withColumn("caprank", caprank)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(k))
+        .withColumn("cap", F.ceil(F.col("n_tot") / F.col("k_lists")))
+        .withColumn("over", F.col("caprank") > F.col("cap"))
+    )
+    return out.select(
+        "id",
+        F.col("c_label").alias("primary_label"),
+        F.when(F.col("over"), F.col("spill_label"))
+        .otherwise(F.col("c_label"))
+        .alias("balanced_label"),
+        "over",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

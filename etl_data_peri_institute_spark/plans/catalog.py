@@ -89,6 +89,7 @@ _VERIFY_FIRST: list[str] = [
     # ---- NET-NEW round-8 gate queries (inserted as built)
     "e_compression_recall_matrix",  # OUTPUT CHANGED r8: +ivf_pq tier row
     "e_ivf_balanced_assign",        # skew-capped IVF assignment (round-8)
+    "e_ivf_balanced_recall",        # recall cost of balancing (round-8)
     "a_survival_km",  # OUTPUT CHANGED r8: exact centihour durations
     #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
     # ---- r01-evidence refresh (newest driver row is round 1)
@@ -170,9 +171,9 @@ _VERIFY_FIRST: list[str] = [
     "w_moving_avg_range_frame",
 ]
 # NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r08 when it lands).
-# Round 8's 50-row window = 3 net-new/changed + the 40 r01 names + the
-# first ~7 r02 names (q4..j_exists_correlated or so, depending on how
-# many round-8 registrations land above them). Round 9 leads with:
+# Round 8's 50-row window = 4 net-new/changed (recall-matrix +ivf_pq
+# tier, balanced assign + recall twin, survival-km centihour fix) +
+# the 40 r01 names + the first ~6 r02 names. Round 9 leads with:
 #   1. any round-8 name that did NOT land green,
 #   2. any query whose OUTPUT changes in round 9,
 #   3. round-9 net-new registrations,

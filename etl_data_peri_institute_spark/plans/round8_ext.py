@@ -127,27 +127,14 @@ def e_ivf_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, K) stats frame is a broadcast crossJoin attachment (the
     audited q11 global-threshold pattern).
     """
-    from ..operators.similarity import centroids_by, top_centroids
+    from ..operators.similarity import capacity_balanced_labels, centroids_by
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = centroids_by(emb, "label").localCheckpoint(eager=False)
-    t2 = top_centroids(emb, cents, n=2, keep_sim=True)
+    bal = capacity_balanced_labels(emb, cents)
     stats = emb.agg(
         F.count("*").alias("n_tot"),
         F.countDistinct("label").alias("k_lists"),
-    )
-    caprank = F.row_number().over(
-        W.partitionBy("c_label").orderBy(F.round("cos_sim", 6).desc(), F.asc("id"))
-    )
-    prim = (
-        t2.withColumn(
-            "spill_label",
-            F.lead("c_label").over(W.partitionBy("id").orderBy("rn")),
-        )
-        .where(F.col("rn") == 1)
-        .withColumn("caprank", caprank)
-        .crossJoin(F.broadcast(stats))
-        .withColumn("cap", F.ceil(F.col("n_tot") / F.col("k_lists")))
     )
 
     def entry(lbl, p, k, i):
@@ -158,15 +145,15 @@ def e_ivf_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(i).alias("i"),
         )
 
-    contrib = prim.select(
+    contrib = bal.select(
         F.explode(
             F.when(
-                F.col("caprank") <= F.col("cap"),
-                F.array(entry(F.col("c_label"), 1, 1, 0)),
+                ~F.col("over"),
+                F.array(entry(F.col("primary_label"), 1, 1, 0)),
             ).otherwise(
                 F.array(
-                    entry(F.col("c_label"), 1, 0, 0),
-                    entry(F.col("spill_label"), 0, 0, 1),
+                    entry(F.col("primary_label"), 1, 0, 0),
+                    entry(F.col("balanced_label"), 0, 0, 1),
                 )
             )
         ).alias("e")
@@ -199,4 +186,212 @@ def e_ivf_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("c_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# e_ivf_balanced_recall — the OTHER half of the balance dial
+# --------------------------------------------------------------------------
+
+_BR_NQ = 5      # queries: vec_id < 5; corpus: vec_id >= 5
+_BR_TOPK = 10
+_BR_NPROBE = 2
+
+# The oracle reuses the proven blocks: cosine top-2 (e_ivf_* family),
+# rounded exact-L2 truth (e_compression_recall_matrix), and the
+# balanced-assignment CTEs from e_ivf_balanced_assign — restricted to
+# the corpus (vec_id >= 5), with cap = ceil(N_corpus / K).
+_BR_ORACLE = f"""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cents AS (
+      SELECT label AS c_label, pos, avg(val) AS cval FROM pos GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT p.vec_id AS id, c.c_label,
+             sum(p.val * c.cval)
+               / (sqrt(sum(p.val * p.val)) * sqrt(sum(c.cval * c.cval)))
+               AS cos_sim
+      FROM pos p JOIN cents c ON p.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    t2 AS (
+      SELECT id, c_label, cos_sim,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos_sim DESC, c_label) AS rn
+      FROM dots
+    ),
+    stats AS (
+      SELECT count(*) AS n_c, count(DISTINCT label) AS k_lists
+      FROM embeddings WHERE vec_id >= {_BR_NQ}
+    ),
+    prim AS (
+      SELECT id, c_label,
+             row_number() OVER (PARTITION BY c_label
+                                ORDER BY round(cos_sim, 6) DESC, id) AS caprank
+      FROM t2 WHERE rn = 1 AND id >= {_BR_NQ}
+    ),
+    capped AS (
+      SELECT p.*, CAST(ceil(s.n_c * 1.0 / s.k_lists) AS BIGINT) AS cap
+      FROM prim p CROSS JOIN stats s
+    ),
+    final AS (
+      SELECT c.id,
+             c.c_label AS primary_label,
+             CASE WHEN c.caprank > c.cap THEN t.c_label
+                  ELSE c.c_label END AS balanced_label
+      FROM capped c JOIN t2 t ON t.id = c.id AND t.rn = 2
+    ),
+    probes AS (
+      SELECT id AS query_id, c_label
+      FROM t2 WHERE rn <= {_BR_NPROBE} AND id < {_BR_NQ}
+    ),
+    d2 AS (
+      SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+             round(sum((p.val - q.val) * (p.val - q.val)), 6) AS d
+      FROM pos p JOIN pos q ON q.pos = p.pos
+      WHERE p.vec_id >= {_BR_NQ} AND q.vec_id < {_BR_NQ}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, neighbor_id) AS rn
+        FROM d2
+      ) WHERE rn <= {_BR_TOPK}
+    ),
+    cand AS (
+      SELECT 'balanced' AS variant, pr.query_id, f.id AS neighbor_id
+      FROM probes pr JOIN final f ON f.balanced_label = pr.c_label
+      UNION ALL
+      SELECT 'primary', pr.query_id, f.id
+      FROM probes pr JOIN final f ON f.primary_label = pr.c_label
+    ),
+    ranked AS (
+      SELECT c.variant, c.query_id, c.neighbor_id,
+             count(*) OVER (PARTITION BY c.variant, c.query_id) AS n_cand,
+             row_number() OVER (PARTITION BY c.variant, c.query_id
+                                ORDER BY d.d, c.neighbor_id) AS rn
+      FROM cand c JOIN d2 d
+        ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+    )
+    SELECT r.variant, r.query_id,
+           CAST(max(r.n_cand) AS BIGINT) AS n_cand,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {_BR_TOPK}, 2) AS recall_at_{_BR_TOPK}
+    FROM ranked r
+    LEFT JOIN truth t
+      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+    WHERE r.rn <= {_BR_TOPK}
+    GROUP BY r.variant, r.query_id
+    ORDER BY r.variant, r.query_id
+"""
+
+
+@query("e_ivf_balanced_recall", oracle=_BR_ORACLE)
+def e_ivf_balanced_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall cost of capacity balancing — the OTHER half of the dial
+    e_ivf_balanced_assign measures: balancing bounds every list (probe
+    cost becomes uniform), but a spilled vector no longer lives in its
+    nearest list, so a probe that would have found it under primary
+    assignment can miss it. This query probes the SAME {_BR_NPROBE}
+    nearest lists per query against both assignments and reports, per
+    query and variant, the candidate count (the probe's COST) and
+    recall@{_BR_TOPK} vs exact-L2 truth (its ACCURACY). Read the pair
+    of rows per query as the measured trade: balanced costs
+    max-bounded n_cand; primary costs whatever the hottest probed list
+    holds.
+
+    Measured gap this closes: the compression ladder
+    (e_compression_recall_matrix) scores representation tiers and
+    e_ivf_nprobe_sweep scores probe counts, but the balance dial added
+    this round had a load census only — its recall side was asserted,
+    not measured.
+
+    Scale shape: truth and candidate ranking share ONE rounded
+    exact-d2 frame over (bounded query sample × corpus) — the standard
+    eval protocol; the balanced assignment is the production
+    one-corpus-pass operator (capacity_balanced_labels); candidate
+    sets are probed-list-bounded; every window partitions by
+    (variant, query) — never global.
+    """
+    from ..operators.similarity import (
+        capacity_balanced_labels,
+        centroids_by,
+        top_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") < _BR_NQ
+    cents = centroids_by(emb, "label").localCheckpoint(eager=False)
+    corpus = emb.where(~is_q)
+    # one corpus pass feeds BOTH variant joins — truncate the plan so
+    # the top-2-centroid walk is not replayed per consumer
+    final = capacity_balanced_labels(corpus, cents).localCheckpoint(eager=False)
+    probes = top_centroids(emb.where(is_q), cents, n=_BR_NPROBE).select(
+        F.col("id").alias("query_id"), "c_label"
+    )
+
+    q = emb.where(is_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    d2val = F.round(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    # shared by the truth top-k and both variants' candidate ranking
+    # (sample-bounded: 5 queries x corpus)
+    d2 = (
+        c.join(F.broadcast(q))
+        .select("query_id", "neighbor_id", d2val.alias("d"))
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(pairs: DataFrame, *part) -> DataFrame:
+        rn = F.row_number().over(
+            W.partitionBy(*part).orderBy("d", "neighbor_id")
+        )
+        return pairs.withColumn("rn", rn).where(F.col("rn") <= _BR_TOPK)
+
+    truth = topk(d2, "query_id").select("query_id", "neighbor_id")
+
+    cand = (
+        probes.join(final, probes["c_label"] == final["balanced_label"])
+        .select(F.lit("balanced").alias("variant"), "query_id", F.col("id").alias("neighbor_id"))
+        .unionAll(
+            probes.join(final, probes["c_label"] == final["primary_label"])
+            .select(F.lit("primary").alias("variant"), "query_id", F.col("id").alias("neighbor_id"))
+        )
+    )
+    ranked = (
+        cand.join(d2, ["query_id", "neighbor_id"])
+        .withColumn(
+            "n_cand", F.count("*").over(W.partitionBy("variant", "query_id"))
+        )
+    )
+    hit = truth.withColumn("hit", F.lit(1))
+    return (
+        topk(ranked, "variant", "query_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("variant", "query_id")
+        .agg(
+            F.max("n_cand").cast("long").alias("n_cand"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / _BR_TOPK, 2
+            ).alias(f"recall_at_{_BR_TOPK}"),
+        )
+        .orderBy("variant", "query_id")
     )

@@ -508,6 +508,9 @@ def test_catalog_wide_no_cartesian_products(spark):
         # crossJoin (the q11 global-threshold pattern) to derive the
         # per-list capacity cap
         "e_ivf_balanced_assign",
+        # round-8: bounded 5-query broadcast crossed against the corpus
+        # for the shared exact-d2 truth frame (the recall-report shape)
+        "e_ivf_balanced_recall",
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():

@@ -67,3 +67,43 @@ def test_compression_recall_matrix_has_ivf_pq_tier(spark):
     for hits_by_q in by_method.values():
         assert len(hits_by_q) == 5
         assert all(0 <= h <= 10 for h in hits_by_q.values())
+
+
+def test_ivf_balanced_recall_cost_accuracy_contract(spark):
+    """The recall/cost twin's contract:
+    - 2 variants x 5 queries, recall consistent with n_hits;
+    - candidate sets are probed-list-bounded on both variants
+      (n_cand < corpus size);
+    - a balanced probe is bounded by nprobe*cap KEPT members plus
+      whatever spill the probed lists RECEIVED — one-round spill does
+      not re-cap receivers, so the hard bound is nprobe*cap +
+      total_spilled (the kept-portion cap is the per-list guarantee
+      the census pins via n_kept <= cap);
+    - the dial actually moves on this corpus: the two variants'
+      candidate counts differ for at least one query."""
+    import math
+
+    rows = _q("e_ivf_balanced_recall")(spark, SF).collect()
+    n_c, k = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT label) FROM '{SF}/embeddings.parquet'"
+        " WHERE vec_id >= 5"
+    ).fetchone()
+    cap = math.ceil(n_c / k)
+    # total spilled on the full-table census is an upper bound for the
+    # corpus-only one up to the 5 query vectors' own contributions
+    census = _q("e_ivf_balanced_assign")(spark, SF).collect()
+    total_spill = sum(r["n_spill_out"] for r in census) + 5
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["variant"], {})[r["query_id"]] = r
+        assert abs(r["recall_at_10"] - round(r["n_hits"] / 10, 2)) < 1e-9
+        assert 0 <= r["n_hits"] <= 10
+        assert r["n_cand"] < n_c
+    assert set(by_v) == {"balanced", "primary"}
+    assert all(set(q) == set(range(5)) for q in by_v.values())
+    for qid, r in by_v["balanced"].items():
+        assert r["n_cand"] <= 2 * cap + total_spill, r
+    assert any(
+        by_v["balanced"][q]["n_cand"] != by_v["primary"][q]["n_cand"]
+        for q in range(5)
+    )

@@ -205,9 +205,11 @@ QUERIES = [
     "a_bh_fdr",
     "e_embedding_qa_report",
     # round-8: capacity-balanced IVF assignment (top-2 centroid pass +
-    # per-list capacity window + spill join — the window partitions by
-    # list, so 10x deepens lists, never a global sort)
+    # per-list capacity window + contribution explode — the window
+    # partitions by list, so 10x deepens lists, never a global sort)
+    # and its recall twin (bounded query sample x corpus d2 frame)
     "e_ivf_balanced_assign",
+    "e_ivf_balanced_recall",
 ]
 
 

@@ -193,6 +193,7 @@ QUERIES = [
     "a_covariate_balance",
     # round-8 additions
     "e_ivf_balanced_assign",
+    "e_ivf_balanced_recall",
 ]
 
 
