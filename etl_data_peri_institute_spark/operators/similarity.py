@@ -111,6 +111,39 @@ def assign_nearest_centroid(
     )
 
 
+def exact_l2_pairs(
+    emb: DataFrame,
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The shared evaluation-truth frame: rounded exact squared-L2 of
+    every sampled query (id < n_queries, broadcast) against the rest
+    of the corpus. Output (query_id, neighbor_id, d) with d rounded to
+    6 decimals so tie order cannot diverge cross-engine — every recall
+    report (compression ladder, balanced-probe twin) must rank from
+    THIS frame, not a private reimplementation, or a precision tweak
+    in one desynchronizes the reports. Sample-bounded by construction:
+    n_queries × corpus rows, the standard eval protocol (at 100 TB the
+    sample is what makes the exact side affordable)."""
+    is_q = F.col(id_col) < n_queries
+    q = emb.where(is_q).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = emb.where(~is_q).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("__qv", "__cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    return c.join(F.broadcast(q)).select("query_id", "neighbor_id", d.alias("d"))
+
+
 def capacity_balanced_labels(
     df: DataFrame,
     cents: DataFrame,
@@ -137,9 +170,9 @@ def capacity_balanced_labels(
         W.partitionBy("c_label").orderBy(F.round("cos_sim", 6).desc(), F.asc("id"))
     )
     n = df.agg(F.count("*").alias("n_tot"))
-    k = cents.select("c_label").distinct().agg(
-        F.count("*").alias("k_lists")
-    )
+    # countDistinct (NULL-excluding) so K matches a SQL
+    # count(DISTINCT label) over the same centroid source exactly
+    k = cents.agg(F.countDistinct("c_label").alias("k_lists"))
     out = (
         prim.withColumn("caprank", caprank)
         .crossJoin(F.broadcast(n))

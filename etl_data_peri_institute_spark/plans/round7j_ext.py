@@ -217,7 +217,7 @@ def e_compression_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (methods × queries × k)-sized. One embeddings scan feeds
     everything the methods share.
     """
-    from ..operators.similarity import sq_int8_codes
+    from ..operators.similarity import exact_l2_pairs, sq_int8_codes
     from .round7i_ext import packed_sign_code
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -233,26 +233,10 @@ def e_compression_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    # exact-L2 truth on the query sample (rounded like the oracle so
-    # tie order can't diverge cross-engine)
-    q = emb.where(is_q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = emb.where(~is_q).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
-    truth = topk(
-        c.join(F.broadcast(q)).select("query_id", "neighbor_id", d2.alias("d")),
-        "d",
-    )
+    # exact-L2 truth on the query sample: the SHARED eval-truth frame
+    # (operators/similarity.py — rounded so tie order can't diverge
+    # cross-engine; every recall report ranks from the same helper)
+    truth = topk(exact_l2_pairs(emb, _CM_NQ), "d")
 
     # int8 SQ: exact integer L2 over the code arrays
     codes = sq_int8_codes(emb)

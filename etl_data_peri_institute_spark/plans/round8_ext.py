@@ -224,8 +224,13 @@ _BR_ORACLE = f"""
       FROM dots
     ),
     stats AS (
-      SELECT count(*) AS n_c, count(DISTINCT label) AS k_lists
-      FROM embeddings WHERE vec_id >= {_BR_NQ}
+      -- n_c: corpus rows (what the cap divides); k_lists: distinct
+      -- labels over ALL embeddings — the centroid source the Spark
+      -- side builds lists from (a label occurring only among query
+      -- vectors is still a list; corpus-only counting would shrink
+      -- the cap and silently diverge)
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id >= {_BR_NQ}) AS n_c,
+             (SELECT count(DISTINCT label) FROM embeddings) AS k_lists
     ),
     prim AS (
       SELECT id, c_label,
@@ -323,6 +328,7 @@ def e_ivf_balanced_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         capacity_balanced_labels,
         centroids_by,
+        exact_l2_pairs,
         top_centroids,
     )
 
@@ -337,27 +343,9 @@ def e_ivf_balanced_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("query_id"), "c_label"
     )
 
-    q = emb.where(is_q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    d2val = F.round(
-        F.aggregate(
-            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
     # shared by the truth top-k and both variants' candidate ranking
     # (sample-bounded: 5 queries x corpus)
-    d2 = (
-        c.join(F.broadcast(q))
-        .select("query_id", "neighbor_id", d2val.alias("d"))
-        .localCheckpoint(eager=False)
-    )
+    d2 = exact_l2_pairs(emb, _BR_NQ).localCheckpoint(eager=False)
 
     def topk(pairs: DataFrame, *part) -> DataFrame:
         rn = F.row_number().over(

@@ -266,8 +266,12 @@ class ParquetStore:
         if not self.exists(table):
             return
         existing = self._detect_partition_cols(table)
-        requested = sorted(partition_by or [])
-        if sorted(existing) != requested:
+        # ORDER-SENSITIVE compare: detection reports nesting order, and
+        # a permuted partition_by (["l2","l1"] into an l1/l2 layout)
+        # would append dirs nested the other way round — a mixed layout
+        # Spark's partition discovery rejects at read time.
+        requested = list(partition_by or [])
+        if existing != requested:
             raise ValueError(
                 f"ParquetStore layout mismatch for table {table!r}: "
                 f"existing partition columns {existing} != requested "
@@ -291,22 +295,28 @@ class ParquetStore:
         if not os.path.isdir(final):
             return []
         cols: list[str] = []
-        level = [final]
-        while level:
+        base = final
+        full_breadth = True  # level 1: full scan (the mixed-name guard)
+        while True:
             names: set[str] = set()
-            nxt: list[str] = []
-            for base in level:
-                for d in os.listdir(base):
-                    p = os.path.join(base, d)
-                    if "=" in d and os.path.isdir(p):
-                        names.add(d.split("=", 1)[0])
-                        nxt.append(p)
+            rep: str | None = None
+            for d in os.listdir(base):
+                p = os.path.join(base, d)
+                if "=" in d and os.path.isdir(p):
+                    names.add(d.split("=", 1)[0])
+                    rep = p
+                    if not full_breadth:
+                        break  # deeper levels: one representative dir
             if not names:
                 break
             if len(names) > 1:
                 return cols + sorted(names)
             cols.append(names.pop())
-            level = nxt
+            # Spark writes homogeneous layouts, so ONE representative
+            # subdirectory per deeper level suffices — O(depth) listdir
+            # calls total, not O(total partition dirs) per upsert.
+            base = rep  # type: ignore[assignment]
+            full_breadth = False
         return cols
 
     # Characters Spark's hive-path writer percent-escapes in partition

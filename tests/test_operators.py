@@ -245,6 +245,24 @@ def test_insert_layout_mismatch_raises(spark, tmp_path):
         store.insert(df, "flat", partition_by=["dt"])  # partitioned into flat
 
 
+def test_insert_permuted_nested_layout_raises(spark, tmp_path):
+    """The layout guard is ORDER-sensitive (round-8 review finding): an
+    insert with the same partition columns in a different nesting order
+    would append dirs nested the other way round — a mixed layout Spark
+    rejects at read time. Must raise, not corrupt."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame(
+        [(1, "a", "x", 10)], "pk int, l1 string, l2 string, v int"
+    )
+    store.insert(df, "t", partition_by=["l1", "l2"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        store.insert(df, "t", partition_by=["l2", "l1"])
+    # same order still appends fine, layout intact
+    store.insert(df, "t", partition_by=["l1", "l2"])
+    assert store._detect_partition_cols("t") == ["l1", "l2"]
+    assert store.read("t").count() == 2
+
+
 def test_upsert_preserves_partition_layout(spark, tmp_path):
     """Upsert over a partitioned table must rewrite WITH the partition
     columns, not flatten the directory layout."""

@@ -85,8 +85,9 @@ def test_ivf_balanced_recall_cost_accuracy_contract(spark):
 
     rows = _q("e_ivf_balanced_recall")(spark, SF).collect()
     n_c, k = duckdb.sql(
-        f"SELECT count(*), count(DISTINCT label) FROM '{SF}/embeddings.parquet'"
-        " WHERE vec_id >= 5"
+        f"SELECT (SELECT count(*) FROM '{SF}/embeddings.parquet'"
+        "         WHERE vec_id >= 5),"
+        f"       (SELECT count(DISTINCT label) FROM '{SF}/embeddings.parquet')"
     ).fetchone()
     cap = math.ceil(n_c / k)
     # total spilled on the full-table census is an upper bound for the
