@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -59,9 +60,15 @@ def _normalize(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("filters", nargs="*", help="substring filters on query names")
-    ap.add_argument("--sf", default="sf0.01")
+    ap.add_argument(
+        "--sf",
+        default="sf0.01",
+        help="sf dir under /root/testdata, or an absolute path to any "
+        "directory of {table}.parquet files/dirs (e.g. the scale_probe "
+        "x3 copies)",
+    )
     args = ap.parse_args()
-    sf_dir = f"/root/testdata/{args.sf}"
+    sf_dir = args.sf if os.path.isabs(args.sf) else f"/root/testdata/{args.sf}"
 
     import __spark_entry__ as e
     from etl_data_peri_institute_spark.session import get_spark
@@ -75,8 +82,13 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
+        # a Spark-written table is a DIRECTORY of part files; a driver
+        # testdata table is a single file — glob the former
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     n_pass = n_fail = n_rows_only = 0
