@@ -11,6 +11,7 @@ checkpointed table, same plan).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,13 +24,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (schema from the batch reader,
     including the nanos→micros ts normalization)."""
     batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file stream sources take a directory; glob-filter down to the table
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # the production layout: the table IS a directory of part
+        # files — stream it directly (a pathGlobFilter on the parent
+        # would match nothing and silently stream 0 rows; caught by
+        # the round-8 full replay against Spark-written 3x copies)
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # driver testdata layout: single file per table inside a dir
+        # of other tables; glob-filter down to this one
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # re-apply the batch reader's ts normalization on the stream
     dt = dict(stream.dtypes)["ts"]
     if dt == "bigint":
