@@ -137,6 +137,10 @@ HEADLINE = [
     # and its recall/cost twin (shared exact-d2 frame, both variants)
     "e_ivf_balanced_assign",
     "e_ivf_balanced_recall",
+    # the incremental near-dup probe (batch signatures only + band-table
+    # join) and the per-key adaptive salted join (planner factors applied)
+    "d_incremental_lsh_dedup",
+    "j_planned_skew_join",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

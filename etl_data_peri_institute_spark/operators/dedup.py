@@ -66,16 +66,28 @@ def minhash_signatures(
     return shingles.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
-    """Band the signatures and self-join on (band, signature) → candidate
-    (id_a < id_b) pairs. P(candidate) = 1-(1-j^r)^b."""
+def lsh_band_table(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Unpivot MinHash signatures into the LSH band table:
+    ``(id, band, sig)`` where ``sig`` concatenates the band's
+    ``rows_per_band`` signature components. This is THE index structure
+    of banded LSH — the self-join variant (lsh_candidate_pairs) and the
+    incremental batch-vs-corpus probe both join on ``(band, sig)``.
+
+    At scale the corpus's band table is a MAINTAINED artifact: written
+    once, bucketed on the join key (sources/formats.py:write_bucketed
+    on (band, sig)), appended per ingest batch — so a daily probe
+    shuffles only the batch side."""
     stack_args = ", ".join(
         f"{b}, concat({', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
         for b in range(bands)
     )
-    banded = sigs.select(
-        "id", F.expr(f"stack({bands}, {stack_args}) AS (band, sig)")
-    )
+    return sigs.select("id", F.expr(f"stack({bands}, {stack_args}) AS (band, sig)"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Band the signatures and self-join on (band, signature) → candidate
+    (id_a < id_b) pairs. P(candidate) = 1-(1-j^r)^b."""
+    banded = lsh_band_table(sigs, bands=bands, rows_per_band=rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -90,6 +90,8 @@ _VERIFY_FIRST: list[str] = [
     "e_compression_recall_matrix",  # OUTPUT CHANGED r8: +ivf_pq tier row
     "e_ivf_balanced_assign",        # skew-capped IVF assignment (round-8)
     "e_ivf_balanced_recall",        # recall cost of balancing (round-8)
+    "d_incremental_lsh_dedup",      # batch-vs-corpus LSH probe (round-8)
+    "j_planned_skew_join",          # per-key adaptive salting (round-8)
     "a_survival_km",  # OUTPUT CHANGED r8: exact centihour durations
     #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
     # ---- r01-evidence refresh (newest driver row is round 1)

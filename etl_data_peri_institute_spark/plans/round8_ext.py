@@ -1,6 +1,16 @@
 """Round-8 operators: depth items closing measured gaps only (round-7
 verdict item 6 — no breadth registrations).
 
+- d_incremental_lsh_dedup — near-dup tier of the daily-ingest workflow:
+  the batch probes the corpus's precomputed LSH band table instead of
+  recomputing the full-corpus self-join. Closes the measured gap that
+  d_incremental_dedup's exact tier scales as O(batch) per day while the
+  near-dup tier (d_minhash_lsh_pairs) re-pays the whole corpus every run.
+- j_planned_skew_join — the skew planner's per-key salt factors APPLIED:
+  adaptive salting where only measured-hot keys replicate. Closes the
+  gap that p_partition_skew_planner derives factors nothing consumes
+  per-key, and j_salted_skew_join's uniform replication is the measured
+  driver of its 3.8× 10×-probe ratio.
 - e_ivf_balanced_assign — capacity-constrained IVF list assignment
   (FAISS balanced-k-means shape: cap = ceil(N/K), overflow spills to
   the vector's second-nearest centroid). Closes the measured gap
@@ -382,4 +392,186 @@ def e_ivf_balanced_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{_BR_TOPK}"),
         )
         .orderBy("variant", "query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# d_incremental_lsh_dedup — near-dup tier of the daily-ingest workflow
+# --------------------------------------------------------------------------
+
+_ILSH_N_MINHASH = 8  # 4 bands x 2 rows, the d_minhash_lsh_pairs config
+
+_ILSH_ORACLE = f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shingles AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(_ILSH_N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM sigs
+    ),
+    partners AS (
+      SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_corpus_partners
+      FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+      WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+      GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(p.n_corpus_partners, 0) AS BIGINT) AS n_corpus_partners,
+           CASE WHEN coalesce(p.n_corpus_partners, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM (SELECT doc_id FROM sigs WHERE doc_id % 10 = 7) s
+    LEFT JOIN partners p USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
+@query("d_incremental_lsh_dedup", oracle=_ILSH_ORACLE)
+def d_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: today's batch (the doc_id % 10 = 7
+    slice) is shingled, MinHashed, and banded, then probes the CORPUS's
+    LSH band table on (band, signature); a batch doc colliding with any
+    corpus doc is a near-dup candidate and verdicts 'drop'. Output per
+    batch doc: distinct corpus-partner count and the keep/drop verdict
+    — the near-dup analogue of d_incremental_dedup's exact-hash
+    decision.
+
+    Measured gap this closes (round-7 verdict item 6, depth only): the
+    exact tier of the daily-crawl workflow is incremental
+    (d_incremental_dedup anti-joins the batch against a maintained hash
+    set — only the day's batch shuffles), but the near-dup tier's only
+    gate (d_minhash_lsh_pairs) is a full-corpus SELF-join: every daily
+    run re-pays shingling + signatures + the bucket join for the whole
+    100 TB corpus. This gate pins the incremental shape: signatures are
+    computed for the batch ONLY, and the corpus side is its band table
+    — in production a MAINTAINED artifact (written once, bucketed on
+    (band, sig) via sources/formats.py:write_bucketed, appended per
+    batch), so the probe co-locates by bucket and only the batch
+    shuffles. Daily cost: O(batch + collisions), independent of corpus
+    size.
+
+    Scale shape: one map-side-combined signature groupBy over the
+    batch; the (band, sig) probe join is collision-bounded exactly like
+    the self-join family (never all-pairs); the partner count groups by
+    batch doc only. AQE broadcasts the batch band table when a day's
+    crawl is small relative to the corpus. The md5 MinHash variant is
+    the oracle pin (engine default is xxhash64 — same plan shape,
+    operators/dedup.py:minhash_signatures).
+    """
+    from ..operators.dedup import (
+        lsh_band_table,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            word_shingles(df, distinct=False),
+            n_hashes=_ILSH_N_MINHASH,
+            hash_fn="md5",  # oracle pins md5
+        )
+        return lsh_band_table(sigs, bands=4, rows_per_band=2)
+
+    batch_bands = bands_of(docs.filter(is_batch))
+    corpus_bands = bands_of(docs.filter(~is_batch))
+
+    partners = (
+        batch_bands.select(F.col("id").alias("doc_id"), "band", "sig")
+        .join(
+            corpus_bands.select(F.col("id").alias("corpus_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_id").alias("n_corpus_partners"))
+    )
+    n = F.coalesce("n_corpus_partners", F.lit(0))
+    return (
+        batch_bands.select(F.col("id").alias("doc_id"))
+        .distinct()
+        .join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_corpus_partners"),
+            F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# j_planned_skew_join — the skew planner's per-key factors, applied
+# --------------------------------------------------------------------------
+
+# Gate-scale pin for the planner's target-rows-per-reducer knob
+# (production: p_partition_skew_planner's _TARGET_ROWS_PER_TASK). 4 is
+# below lineitem's max lines-per-order (7), so the gate exercises BOTH
+# paths: hot keys (5-7 lines) get factor 2, the rest stay unsalted.
+_PSJ_ROWS_PER_REDUCER = 4
+
+_PSJ_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("j_planned_skew_join", oracle=_PSJ_ORACLE)
+def j_planned_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ADAPTIVE salted join: lineitem (probe) joins orders
+    (build) through operators/skew.py:planned_salted_join — each key's
+    salt factor is ceil(measured_count / rows_per_reducer), so ONLY
+    measured-hot keys replicate build rows, each by exactly the factor
+    its size demands. The ORACLE is the PLAIN join (the salting-is-
+    invisible contract j_salted_skew_join pins for the uniform variant).
+
+    Measured gap this closes (round-7 verdict item 6): two halves of
+    the skew remedy existed but never met — p_partition_skew_planner
+    MEASURES per-key skew and derives hot_key_salt_factor, yet nothing
+    consumed it per-key; j_salted_skew_join APPLIES salting but
+    uniformly, replicating the whole build side n_salt× (the measured
+    driver of its 3.8× 10×-probe ratio — every cold key pays the
+    bandwidth for the hot ones). planned_salted_join is the planner's
+    formula applied per key: replication cost is proportional to the
+    skew being fixed, not to the build-table size.
+
+    Scale shape: the hot-key factor table is bounded by
+    n_rows / rows_per_reducer BY CONSTRUCTION (each hot key exceeds the
+    target), i.e. at most the task count already being planned for —
+    broadcast-safe at any corpus size, and in production it is the
+    planner census, maintained, not recomputed per join (the operator
+    accepts it precomputed via ``factors=``). The inline derivation
+    here is one map-side-combined count groupBy on the join key. The
+    per-priority aggregate collapses the join output to 5 integer rows.
+    """
+    from ..operators.skew import planned_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = planned_salted_join(
+        li, orders, key="l_orderkey", rows_per_reducer=_PSJ_ROWS_PER_REDUCER
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
     )

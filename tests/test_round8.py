@@ -108,3 +108,84 @@ def test_ivf_balanced_recall_cost_accuracy_contract(spark):
         by_v["balanced"][q]["n_cand"] != by_v["primary"][q]["n_cand"]
         for q in range(5)
     )
+
+
+def test_planned_salted_join_is_invisible(spark):
+    """planned_salted_join's contract: identical result to the plain
+    join for every probe-preserving mode, on a frame with a genuinely
+    hot key (k=1 dominates) plus unmatched rows on BOTH sides so
+    left/semi/anti actually diverge from inner."""
+    from etl_data_peri_institute_spark.operators.skew import planned_salted_join
+
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 100), (3, 101), (9, 102)],
+        "k int, pv int",
+    )
+    build = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (8, "unmatched")], "k string, bv string"
+    ).selectExpr("cast(k as int) k", "bv")
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            tuple(r) for r in planned_salted_join(
+                probe, build, key="k", rows_per_reducer=8, how=how
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in probe.join(build, "k", how).collect())
+        assert got == want, how
+
+
+def test_planned_salted_join_rejects_bad_args(spark):
+    from etl_data_peri_institute_spark.operators.skew import planned_salted_join
+    import pytest
+
+    df = spark.range(3).selectExpr("id as k", "id as v")
+    with pytest.raises(ValueError, match="supported modes"):
+        planned_salted_join(df, df, key="k", rows_per_reducer=2, how="right")
+    with pytest.raises(ValueError, match="rows_per_reducer"):
+        planned_salted_join(df, df, key="k", rows_per_reducer=0)
+
+
+def test_planned_salted_join_accepts_precomputed_factors(spark):
+    """The production path: factors come from the maintained planner
+    census, not an inline scan — and stay invisible even when they are
+    arbitrary (a stale census must never change results, only costs)."""
+    from pyspark.sql import functions as F
+    from etl_data_peri_institute_spark.operators.skew import planned_salted_join
+
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, 99)], "k int, pv int"
+    )
+    build = spark.createDataFrame([(1, "x"), (2, "y")], "k int, bv string")
+    stale = spark.createDataFrame([(2, 5)], "k int, __nsalt int")  # salts the COLD key
+    got = sorted(
+        tuple(r)
+        for r in planned_salted_join(
+            probe, build, key="k", rows_per_reducer=3, factors=stale
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in probe.join(build, "k").collect())
+    assert got == want
+
+
+def test_incremental_lsh_agrees_with_self_join(spark):
+    """Cross-operator consistency: the incremental probe's corpus
+    partners must be EXACTLY the straddling pairs of the full-corpus
+    self-join gate (same shingles, same md5 MinHash config, same
+    bands) — the incremental path changes the COST shape, never the
+    candidate set. Also pins per-doc partner counts, not just the
+    drop/keep verdicts."""
+    inc = {r["doc_id"]: r for r in _q("d_incremental_lsh_dedup")(spark, SF).collect()}
+    pairs = _q("d_minhash_lsh_pairs")(spark, SF).collect()
+    straddle: dict[int, set[int]] = {}
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 10 == 7 and b % 10 != 7:
+            straddle.setdefault(a, set()).add(b)
+        elif b % 10 == 7 and a % 10 != 7:
+            straddle.setdefault(b, set()).add(a)
+    for doc_id, r in inc.items():
+        want = len(straddle.get(doc_id, set()))
+        assert r["n_corpus_partners"] == want, (doc_id, r, want)
+        assert r["verdict"] == ("drop" if want else "keep")
+    # every straddling batch doc must appear in the incremental output
+    assert set(straddle) <= set(inc)

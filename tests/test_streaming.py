@@ -333,3 +333,53 @@ def test_streaming_drift_monitor_incremental_psi(spark, tmp_path):
 
     total = store.read("drift_bins").agg(F.sum("n_cur")).first()[0]
     assert total == 400
+
+
+def test_incremental_ingest_recovers_from_sink_crash(spark, tmp_path, monkeypatch):
+    """Mid-stream FAILURE recovery — the path the clean-stop tests above
+    don't exercise: the sink crashes while processing an epoch, the
+    query dies, and a RESTART from the same checkpoint must replay that
+    epoch exactly once (offsets commit only after foreachBatch returns,
+    and the staged-parquet insert is all-or-nothing, so the failed
+    attempt leaves no partial rows to duplicate)."""
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import (
+        incremental_ingest,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ev = load_table(spark, SF, "events").limit(200)
+    ev.coalesce(1).write.parquet(str(src / "batch1"))
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    schema = spark.read.parquet(str(src / "batch1")).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    real_insert = ParquetStore.insert
+    calls = {"n": 0}
+
+    def crashing_insert(self, batch_df, table, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected sink crash")
+        return real_insert(self, batch_df, table, **kw)
+
+    monkeypatch.setattr(ParquetStore, "insert", crashing_insert)
+
+    with pytest.raises(Exception, match="injected sink crash"):
+        incremental_ingest(spark, str(src / "*"), schema, store, "ev_rec", ckpt)
+    # failed attempt must leave NO rows behind (atomic staged insert)
+    assert not store.exists("ev_rec")
+
+    # restart from the same checkpoint: the crashed epoch replays ONCE
+    n = incremental_ingest(spark, str(src / "*"), schema, store, "ev_rec", ckpt)
+    assert n == 200
+    assert store.read("ev_rec").count() == 200
+
+    # and the recovered checkpoint is drained: third run is a no-op
+    assert (
+        incremental_ingest(spark, str(src / "*"), schema, store, "ev_rec", ckpt)
+        == 0
+    )
+    assert store.read("ev_rec").count() == 200

@@ -194,6 +194,8 @@ QUERIES = [
     # round-8 additions
     "e_ivf_balanced_assign",
     "e_ivf_balanced_recall",
+    "d_incremental_lsh_dedup",
+    "j_planned_skew_join",
 ]
 
 
