@@ -383,3 +383,71 @@ def test_incremental_ingest_recovers_from_sink_crash(spark, tmp_path, monkeypatc
         == 0
     )
     assert store.read("ev_rec").count() == 200
+
+
+def test_incremental_rollup_replay_guard_after_durable_merge(
+    spark, tmp_path, monkeypatch
+):
+    """The OTHER at-least-once crash window (the sink-crash test above
+    covers failure BEFORE the write lands): the merge lands durably —
+    atomic swap, _LAST_EPOCH committed with it — but the sink dies
+    before Spark commits the stream offsets. The restart replays that
+    epoch; the epoch guard must SKIP it (a bare merge would
+    double-count) while later epochs still apply."""
+    import os
+
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import (
+        incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    schema = "k string, v double"
+    spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame([("a", 3.0)], schema).write.parquet(
+        str(src / "f2.parquet")
+    )
+
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    kw = dict(
+        spark=spark,
+        source_dir=str(src / "*"),
+        schema=schema,
+        store=store,
+        table="rollup_rg",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        group_cols=["k"],
+        sum_cols={"total_v": "sum:v", "n": "count"},
+        max_files_per_trigger=1,  # one epoch per file
+    )
+
+    real_overwrite = ParquetStore.overwrite
+    calls = {"n": 0}
+
+    def crash_after_durable(self, df, table, **kwargs):
+        out = real_overwrite(self, df, table, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch 1's merge IS durable, then the crash
+            raise RuntimeError("crash after durable merge")
+        return out
+
+    monkeypatch.setattr(ParquetStore, "overwrite", crash_after_durable)
+    with pytest.raises(Exception, match="crash after durable merge"):
+        incremental_rollup(**kw)
+    # both epochs' merges landed before the crash
+    assert store.read_meta("rollup_rg", "_LAST_EPOCH") == "1"
+
+    # a third file lands while we were down
+    spark.createDataFrame([("c", 7.0)], schema).write.parquet(
+        str(src / "f3.parquet")
+    )
+    monkeypatch.setattr(ParquetStore, "overwrite", real_overwrite)
+    incremental_rollup(**kw)
+
+    # epoch 1 replayed and was SKIPPED (no double count of ("a", 3.0));
+    # epoch 2 (the new file) applied
+    got = {r["k"]: (r["total_v"], r["n"]) for r in store.read("rollup_rg").collect()}
+    assert got == {"a": (4.0, 2), "b": (2.0, 1), "c": (7.0, 1)}
