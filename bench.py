@@ -141,6 +141,8 @@ HEADLINE = [
     # join) and the per-key adaptive salted join (planner factors applied)
     "d_incremental_lsh_dedup",
     "j_planned_skew_join",
+    "d_embedding_neardup_incremental",
+    "d_embedding_neardup_incremental_prod",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree

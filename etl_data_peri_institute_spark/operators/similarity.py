@@ -536,6 +536,49 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    tau: float = 0.9,
+    bands: int = 8,
+    bits_per_band: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) embedding near-dup: the new batch's
+    band table probes the corpus's band table on (band, bucket); shared
+    buckets propose candidates and exact double-math cosine verifies
+    ≥ tau. Output ``(id, corpus_id)`` — one row per VERIFIED (batch
+    vector, corpus partner) pair, ids only.
+
+    The incremental shape mirrors d_incremental_lsh_dedup's text tier:
+    at scale the corpus band table is a MAINTAINED artifact (one LSH
+    pass when a vector first lands, appended per batch, bucketed on
+    (band, bucket)), so a daily run pays one LSH pass over the BATCH
+    plus collision-bounded bucket joins plus one embedding re-join per
+    surviving candidate — O(batch + collisions), independent of corpus
+    size, where embedding_neardup_pairs re-pays the full corpus
+    self-join every run.
+    """
+    bb = hyperplane_lsh_bands(batch, bands, bits_per_band, id_col, vec_col, dim)
+    bc = hyperplane_lsh_bands(corpus, bands, bits_per_band, id_col, vec_col, dim)
+    cand = (
+        bb.select(F.col("id").alias("__idb"), "band", "bucket")
+        .join(bc.select(F.col("id").alias("__idc"), "band", "bucket"), ["band", "bucket"])
+        .select("__idb", "__idc")
+        .distinct()
+    )
+    eb = batch.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"))
+    ec = corpus.select(F.col(id_col).alias("__idc"), F.col(vec_col).alias("__vc"))
+    return (
+        cand.join(eb, "__idb")
+        .join(ec, "__idc")
+        .filter(cosine(F.col("__vb"), F.col("__vc")) >= tau)
+        .select(F.col("__idb").alias("id"), F.col("__idc").alias("corpus_id"))
+    )
+
+
 def sq_int8_codes(
     df: DataFrame,
     id_col: str = "vec_id",

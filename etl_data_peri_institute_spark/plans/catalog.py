@@ -92,6 +92,8 @@ _VERIFY_FIRST: list[str] = [
     "e_ivf_balanced_recall",        # recall cost of balancing (round-8)
     "d_incremental_lsh_dedup",      # batch-vs-corpus LSH probe (round-8)
     "j_planned_skew_join",          # per-key adaptive salting (round-8)
+    "d_embedding_neardup_incremental",  # embedding tier of the probe (r8)
+    "d_embedding_neardup_incremental_prod",  # selective-band twin (r8)
     "a_survival_km",  # OUTPUT CHANGED r8: exact centihour durations
     #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
     # ---- r01-evidence refresh (newest driver row is round 1)

@@ -575,3 +575,176 @@ def j_planned_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# d_embedding_neardup_incremental — the embedding tier of the daily probe
+# --------------------------------------------------------------------------
+
+_ENI_BANDS, _ENI_BITS = 4, 4  # the d_embedding_neardup oracle config
+_ENI_TAU = 0.4               # measured sf0.01 margin ≥ 1e-4 (llmdata_ext)
+
+
+def _eni_oracle(bands: int = _ENI_BANDS, bits: int = _ENI_BITS,
+                tau: float = _ENI_TAU) -> str:
+    from .llmdata import _duck_hyperplane
+
+    n_bits = bands * bits
+    dot_exprs = ", ".join(
+        f"sum(val * {_duck_hyperplane(b)}) AS dot{b}" for b in range(n_bits)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {band} AS band, {bucket} AS bucket FROM dots".format(
+            band=b,
+            bucket=" + ".join(
+                f"(CASE WHEN dot{b * bits + k} > 0 THEN {1 << k} ELSE 0 END)"
+                for k in range(bits)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT vec_id AS id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    dots AS (SELECT id, {dot_exprs} FROM pos GROUP BY id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT b.id AS id_b, c.id AS id_c
+      FROM bands b
+      JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.id % 10 = 7 AND c.id % 10 <> 7
+    ),
+    nrm AS (SELECT id, sqrt(sum(val * val)) AS n FROM pos GROUP BY id),
+    verified AS (
+      SELECT d.id_b, count(*) AS n_partners
+      FROM (
+        SELECT c.id_b, c.id_c, sum(pb.val * pc.val) AS dp
+        FROM cand c
+        JOIN pos pb ON pb.id = c.id_b
+        JOIN pos pc ON pc.id = c.id_c AND pc.pos = pb.pos
+        GROUP BY c.id_b, c.id_c
+      ) d
+      JOIN nrm nb ON nb.id = d.id_b
+      JOIN nrm nc ON nc.id = d.id_c
+      WHERE d.dp / (nb.n * nc.n) >= {tau}
+      GROUP BY d.id_b
+    )
+    SELECT e.vec_id,
+           CAST(coalesce(v.n_partners, 0) AS BIGINT) AS n_corpus_partners,
+           CASE WHEN coalesce(v.n_partners, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM embeddings e
+    LEFT JOIN verified v ON v.id_b = e.vec_id
+    WHERE e.vec_id % 10 = 7
+    ORDER BY e.vec_id
+    """
+
+
+@query("d_embedding_neardup_incremental", oracle=_eni_oracle())
+def d_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: the day's batch (vec_id % 10 = 7)
+    probes the corpus's hyperplane-LSH band table on (band, bucket) and
+    exact cosine verifies candidates at τ; per batch vector, the count
+    of VERIFIED corpus partners and the keep/drop verdict.
+
+    Measured gap this closes: the text tier of the daily near-dup probe
+    landed as d_incremental_lsh_dedup (10× probe ratio 0.9 vs the
+    self-join's 1.4), but the EMBEDDING tier's only gate
+    (d_embedding_neardup) is still the full-corpus self-join — a daily
+    semantic-dedup run re-pays the corpus LSH pass AND its
+    intra-corpus bucket collisions every day. The incremental operator
+    (operators/similarity.py:embedding_neardup_incremental) pays one
+    LSH pass over the batch, batch-vs-corpus bucket joins only, and
+    one embedding re-join per surviving candidate — against a
+    MAINTAINED corpus band table at scale.
+
+    Oracle config: the 4×4 bands / τ=0.4 pin of d_embedding_neardup
+    (coarse bands are the documented oracle trade-off — production
+    uses 8×16 at τ=0.9 through the same operator; verified-partner
+    counts are integers, so float cosine never reaches the hash).
+    """
+    from ..operators.similarity import embedding_neardup_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 7
+    verified = embedding_neardup_incremental(
+        emb.filter(is_batch),
+        emb.filter(~is_batch),
+        tau=_ENI_TAU,
+        bands=_ENI_BANDS,
+        bits_per_band=_ENI_BITS,
+        dim=64,
+    )
+    partners = verified.groupBy("id").agg(
+        F.count("*").alias("n_corpus_partners")
+    )
+    n = F.coalesce("n_corpus_partners", F.lit(0))
+    return (
+        emb.filter(is_batch)
+        .select("vec_id")
+        .join(partners, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            n.cast("long").alias("n_corpus_partners"),
+            F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Production-selectivity twin: 4 bands x 16 bits (P(bit) = 1 - θ/π, so a
+# random near-orthogonal pair collides with prob ≈ 4·0.5^16 ≈ 6e-5 —
+# collision volume stays linear in batch size), τ = 0.9 (true near-dup
+# regime). On the synthetic corpus the verified set is EMPTY by design
+# (random vectors are near-orthogonal; no cos ≥ 0.9 pairs exist), which
+# is exactly the production steady state: the daily probe's cost is the
+# batch LSH pass + (near-zero) collisions, and the oracle pins the
+# all-keep output hash-exactly. The coarse 4×4 gate above is the
+# semantic pin (real collisions + verified drops); this twin is the
+# cost-shape pin and carries the 10× probe.
+_ENIP_BANDS, _ENIP_BITS, _ENIP_TAU = 4, 16, 0.9
+
+
+@query(
+    "d_embedding_neardup_incremental_prod",
+    oracle=_eni_oracle(_ENIP_BANDS, _ENIP_BITS, _ENIP_TAU),
+)
+def d_embedding_neardup_incremental_prod(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-config twin of d_embedding_neardup_incremental:
+    selective 4×16 hyperplane bands and τ=0.9 — the regime where the
+    daily embedding near-dup probe runs at 100 TB. See the module
+    constant block for why the verified set is empty on this corpus
+    and why that is the right thing to pin. Scale shape identical to
+    the gate twin; candidate volume is collision-bounded by the
+    selective bands instead of by luck."""
+    from ..operators.similarity import embedding_neardup_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 7
+    verified = embedding_neardup_incremental(
+        emb.filter(is_batch),
+        emb.filter(~is_batch),
+        tau=_ENIP_TAU,
+        bands=_ENIP_BANDS,
+        bits_per_band=_ENIP_BITS,
+        dim=64,
+    )
+    partners = verified.groupBy("id").agg(
+        F.count("*").alias("n_corpus_partners")
+    )
+    n = F.coalesce("n_corpus_partners", F.lit(0))
+    return (
+        emb.filter(is_batch)
+        .select("vec_id")
+        .join(partners, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            n.cast("long").alias("n_corpus_partners"),
+            F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
+        )
+        .orderBy("vec_id")
+    )

@@ -189,3 +189,41 @@ def test_incremental_lsh_agrees_with_self_join(spark):
         assert r["verdict"] == ("drop" if want else "keep")
     # every straddling batch doc must appear in the incremental output
     assert set(straddle) <= set(inc)
+
+
+def test_embedding_incremental_agrees_with_self_join(spark):
+    """Embedding tier of the incremental-vs-self-join consistency pin:
+    the batch-vs-corpus VERIFIED partners must be exactly the
+    straddling pairs of d_embedding_neardup (same 4x4 bands, same
+    τ=0.4, same hyperplanes) — the incremental path changes cost
+    shape, never the verified set."""
+    inc = {
+        r["vec_id"]: r
+        for r in _q("d_embedding_neardup_incremental")(spark, SF).collect()
+    }
+    pairs = _q("d_embedding_neardup")(spark, SF).collect()
+    straddle: dict[int, set[int]] = {}
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 7 and b % 10 != 7:
+            straddle.setdefault(a, set()).add(b)
+        elif b % 10 == 7 and a % 10 != 7:
+            straddle.setdefault(b, set()).add(a)
+    for vec_id, r in inc.items():
+        want = len(straddle.get(vec_id, set()))
+        assert r["n_corpus_partners"] == want, (vec_id, r, want)
+        assert r["verdict"] == ("drop" if want else "keep")
+    assert set(straddle) <= set(inc)
+
+
+def test_embedding_incremental_prod_twin_contract(spark):
+    """The selective-band production twin: same batch row set as the
+    coarse gate, and at 4x16/τ=0.9 on the synthetic corpus (random,
+    near-orthogonal vectors) the verified set must be EMPTY — the
+    production steady state the twin exists to pin. If the testdata
+    ever gains true near-dups this assertion should start failing,
+    which is the signal to re-pin."""
+    prod = _q("d_embedding_neardup_incremental_prod")(spark, SF).collect()
+    gate = _q("d_embedding_neardup_incremental")(spark, SF).collect()
+    assert {r["vec_id"] for r in prod} == {r["vec_id"] for r in gate}
+    assert all(r["verdict"] == "keep" and r["n_corpus_partners"] == 0 for r in prod)

@@ -196,6 +196,8 @@ QUERIES = [
     "e_ivf_balanced_recall",
     "d_incremental_lsh_dedup",
     "j_planned_skew_join",
+    "d_embedding_neardup_incremental",
+    "d_embedding_neardup_incremental_prod",
 ]
 
 
