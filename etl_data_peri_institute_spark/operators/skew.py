@@ -103,6 +103,9 @@ def planned_salted_join(
                 key,
                 F.ceil(F.col("__c") / rows_per_reducer).cast("int").alias("__nsalt"),
             )
+            # both join sides consume the factor table; truncate the plan
+            # so the probe-side count pass runs once, not once per side
+            .localCheckpoint(eager=False)
         )
     hot = F.broadcast(factors)
     salted_probe = (
