@@ -11,6 +11,12 @@ verdict item 6 — no breadth registrations).
   gap that p_partition_skew_planner derives factors nothing consumes
   per-key, and j_salted_skew_join's uniform replication is the measured
   driver of its 3.8× 10×-probe ratio.
+- d_embedding_neardup_incremental(_prod) — the embedding tier of the
+  same daily probe: batch hyperplane-LSH bands probe the corpus band
+  table, exact cosine verifies. The coarse 4×4/τ=0.4 gate is the
+  semantic pin (real collisions); the 4×16/τ=0.9 twin is the cost pin
+  (selective bands, flat 10× probe, verified set empty on the
+  near-orthogonal synthetic corpus by design).
 - e_ivf_balanced_assign — capacity-constrained IVF list assignment
   (FAISS balanced-k-means shape: cap = ceil(N/K), overflow spills to
   the vector's second-nearest centroid). Closes the measured gap
