@@ -74,9 +74,12 @@ def lsh_band_table(sigs: DataFrame, bands: int = 4, rows_per_band: int = 2) -> D
     incremental batch-vs-corpus probe both join on ``(band, sig)``.
 
     At scale the corpus's band table is a MAINTAINED artifact: written
-    once, bucketed on the join key (sources/formats.py:write_bucketed
-    on (band, sig)), appended per ingest batch — so a daily probe
-    shuffles only the batch side."""
+    once, bucketed on ``sig`` (sources/formats.py:write_bucketed —
+    single-column bucketing; ``sig`` is a subset of the ``(band, sig)``
+    join keys, which is what Spark needs to keep the bucketed side
+    shuffle-free), appended per ingest batch — so a daily probe pays
+    only the batch side's work (pinned by
+    tests/test_formats.py:test_maintained_lsh_band_table_probe)."""
     stack_args = ", ".join(
         f"{b}, concat({', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
         for b in range(bands)

@@ -107,6 +107,14 @@ def planned_salted_join(
             # so the probe-side count pass runs once, not once per side
             .localCheckpoint(eager=False)
         )
+    else:
+        # sanitize a user-supplied census: a duplicate key would fan out
+        # BOTH join sides (breaking the salting-is-invisible contract),
+        # and a factor < 1 would explode an empty/negative salt range —
+        # one key-max pass over the (small) factor table closes both
+        factors = factors.groupBy(key).agg(
+            F.greatest(F.max("__nsalt"), F.lit(1)).alias("__nsalt")
+        )
     hot = F.broadcast(factors)
     salted_probe = (
         probe.join(hot, key, "left")

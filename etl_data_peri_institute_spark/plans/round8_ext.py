@@ -431,13 +431,13 @@ _ILSH_ORACLE = f"""
       WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
       GROUP BY 1
     )
-    SELECT s.doc_id,
+    SELECT d.doc_id,
            CAST(coalesce(p.n_corpus_partners, 0) AS BIGINT) AS n_corpus_partners,
            CASE WHEN coalesce(p.n_corpus_partners, 0) > 0
                 THEN 'drop' ELSE 'keep' END AS verdict
-    FROM (SELECT doc_id FROM sigs WHERE doc_id % 10 = 7) s
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
     LEFT JOIN partners p USING (doc_id)
-    ORDER BY s.doc_id
+    ORDER BY d.doc_id
 """
 
 
@@ -460,10 +460,12 @@ def d_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus. This gate pins the incremental shape: signatures are
     computed for the batch ONLY, and the corpus side is its band table
     — in production a MAINTAINED artifact (written once, bucketed on
-    (band, sig) via sources/formats.py:write_bucketed, appended per
-    batch), so the probe co-locates by bucket and only the batch
-    shuffles. Daily cost: O(batch + collisions), independent of corpus
-    size.
+    ``sig`` via sources/formats.py:write_bucketed — a subset of the
+    (band, sig) join keys, sufficient for shuffle-free co-location —
+    appended per batch), so the probe pays only the batch side's work.
+    Daily cost: O(batch + collisions), independent of corpus size.
+    The lifecycle is executed, not just documented:
+    tests/test_formats.py:test_maintained_lsh_band_table_probe.
 
     Scale shape: one map-side-combined signature groupBy over the
     batch; the (band, sig) probe join is collision-bounded exactly like
@@ -504,8 +506,8 @@ def d_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.coalesce("n_corpus_partners", F.lit(0))
     return (
-        batch_bands.select(F.col("id").alias("doc_id"))
-        .distinct()
+        docs.filter(is_batch)
+        .select("doc_id")
         .join(partners, "doc_id", "left")
         .select(
             "doc_id",
@@ -648,6 +650,40 @@ def _eni_oracle(bands: int = _ENI_BANDS, bits: int = _ENI_BITS,
     """
 
 
+def _eni_plan(
+    spark: SparkSession, sf_dir: str, bands: int, bits: int, tau: float
+) -> DataFrame:
+    """Shared plan body of the embedding-probe twins (the oracle side is
+    shared the same way via _eni_oracle(bands, bits, tau))."""
+    from ..operators.similarity import embedding_neardup_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 7
+    verified = embedding_neardup_incremental(
+        emb.filter(is_batch),
+        emb.filter(~is_batch),
+        tau=tau,
+        bands=bands,
+        bits_per_band=bits,
+        dim=64,
+    )
+    partners = verified.groupBy("id").agg(
+        F.count("*").alias("n_corpus_partners")
+    )
+    n = F.coalesce("n_corpus_partners", F.lit(0))
+    return (
+        emb.filter(is_batch)
+        .select("vec_id")
+        .join(partners, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            n.cast("long").alias("n_corpus_partners"),
+            F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query("d_embedding_neardup_incremental", oracle=_eni_oracle())
 def d_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup: the day's batch (vec_id % 10 = 7)
@@ -671,33 +707,7 @@ def d_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     uses 8×16 at τ=0.9 through the same operator; verified-partner
     counts are integers, so float cosine never reaches the hash).
     """
-    from ..operators.similarity import embedding_neardup_incremental
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    is_batch = F.col("vec_id") % 10 == 7
-    verified = embedding_neardup_incremental(
-        emb.filter(is_batch),
-        emb.filter(~is_batch),
-        tau=_ENI_TAU,
-        bands=_ENI_BANDS,
-        bits_per_band=_ENI_BITS,
-        dim=64,
-    )
-    partners = verified.groupBy("id").agg(
-        F.count("*").alias("n_corpus_partners")
-    )
-    n = F.coalesce("n_corpus_partners", F.lit(0))
-    return (
-        emb.filter(is_batch)
-        .select("vec_id")
-        .join(partners, F.col("vec_id") == F.col("id"), "left")
-        .select(
-            "vec_id",
-            n.cast("long").alias("n_corpus_partners"),
-            F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
-        )
-        .orderBy("vec_id")
-    )
+    return _eni_plan(spark, sf_dir, _ENI_BANDS, _ENI_BITS, _ENI_TAU)
 
 
 # Production-selectivity twin: 4 bands x 16 bits (P(bit) = 1 - θ/π, so a
@@ -727,30 +737,4 @@ def d_embedding_neardup_incremental_prod(
     and why that is the right thing to pin. Scale shape identical to
     the gate twin; candidate volume is collision-bounded by the
     selective bands instead of by luck."""
-    from ..operators.similarity import embedding_neardup_incremental
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    is_batch = F.col("vec_id") % 10 == 7
-    verified = embedding_neardup_incremental(
-        emb.filter(is_batch),
-        emb.filter(~is_batch),
-        tau=_ENIP_TAU,
-        bands=_ENIP_BANDS,
-        bits_per_band=_ENIP_BITS,
-        dim=64,
-    )
-    partners = verified.groupBy("id").agg(
-        F.count("*").alias("n_corpus_partners")
-    )
-    n = F.coalesce("n_corpus_partners", F.lit(0))
-    return (
-        emb.filter(is_batch)
-        .select("vec_id")
-        .join(partners, F.col("vec_id") == F.col("id"), "left")
-        .select(
-            "vec_id",
-            n.cast("long").alias("n_corpus_partners"),
-            F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
-        )
-        .orderBy("vec_id")
-    )
+    return _eni_plan(spark, sf_dir, _ENIP_BANDS, _ENIP_BITS, _ENIP_TAU)

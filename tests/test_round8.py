@@ -149,14 +149,19 @@ def test_planned_salted_join_accepts_precomputed_factors(spark):
     """The production path: factors come from the maintained planner
     census, not an inline scan — and stay invisible even when they are
     arbitrary (a stale census must never change results, only costs)."""
-    from pyspark.sql import functions as F
     from etl_data_peri_institute_spark.operators.skew import planned_salted_join
 
     probe = spark.createDataFrame(
         [(1, i) for i in range(10)] + [(2, 99)], "k int, pv int"
     )
     build = spark.createDataFrame([(1, "x"), (2, "y")], "k int, bv string")
-    stale = spark.createDataFrame([(2, 5)], "k int, __nsalt int")  # salts the COLD key
+    # a MESSY census: the cold key salted, a DUPLICATE row for it (a
+    # double-written append), and a non-positive factor — the operator
+    # sanitizes all three (dup keys would otherwise fan out both join
+    # sides; factor 0 would build an empty salt range)
+    stale = spark.createDataFrame(
+        [(2, 5), (2, 3), (1, 0)], "k int, __nsalt int"
+    )
     got = sorted(
         tuple(r)
         for r in planned_salted_join(
