@@ -307,6 +307,12 @@ SPILL_QUERIES = [
     "e_ivf_pq_topk",
     "g_community_modularity",
     "t_doc_entropy_filter",
+    # round-8 continuation: the incremental probes (band/bucket joins +
+    # shingle/signature explodes) and the adaptive salted join
+    "d_incremental_lsh_dedup",
+    "j_planned_skew_join",
+    "d_embedding_neardup_incremental",
+    "d_embedding_neardup_incremental_prod",
 ]
 
 
