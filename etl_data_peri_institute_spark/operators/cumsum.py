@@ -15,9 +15,11 @@ distributed equivalent, the same upgrade ``b_shard_manifest`` got via
 2. ``sortWithinPartitions(*order)`` — each partition is locally sorted,
    so partition i's rows all precede partition i+1's rows in the global
    order (range partitions are emitted in boundary order).
-3. A per-partition running sum via an Arrow-batched ``mapInPandas`` with
-   a carry across batches — a NARROW op: no shuffle, no Python
-   row-at-a-time loop, order preserved. (The all-JVM alternative — a
+3. A per-partition running sum via ``mapInArrow`` with a carry across
+   batches — a NARROW op: no shuffle, no Python row-at-a-time loop,
+   order preserved, and no pandas roundtrip (which would convert EVERY
+   null-bearing int64 passthrough column to float64, corrupting values
+   past 2^53). (The all-JVM alternative — a
    window partitioned by ``spark_partition_id()`` — would re-shuffle
    and re-sort the full frame on pid; the Arrow pass keeps the one
    range exchange as the only data-sized movement.)
@@ -39,7 +41,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 __all__ = [
@@ -54,6 +57,7 @@ __all__ = [
 _LOCAL = "__local_cum"
 _PID = "__pid"
 _OFFSET = "__offset"
+_VAL = "__gsum_val"  # JVM-side null-coalesced copy of the value column
 
 
 def _numeric_spark_type(dtype: T.DataType) -> T.DataType:
@@ -90,10 +94,12 @@ def global_running_sum(
     - DecimalType inputs widen to double (the window form keeps exact
       decimal); use the window form when exact decimal semantics are
       required.
-    - Integral inputs accumulate in int64 end-to-end (Arrow hands a
-      null-bearing long column to pandas as float64; the values are
-      coerced back to exact int64 after fillna so PARTIAL SUMS past
-      2^53 never round) — bit-identical to the window form's long sum.
+    - Integral inputs accumulate in int64 end-to-end: nulls are
+      coalesced to 0 on the JVM side BEFORE the Arrow handoff, so
+      pandas receives a non-null int64 column (a null-bearing long
+      column would arrive as float64 and silently round individual
+      values past 2^53 before any cast could restore them) —
+      bit-identical to the window form's long sum.
 
     Fault model: the frame is ``localCheckpoint``-ed (eager,
     non-replicated) so the offset collect and the output join share one
@@ -105,34 +111,42 @@ def global_running_sum(
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    out_type = _numeric_spark_type(df.schema[value_col].dataType)
+    # null->0 on the JVM side: Arrow then ships a NON-NULL int64/double
+    # column, so integer accumulation is exact for every int64 value
+    # (a nullable long would arrive in pandas as float64, corrupting
+    # individual values past 2^53 before any cast could run)
+    sanitized = df.withColumn(
+        _VAL, F.coalesce(F.col(value_col).cast(out_type), F.lit(0).cast(out_type))
+    )
     part = (
-        df.repartitionByRange(n, *order_by)
+        sanitized.repartitionByRange(n, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn(_PID, F.spark_partition_id())
     )
 
-    out_type = _numeric_spark_type(part.schema[value_col].dataType)
     schema = T.StructType(part.schema.fields + [T.StructField(_LOCAL, out_type)])
     is_int = isinstance(out_type, T.LongType)
+    pa_type = pa.int64() if is_int else pa.float64()
 
-    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def local_cumsum(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # one call per partition; batches arrive in partition order, so a
-        # scalar carry across batches yields the partition-local cumsum
+        # scalar carry across batches yields the partition-local cumsum.
+        # mapInArrow, NOT mapInPandas: the pandas roundtrip converts any
+        # null-bearing int64 column — not just the value column, EVERY
+        # passthrough column — to float64, silently corrupting values
+        # past 2^53; Arrow batches carry all columns through exactly.
         carry = 0
-        for pdf in batches:
-            # a nullable long column arrives as float64; coerce back to
-            # exact int64 AFTER fillna so the running sum accumulates in
-            # integer space (float64 cumsum rounds past 2^53)
-            vals = pdf[value_col].fillna(0)
-            if is_int:
-                vals = vals.astype("int64")
-            run = vals.cumsum() + carry
+        for batch in batches:
+            vals = batch.column(batch.schema.get_field_index(_VAL)).to_numpy(
+                zero_copy_only=False
+            )  # non-null (JVM coalesce): int64/float64, exact
+            run = np.cumsum(vals) + carry
             if len(run):
-                carry = run.iloc[-1]
-            pdf[_LOCAL] = run.astype("int64" if is_int else "float64")
-            yield pdf
+                carry = run[-1]
+            yield batch.append_column(_LOCAL, pa.array(run, type=pa_type))
 
-    local = part.mapInPandas(local_cumsum, schema)
+    local = part.mapInArrow(local_cumsum, schema)
     # eager checkpoint: totals + the offset join both read this frame;
     # without it the range exchange and Arrow pass would plan twice
     local = local.localCheckpoint(eager=True)
@@ -156,7 +170,7 @@ def global_running_sum(
     out = (
         local.join(F.broadcast(off_df), _PID)
         .withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSET))
-        .drop(_PID, _LOCAL, _OFFSET)
+        .drop(_PID, _LOCAL, _OFFSET, _VAL)
     )
     return out, grand_total
 
@@ -210,43 +224,62 @@ def grouped_global_running_sum(
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     gsort = [F.asc(c) for c in group_cols]
+    out_type = _numeric_spark_type(df.schema[value_col].dataType)
+    sanitized = df.withColumn(  # see global_running_sum: exact int64
+        _VAL, F.coalesce(F.col(value_col).cast(out_type), F.lit(0).cast(out_type))
+    )
     part = (
-        df.repartitionByRange(n, *gsort, *order_by)
+        sanitized.repartitionByRange(n, *gsort, *order_by)
         .sortWithinPartitions(*gsort, *order_by)
         .withColumn(_PID, F.spark_partition_id())
     )
 
-    out_type = _numeric_spark_type(part.schema[value_col].dataType)
     schema = T.StructType(part.schema.fields + [T.StructField(_LOCAL, out_type)])
     is_int = isinstance(out_type, T.LongType)
+    pa_type = pa.int64() if is_int else pa.float64()
 
-    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def local_cumsum(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # rows arrive group-contiguous and ordered; a vectorized
-        # group-local cumsum per batch + a (key, value) carry across
-        # batches yields the partition-local per-group cumsum
+        # SEGMENTED cumsum per batch (numpy over Arrow arrays — see
+        # global_running_sum for why not mapInPandas) + a (key, value)
+        # carry across batches yields the partition-local per-group
+        # cumsum. Segment boundaries: any group column differs from the
+        # previous row.
         carry_key: tuple | None = None
         carry = 0
-        for pdf in batches:
-            vals = pdf[value_col].fillna(0)
-            if is_int:
-                vals = vals.astype("int64")
-            run = vals.groupby([pdf[c] for c in group_cols], sort=False).cumsum()
-            if len(pdf):
-                if carry_key is not None:
-                    first_key = tuple(pdf[c].iloc[0] for c in group_cols)
-                    if first_key == carry_key:
-                        # sorted input: the carried group is exactly the
-                        # leading contiguous run of rows with that key
-                        mask = pd.Series(True, index=pdf.index)
-                        for c, v in zip(group_cols, carry_key):
-                            mask &= pdf[c].eq(v)
-                        run = run + mask.astype("int64" if is_int else "float64") * carry
-                carry_key = tuple(pdf[c].iloc[-1] for c in group_cols)
-                carry = run.iloc[-1]
-            pdf[_LOCAL] = run.astype("int64" if is_int else "float64")
-            yield pdf
+        for batch in batches:
+            n_rows = batch.num_rows
+            if not n_rows:
+                yield batch.append_column(_LOCAL, pa.array([], type=pa_type))
+                continue
+            keys = [
+                batch.column(batch.schema.get_field_index(c)).to_numpy(
+                    zero_copy_only=False
+                )
+                for c in group_cols
+            ]
+            starts = np.zeros(n_rows, dtype=bool)
+            starts[0] = True
+            for arr in keys:
+                starts[1:] |= arr[1:] != arr[:-1]
+            vals = batch.column(batch.schema.get_field_index(_VAL)).to_numpy(
+                zero_copy_only=False
+            )
+            cum = np.cumsum(vals)
+            start_pos = np.flatnonzero(starts)
+            base = cum[start_pos] - vals[start_pos]  # cumsum BEFORE each segment
+            seg = np.cumsum(starts) - 1
+            run = cum - base[seg]
+            first_key = tuple(arr[0] for arr in keys)
+            if carry_key is not None and first_key == carry_key:
+                # sorted input: the carried group is exactly the leading
+                # segment of this batch
+                run = run + np.where(seg == 0, carry, 0)
+            carry_key = tuple(arr[-1] for arr in keys)
+            carry = run[-1]
+            yield batch.append_column(_LOCAL, pa.array(run, type=pa_type))
 
-    local = part.mapInPandas(local_cumsum, schema)
+    local = part.mapInArrow(local_cumsum, schema)
     local = local.localCheckpoint(eager=True)
 
     totals = (
@@ -275,7 +308,7 @@ def grouped_global_running_sum(
     out = (
         local.join(F.broadcast(off_df), [_PID, *group_cols])
         .withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSET))
-        .drop(_PID, _LOCAL, _OFFSET)
+        .drop(_PID, _LOCAL, _OFFSET, _VAL)
     )
     return out, group_totals
 

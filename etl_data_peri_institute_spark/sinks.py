@@ -50,7 +50,13 @@ class ParquetStore:
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         if self.exists(table):
-            return self.spark.read.parquet(self.path(table))
+            reader = self.spark.read
+            if schema is not None:
+                # an explicit schema also makes a validly-EMPTY table
+                # readable (e.g. after delete_rows removed every row —
+                # no parquet files left to infer from)
+                reader = reader.schema(schema)
+            return reader.parquet(self.path(table))
         if schema is None:
             raise FileNotFoundError(table)
         return self.spark.createDataFrame([], schema)
@@ -155,13 +161,86 @@ class ParquetStore:
         return n
 
     def read_meta(self, table: str, name: str) -> str | None:
-        """Read a metadata file written via overwrite(meta_files=...);
-        None when absent."""
+        """Read a metadata file written via overwrite(meta_files=...) or
+        write_meta; None when absent."""
         p = os.path.join(self.path(table), name)
         if not os.path.isfile(p):
             return None
         with open(p) as fh:
             return fh.read()
+
+    def write_meta(self, table: str, name: str, contents: str) -> None:
+        """Atomically write/replace one metadata file on an EXISTING
+        table (tmp file + rename — readers never see a partial write).
+        Not transactional with any data write: when metadata must commit
+        with the data in one rename, use overwrite(meta_files=...)."""
+        final = self.path(table)
+        if not os.path.isdir(final):
+            raise FileNotFoundError(table)
+        if not name.startswith("_"):
+            raise ValueError(
+                f"meta file name must start with '_' so parquet readers "
+                f"ignore it, got {name!r}"
+            )
+        tmp = os.path.join(final, f".{name}_tmp")
+        with open(tmp, "w") as fh:
+            fh.write(contents)
+        os.replace(tmp, os.path.join(final, name))
+
+    def _copy_meta_files(self, table: str, dst: str) -> None:
+        """Carry user meta files (underscore-prefixed top-level files,
+        e.g. the rollup's ``_LAST_EPOCH`` replay guard) from the live
+        table into a rewrite staging dir, so maintenance rewrites
+        (compact / cluster / upsert / delete) PRESERVE them — dropping
+        the epoch marker would silently re-enable a replay double-merge.
+        ``_SUCCESS`` is Spark's own marker; the staged dir has its own."""
+        src = self.path(table)
+        if not os.path.isdir(src):
+            return
+        for name in os.listdir(src):
+            sp = os.path.join(src, name)
+            if (
+                name.startswith("_")
+                and name != "_SUCCESS"
+                and os.path.isfile(sp)
+            ):
+                shutil.copyfile(sp, os.path.join(dst, name))
+
+    def _rewrite_and_swap(
+        self,
+        out: DataFrame,
+        table: str,
+        part_cols: list[str] | None,
+        prefix: str,
+        pre_swap=None,
+    ):
+        """Shared maintenance-rewrite discipline (upsert fallback,
+        compact, cluster_rewrite, delete_rows): write ``out`` into a
+        fresh tmp dir (hive layout when ``part_cols``), carry the
+        table's meta files over, run ``pre_swap(tmp)`` INSIDE the
+        guarded region (so a failing post-write read still cleans tmp
+        up), then backup-rename swap. Returns pre_swap's result."""
+        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_{prefix}_")
+        try:
+            writer = out.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+            self._copy_meta_files(table, tmp)
+            result = pre_swap(tmp) if pre_swap is not None else None
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(tmp, table)
+        return result
+
+    def _parquet_file_count(self, table: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(self.path(table))
+            for name in files
+            if name.endswith(".parquet")
+        )
 
     def compact(
         self, table: str, target_files: int, partition_by: list[str] | None = None
@@ -185,28 +264,12 @@ class ParquetStore:
         if partition_by is None:
             partition_by = self._detect_partition_cols(table)
         current = self.read(table)
-        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_compact_")
-        try:
-            if partition_by:
-                (
-                    current.repartition(target_files, *partition_by)
-                    .write.mode("overwrite")
-                    .partitionBy(*partition_by)
-                    .parquet(tmp)
-                )
-            else:
-                current.repartition(target_files).write.mode("overwrite").parquet(tmp)
-        except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        self._swap_in(tmp, table)
-        final = self.path(table)
-        return sum(
-            1
-            for _root, _dirs, files in os.walk(final)
-            for name in files
-            if name.endswith(".parquet")
-        )
+        if partition_by:
+            out = current.repartition(target_files, *partition_by)
+        else:
+            out = current.repartition(target_files)
+        self._rewrite_and_swap(out, table, partition_by, "compact")
+        return self._parquet_file_count(table)
 
     def cluster_rewrite(
         self, table: str, by: list[str], files_per_partition: int | None = None
@@ -240,23 +303,8 @@ class ParquetStore:
         else:
             clustered = current.repartitionByRange(*range_cols)
         clustered = clustered.sortWithinPartitions(*(part_cols + by))
-        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_cluster_")
-        try:
-            writer = clustered.write.mode("overwrite")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            writer.parquet(tmp)
-        except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        self._swap_in(tmp, table)
-        final = self.path(table)
-        return sum(
-            1
-            for _root, _dirs, files in os.walk(final)
-            for name in files
-            if name.endswith(".parquet")
-        )
+        self._rewrite_and_swap(clustered, table, part_cols, "cluster")
+        return self._parquet_file_count(table)
 
     def _check_layout(self, table: str, partition_by: list[str] | None) -> None:
         """Raise when a write's partition layout disagrees with the
@@ -384,16 +432,7 @@ class ParquetStore:
                 merged = kept.unionByName(incoming)
             else:
                 merged = incoming
-            tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_merge_")
-            try:
-                writer = merged.write.mode("overwrite")
-                if part_cols:
-                    writer = writer.partitionBy(*part_cols)
-                writer.parquet(tmp)
-            except Exception:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-            self._swap_in(tmp, table)
+            self._rewrite_and_swap(merged, table, part_cols, "merge")
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return n
@@ -530,18 +569,21 @@ class ParquetStore:
         key_set = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
         kept = current.join(key_set, key, "left_anti")
         part_cols = self._detect_partition_cols(table)
-        tmp = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_delete_")
-        try:
-            writer = kept.write.mode("overwrite")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            writer.parquet(tmp)
-        except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
         n_before = current.count()
-        n_after = self.spark.read.parquet(tmp).count()
-        self._swap_in(tmp, table)
+        # post-write count INSIDE the rewrite guard, with the schema
+        # passed explicitly: a delete that removes EVERY row writes an
+        # empty dataset (no parquet files to infer from), which must
+        # still commit — the table becomes validly empty, not an error
+        # with a leaked tmp dir
+        n_after = self._rewrite_and_swap(
+            kept,
+            table,
+            part_cols,
+            "delete",
+            pre_swap=lambda tmp: (
+                self.spark.read.schema(current.schema).parquet(tmp).count()
+            ),
+        )
         return n_before - n_after
 
 
@@ -557,10 +599,17 @@ def audit_csv(df: DataFrame, out_dir: str, reason: str) -> str | None:
     or None if there was nothing to audit (checked with ``isEmpty`` —
     a first-row probe, not a full pass).
     """
+    # one upstream execution: the lazy checkpoint materializes on the
+    # isEmpty probe and the write re-reads the checkpoint (an expensive
+    # rejects plan would otherwise run twice, and a nondeterministic one
+    # could disagree between probe and write)
+    df = df.localCheckpoint(eager=False)
     if df.isEmpty():
         return None
     os.makedirs(out_dir, exist_ok=True)
-    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    # microseconds in the stamp: two same-reason audits within one
+    # second must not overwrite each other's rejected rows
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S_%f")
     path = os.path.join(out_dir, f"{reason}_{stamp}.csv")
     df.write.option("header", True).mode("overwrite").csv(path)
     return path
@@ -608,10 +657,13 @@ def jdbc_upsert_sql(table: str, staging: str, pk: str, cols: list[str]) -> str:
     insert-or-update contract, etl/load.py:283)."""
     col_list = ", ".join(cols)
     updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c != pk)
+    # pure key-presence table (no non-pk columns): an empty DO UPDATE
+    # SET clause is a syntax error — the degenerate form is DO NOTHING
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     return (
         f"INSERT INTO {table} ({col_list}) "
         f"SELECT {col_list} FROM {staging} "
-        f"ON CONFLICT ({pk}) DO UPDATE SET {updates}"
+        f"ON CONFLICT ({pk}) {action}"
     )
 
 

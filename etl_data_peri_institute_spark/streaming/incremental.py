@@ -41,10 +41,30 @@ def incremental_ingest(
     written = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once; INSERT is not idempotent, so an
+        # epoch marker makes replays no-ops. The marker is written after
+        # the insert commits (a crash in the microseconds between insert
+        # and marker is the residual at-least-once window — upsert_pk
+        # callers are idempotent by construction and need no marker).
+        applied = store.read_meta(table, "_LAST_INGEST_EPOCH")
+        if applied is not None:
+            if epoch_id == 0 and int(applied) > 0:
+                raise ValueError(
+                    f"checkpoint/table epoch mismatch for {table!r}: the "
+                    f"stream restarted at epoch 0 but the table has "
+                    f"applied epoch {applied} — the checkpoint was "
+                    f"recreated or moved. Silently continuing would SKIP "
+                    f"the first {applied} batches of new data; drop the "
+                    f"table or restore the original checkpoint."
+                )
+            if epoch_id <= int(applied):
+                return  # replayed batch — already ingested
         if upsert_pk is not None:
             written["n"] += store.upsert(batch_df, table, upsert_pk)
         else:
             written["n"] += store.insert(batch_df, table)
+            if store.exists(table):  # empty batches create no table dir
+                store.write_meta(table, "_LAST_INGEST_EPOCH", str(epoch_id))
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -114,6 +134,18 @@ def incremental_rollup(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         applied = store.read_meta(table, "_LAST_EPOCH")
+        if applied is not None and epoch_id == 0 and int(applied) > 0:
+            # a genuine epoch-0 replay can only carry applied == 0; a
+            # positive applied at epoch 0 means the CHECKPOINT was
+            # recreated while the rollup survived — the guard below
+            # would then silently swallow the first `applied` batches
+            # of genuinely new data. Fail loudly instead.
+            raise ValueError(
+                f"checkpoint/table epoch mismatch for {table!r}: stream "
+                f"restarted at epoch 0 but _LAST_EPOCH is {applied}. "
+                f"Drop the rollup table (full reprocess) or restore the "
+                f"original checkpoint."
+            )
         if applied is not None and epoch_id <= int(applied):
             return  # replayed batch (at-least-once delivery) — already merged
         if transform is not None:

@@ -328,3 +328,50 @@ def test_grouped_ntile_matches_window_ntile(spark, k):
         F.ntile(k).over(W.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))),
     )
     assert _rows(got, "id", "b") == _rows(want, "id", "b")
+
+
+def test_global_running_sum_exact_past_2_53_with_nulls(spark):
+    """A null-bearing long column used to reach pandas as float64,
+    corrupting INDIVIDUAL values past 2^53 before any cast could run
+    (2^53 + 1 rounds to 2^53). Nulls are now coalesced JVM-side so
+    Arrow ships exact non-null int64."""
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.operators.cumsum import global_running_sum
+
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, 1), (4, big)], "id long, v long"
+    )
+    out, total = global_running_sum(df, "v", [F.asc("id")], num_partitions=2)
+    rows = {r["id"]: r["cum"] for r in out.collect()}
+    assert rows == {1: big, 2: big, 3: big + 1, 4: 2 * big + 1}
+    assert int(total) == 2 * big + 1
+    # the original column is untouched (nulls stay null in the output)
+    vals = {r["id"]: r["v"] for r in out.collect()}
+    assert vals[2] is None and vals[1] == big
+
+
+def test_grouped_running_sum_exact_past_2_53_with_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from etl_data_peri_institute_spark.operators.cumsum import (
+        grouped_global_running_sum,
+    )
+
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        [("g1", 1, big), ("g1", 2, None), ("g1", 3, big), ("g2", 1, 5)],
+        "g string, id long, v long",
+    )
+    out, totals = grouped_global_running_sum(
+        df, "v", ["g"], [F.asc("id")], num_partitions=2
+    )
+    rows = {(r["g"], r["id"]): r["cum"] for r in out.collect()}
+    assert rows == {
+        ("g1", 1): big,
+        ("g1", 2): big,
+        ("g1", 3): 2 * big,
+        ("g2", 1): 5,
+    }
+    assert totals[("g1",)] == 2 * big and totals[("g2",)] == 5

@@ -843,3 +843,60 @@ def test_sharded_corpus_write_path_layout(spark, tmp_path):
     # contiguous, non-overlapping hash ranges in manifest (sorted) order
     for prev, cur in zip(manifest, manifest[1:]):
         assert prev["max_hash"] <= cur["min_hash"], (prev, cur)
+
+
+def test_compact_preserves_meta_files(spark, tmp_path):
+    """Maintenance rewrites must carry user meta files: compacting a
+    rollup table that loses its _LAST_EPOCH marker silently re-enables
+    the replay double-merge the marker exists to prevent."""
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id % 3 as g")
+    store.overwrite(df, "roll", meta_files={"_LAST_EPOCH": "7"})
+    assert store.read_meta("roll", "_LAST_EPOCH") == "7"
+    store.compact("roll", target_files=1)
+    assert store.read_meta("roll", "_LAST_EPOCH") == "7"
+    assert store.read("roll").count() == 100
+    # cluster_rewrite and upsert preserve it the same way
+    store.cluster_rewrite("roll", by=["id"])
+    assert store.read_meta("roll", "_LAST_EPOCH") == "7"
+    store.upsert(spark.range(5).selectExpr("id", "id % 3 as g"), "roll", "id")
+    assert store.read_meta("roll", "_LAST_EPOCH") == "7"
+
+
+def test_delete_rows_all_rows_partitioned(spark, tmp_path):
+    """Deleting EVERY row of a hive-partitioned table must commit (the
+    table becomes validly empty) instead of failing schema inference
+    and leaking the rewrite tmp dir."""
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, part string"
+    )
+    store.insert(df, "t", partition_by=["part"])
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    assert store.delete_rows("t", "id", keys) == 3
+    # explicit schema makes the empty table readable
+    assert store.read("t", schema=df.schema).count() == 0
+    # no leaked tmp/backup dirs
+    leftovers = [d for d in os.listdir(str(tmp_path)) if d.startswith(".t_")]
+    assert leftovers == [], leftovers
+
+
+def test_write_meta_atomic_and_validated(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path))
+    store.insert(spark.range(3), "m")
+    store.write_meta("m", "_MARK", "42")
+    assert store.read_meta("m", "_MARK") == "42"
+    store.write_meta("m", "_MARK", "43")
+    assert store.read_meta("m", "_MARK") == "43"
+    with pytest.raises(ValueError, match="start with '_'"):
+        store.write_meta("m", "MARK", "x")
+    with pytest.raises(FileNotFoundError):
+        store.write_meta("absent", "_MARK", "x")
+
+
+def test_jdbc_upsert_sql_pk_only_degenerates_to_do_nothing():
+    from etl_data_peri_institute_spark.sinks import jdbc_upsert_sql
+
+    sql = jdbc_upsert_sql("t", "t_stage", "id", ["id"])
+    assert sql.endswith("ON CONFLICT (id) DO NOTHING")
+    assert "DO UPDATE SET" not in sql

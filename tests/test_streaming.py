@@ -451,3 +451,77 @@ def test_incremental_rollup_replay_guard_after_durable_merge(
     # epoch 2 (the new file) applied
     got = {r["k"]: (r["total_v"], r["n"]) for r in store.read("rollup_rg").collect()}
     assert got == {"a": (4.0, 2), "b": (2.0, 1), "c": (7.0, 1)}
+
+
+def test_incremental_ingest_replay_is_deduplicated(spark, tmp_path):
+    """foreachBatch is at-least-once: if the checkpoint loses the
+    offset commit after the insert landed (simulated by deleting the
+    checkpoint after a single-epoch run), the replayed epoch must be a
+    no-op — the _LAST_INGEST_EPOCH marker makes INSERT idempotent."""
+    import shutil
+
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import (
+        incremental_ingest,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    load_table(spark, SF, "events").limit(100).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    assert incremental_ingest(spark, str(src / "*"), schema, store, "t", ckpt) == 100
+    assert store.read_meta("t", "_LAST_INGEST_EPOCH") == "0"
+
+    # lose the offset commit: the same files replay as epoch 0 again
+    shutil.rmtree(ckpt)
+    n = incremental_ingest(
+        spark, str(src / "*"), schema, store, "t", str(tmp_path / "ckpt")
+    )
+    assert n == 0
+    assert store.read("t").count() == 100  # no duplicate append
+
+
+def test_incremental_rollup_detects_checkpoint_recreation(spark, tmp_path):
+    """A recreated/moved checkpoint restarts epoch ids at 0; with the
+    rollup table surviving at _LAST_EPOCH > 0 the replay guard would
+    silently swallow that many batches of NEW data — the sink must
+    fail loudly instead."""
+    import os
+    import shutil
+
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import (
+        incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    schema = "k string, v double"
+    spark.createDataFrame([("a", 1.0)], schema).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame([("b", 2.0)], schema).write.parquet(str(src / "f2.parquet"))
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    kw = dict(
+        spark=spark,
+        source_dir=str(src / "*"),
+        schema=schema,
+        store=store,
+        table="r",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        group_cols=["k"],
+        sum_cols={"t": "sum:v"},
+        max_files_per_trigger=1,
+    )
+    incremental_rollup(**kw)
+    # >= 1: availableNow may add trailing empty epochs beyond the two
+    # data files; the guard only needs a POSITIVE applied epoch
+    assert int(store.read_meta("r", "_LAST_EPOCH")) >= 1
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    spark.createDataFrame([("c", 3.0)], schema).write.parquet(str(src / "f3.parquet"))
+    with pytest.raises(Exception, match="epoch mismatch"):
+        incremental_rollup(**kw)
