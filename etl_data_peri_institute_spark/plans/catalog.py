@@ -96,6 +96,8 @@ _VERIFY_FIRST: list[str] = [
     "d_embedding_neardup_incremental_prod",  # selective-band twin (r8)
     "a_survival_km",  # OUTPUT CHANGED r8: exact centihour durations
     #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
+    "e_recall_cost_frontier",       # cost axis of the recall matrix (r8 cont.)
+    "e_ivf_incremental_assign",     # ANN tier of the daily-ingest probe (r8 cont.)
     # ---- r01-evidence refresh (newest driver row is round 1)
     "t_quality_score",
     "t_langid",
@@ -229,6 +231,7 @@ def load_all() -> None:
         round7i_ext,
         round7j_ext,
         round8_ext,
+        round8b_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -198,25 +198,18 @@ _CM_ORACLE = f"""
 """
 
 
-@query("e_compression_recall_matrix", oracle=_CM_ORACLE)
-def e_compression_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The compression-ladder capstone: recall@10 against exact-L2
-    truth for all three compressed representations the engine serves —
-    int8 symmetric scalar quantization (4×), the Lloyd-fitted PQ codes
-    ranked by asymmetric distance (16×), and 1-bit sign quantization
-    ranked by Hamming (64×) — on the SAME query set. This is the
-    accuracy/compression dial a vector-store operator reads before
-    choosing a tier; the single-rung evaluations (e_pq_recall_report,
-    e_ivf_recall_report) calibrate parameters inside a tier.
-
-    Scale shape: truth on the query sample only (queries × corpus —
-    the standard eval protocol; at 100 TB the sample is what makes the
-    exact side affordable); each method reuses its production
-    machinery (sq_int8_codes, _pq_fit, the packed-sign fold) and
-    scores candidates from codes alone; the recall join is
-    (methods × queries × k)-sized. One embeddings scan feeds
-    everything the methods share.
-    """
+def _matrix_parts(spark: SparkSession, sf_dir: str):
+    """Shared construction for the compression-ladder evaluations: the
+    rounded exact-L2 truth on the query sample, every tier's top-k
+    frame unioned into ``all_tops`` (method, query_id, neighbor_id),
+    the IVF-PQ candidate set (the one tier whose per-query scan cost
+    is data-dependent), and the embeddings frame.
+    e_compression_recall_matrix aggregates recall from these;
+    e_recall_cost_frontier (plans/round8b_ext.py) joins the same hits
+    against measured candidate counts and code bytes — both reports
+    MUST rank from this one construction or a precision tweak in one
+    desynchronizes them (same rule as operators/similarity.py's
+    shared eval-truth frame)."""
     from ..operators.similarity import exact_l2_pairs, sq_int8_codes
     from .round7i_ext import packed_sign_code
 
@@ -325,6 +318,29 @@ def e_compression_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(bin_top.select(F.lit("binary").alias("method"), "query_id", "neighbor_id"))
         .unionAll(ivfpq_top.select(F.lit("ivf_pq").alias("method"), "query_id", "neighbor_id"))
     )
+    return emb, truth, all_tops, ivf_cand
+
+
+@query("e_compression_recall_matrix", oracle=_CM_ORACLE)
+def e_compression_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression-ladder capstone: recall@10 against exact-L2
+    truth for all three compressed representations the engine serves —
+    int8 symmetric scalar quantization (4×), the Lloyd-fitted PQ codes
+    ranked by asymmetric distance (16×), and 1-bit sign quantization
+    ranked by Hamming (64×) — on the SAME query set. This is the
+    accuracy/compression dial a vector-store operator reads before
+    choosing a tier; the single-rung evaluations (e_pq_recall_report,
+    e_ivf_recall_report) calibrate parameters inside a tier.
+
+    Scale shape: truth on the query sample only (queries × corpus —
+    the standard eval protocol; at 100 TB the sample is what makes the
+    exact side affordable); each method reuses its production
+    machinery (sq_int8_codes, _pq_fit, the packed-sign fold) and
+    scores candidates from codes alone; the recall join is
+    (methods × queries × k)-sized. One embeddings scan feeds
+    everything the methods share.
+    """
+    _emb, truth, all_tops, _ivf_cand = _matrix_parts(spark, sf_dir)
     hit = truth.withColumn("hit", F.lit(1))
     return (
         all_tops.join(hit, ["query_id", "neighbor_id"], "left")

@@ -511,6 +511,11 @@ def test_catalog_wide_no_cartesian_products(spark):
         # round-8: bounded 5-query broadcast crossed against the corpus
         # for the shared exact-d2 truth frame (the recall-report shape)
         "e_ivf_balanced_recall",
+        # round-8 continuation: reuses the matrix's shared construction
+        # (same bounded 5-query broadcasts) and attaches 1-row
+        # corpus-count/dim frames via broadcast crossJoin (the q11
+        # global-threshold pattern)
+        "e_recall_cost_frontier",
     }
     offenders_cart, offenders_bnlj, skipped = [], [], []
     for name, qd in catalog.QUERIES.items():

@@ -232,3 +232,68 @@ def test_embedding_incremental_prod_twin_contract(spark):
     gate = _q("d_embedding_neardup_incremental")(spark, SF).collect()
     assert {r["vec_id"] for r in prod} == {r["vec_id"] for r in gate}
     assert all(r["verdict"] == "keep" and r["n_corpus_partners"] == 0 for r in prod)
+
+
+def test_recall_cost_frontier_invariants(spark):
+    """Round-8 continuation: the cost axis must be MEASURED and
+    consistent with the recall matrix.
+    - full-scan tiers (sq8, pq_fitted, binary) scan exactly N - NQ
+      candidates; ivf_pq scans strictly fewer (the point of pruning);
+    - code bytes match the byte-aligned layouts (dim, dim/subdim,
+      packed-words x 8);
+    - scan_bytes is the product, row by row;
+    - n_hits agrees row-for-row with e_compression_recall_matrix
+      (both reports rank from the ONE shared construction,
+      plans/round7j_ext._matrix_parts — this pins that they can
+      never drift apart)."""
+    rows = _q("e_recall_cost_frontier")(spark, SF).collect()
+    n, dim = duckdb.sql(
+        f"SELECT count(*), max(len(embedding)) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()
+    corpus = n - 5
+    assert len(rows) == 4 * 5
+    bytes_expected = {
+        "sq8": dim,
+        "pq_fitted": dim // 16,
+        "binary": ((dim + 63) // 64) * 8,
+        "ivf_pq": dim // 16,
+    }
+    for r in rows:
+        assert r["code_bytes"] == bytes_expected[r["method"]], r
+        assert r["scan_bytes"] == r["n_candidates"] * r["code_bytes"], r
+        assert r["recall_at_10"] == round(r["n_hits"] / 10.0, 2), r
+        if r["method"] == "ivf_pq":
+            assert 0 < r["n_candidates"] < corpus, r
+        else:
+            assert r["n_candidates"] == corpus, r
+    mat = {
+        (m["method"], m["query_id"]): m["n_hits"]
+        for m in _q("e_compression_recall_matrix")(spark, SF).collect()
+    }
+    assert {(r["method"], r["query_id"]): r["n_hits"] for r in rows} == mat
+
+
+def test_ivf_incremental_assign_invariants(spark):
+    """Round-8 continuation: incremental-assignment conservation and
+    arithmetic. Every vector (batch and corpus) lands in exactly one
+    list; n_after = n_corpus + n_batch per list; growth_pct is the
+    advertised ratio; sim_drift equals the mean difference (up to the
+    independent 1e-4 roundings of the three columns)."""
+    rows = _q("e_ivf_incremental_assign")(spark, SF).collect()
+    n, nb = duckdb.sql(
+        f"SELECT count(*), count(*) FILTER (vec_id % 10 = 7)"
+        f" FROM '{SF}/embeddings.parquet'"
+    ).fetchone()
+    assert sum(r["n_batch"] for r in rows) == nb
+    assert sum(r["n_corpus"] for r in rows) == n - nb
+    for r in rows:
+        assert r["n_after"] == r["n_corpus"] + r["n_batch"], r
+        if r["n_corpus"]:
+            assert abs(
+                r["growth_pct"] - round(r["n_batch"] * 100.0 / r["n_corpus"], 2)
+            ) < 1e-9, r
+        if r["corpus_mean_sim"] is not None and r["batch_mean_sim"] is not None:
+            assert abs(
+                r["sim_drift"]
+                - (r["corpus_mean_sim"] - r["batch_mean_sim"])
+            ) <= 2e-4, r

@@ -198,6 +198,9 @@ QUERIES = [
     "j_planned_skew_join",
     "d_embedding_neardup_incremental",
     "d_embedding_neardup_incremental_prod",
+    # round-8 continuation additions
+    "e_recall_cost_frontier",
+    "e_ivf_incremental_assign",
 ]
 
 
