@@ -98,6 +98,7 @@ _VERIFY_FIRST: list[str] = [
     #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
     "e_recall_cost_frontier",       # cost axis of the recall matrix (r8 cont.)
     "e_ivf_incremental_assign",     # ANN tier of the daily-ingest probe (r8 cont.)
+    "e_ivf_staleness_recall",       # recall side of the refit dial (r8 cont.)
     # ---- r01-evidence refresh (newest driver row is round 1)
     "t_quality_score",
     "t_langid",

@@ -23,6 +23,16 @@ only (round-7 verdict item 6 — no breadth registrations).
   against the PERSISTED coarse quantizer — centroids fitted on the
   corpus EXCLUDING the batch — and the report is the refit dial
   (per-list adds, growth, assigned-similarity drift).
+- e_ivf_staleness_recall — the RECALL side of that refit dial.
+  e_ivf_incremental_assign's drift report asserts that shift surfaces
+  "before recall degrades"; this measures the degradation directly:
+  the same probe protocol (nprobe=2, exact-d² rerank, recall@10 vs
+  the shared truth frame — e_ivf_balanced_recall's shape) run against
+  both quantizers — STALE (fitted excluding the batch, the index a
+  no-refit service keeps serving) and FRESH (refit on everything) —
+  with per-query candidate counts and the batch share of candidates
+  (whether stale probes still REACH the incrementally-added vectors
+  is the actual failure mode of skipping refits).
 
 Both queries reuse the production machinery they evaluate
 (plans/round7j_ext._matrix_parts, operators/similarity.centroids_by /
@@ -32,7 +42,7 @@ and the serving path drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -292,3 +302,190 @@ def e_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bms"), 4).alias("batch_mean_sim"),
         F.round(F.col("cms") - F.col("bms"), 4).alias("sim_drift"),
     ).orderBy("c_label")
+
+
+# ---------------------------------------------------------------------------
+# e_ivf_staleness_recall
+# ---------------------------------------------------------------------------
+_ST_NQ = 5      # queries: vec_id < 5 (the shared sample convention)
+_ST_TOPK = 10
+_ST_NPROBE = 2
+
+# The oracle reuses the proven blocks: the cosine top-n walk (e_ivf_*
+# family), the rounded exact-L2 truth (operators/similarity.
+# exact_l2_pairs' formulation), and e_ivf_balanced_recall's two-variant
+# candidate/rank/recall skeleton — with the variants being the two
+# quantizers instead of the two assignments.
+_ST_ORACLE = f"""
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cents_stale AS (
+      SELECT label AS c_label, pos, avg(val) AS cval
+      FROM pos WHERE vec_id % 10 <> 7
+      GROUP BY 1, 2
+    ),
+    cents_fresh AS (
+      SELECT label AS c_label, pos, avg(val) AS cval
+      FROM pos GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT 'stale' AS variant, * FROM cents_stale
+      UNION ALL SELECT 'fresh', * FROM cents_fresh
+    ),
+    dots AS (
+      SELECT c.variant, p.vec_id AS id, c.c_label,
+             sum(p.val * c.cval)
+               / (sqrt(sum(p.val * p.val)) * sqrt(sum(c.cval * c.cval)))
+               AS cos_sim
+      FROM pos p JOIN cents c ON p.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    t2 AS (
+      SELECT variant, id, c_label,
+             row_number() OVER (PARTITION BY variant, id
+                                ORDER BY cos_sim DESC, c_label) AS rn
+      FROM dots
+    ),
+    lists AS (
+      SELECT variant, id AS neighbor_id, c_label
+      FROM t2 WHERE rn = 1 AND id >= {_ST_NQ}
+    ),
+    probes AS (
+      SELECT variant, id AS query_id, c_label
+      FROM t2 WHERE rn <= {_ST_NPROBE} AND id < {_ST_NQ}
+    ),
+    d2 AS (
+      SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+             round(sum((p.val - q.val) * (p.val - q.val)), 6) AS d
+      FROM pos p JOIN pos q ON q.pos = p.pos
+      WHERE p.vec_id >= {_ST_NQ} AND q.vec_id < {_ST_NQ}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, neighbor_id) AS rn
+        FROM d2
+      ) WHERE rn <= {_ST_TOPK}
+    ),
+    cand AS (
+      SELECT p.variant, p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l
+        ON l.variant = p.variant AND l.c_label = p.c_label
+    ),
+    ranked AS (
+      SELECT c.variant, c.query_id, c.neighbor_id,
+             count(*) OVER (PARTITION BY c.variant, c.query_id) AS n_cand,
+             sum(CASE WHEN c.neighbor_id % 10 = 7 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY c.variant, c.query_id) AS n_batch_cand,
+             row_number() OVER (PARTITION BY c.variant, c.query_id
+                                ORDER BY d.d, c.neighbor_id) AS rn
+      FROM cand c JOIN d2 d
+        ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+    )
+    SELECT r.variant, r.query_id,
+           CAST(max(r.n_cand) AS BIGINT) AS n_cand,
+           CAST(max(r.n_batch_cand) AS BIGINT) AS n_batch_cand,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {_ST_TOPK}, 2) AS recall_at_{_ST_TOPK}
+    FROM ranked r
+    LEFT JOIN truth t
+      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+    WHERE r.rn <= {_ST_TOPK}
+    GROUP BY r.variant, r.query_id
+    ORDER BY r.variant, r.query_id
+"""
+
+
+@query("e_ivf_staleness_recall", oracle=_ST_ORACLE)
+def e_ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall cost of quantizer staleness — the measurement behind
+    e_ivf_incremental_assign's refit dial. An index service that
+    absorbs daily batches by incremental assignment keeps serving from
+    the STALE quantizer (centroids fitted before the batch); this
+    query runs the same probe protocol (nprobe={_ST_NPROBE}, exact-d²
+    rerank, recall@{_ST_TOPK} vs the rounded exact-L2 truth) against
+    both quantizers — stale (fitted on vec_id % 10 <> 7) and FRESH
+    (refit on everything) — and reports, per (variant, query), the
+    candidate count, the BATCH share of candidates (whether stale
+    probes still reach the incrementally-added vectors — the actual
+    failure mode of deferring refits), and recall. On a stationary
+    corpus the two variants should read alike — that null result is
+    the certificate that deferring the refit was free; under drift the
+    stale rows degrade first.
+
+    Scale shape: both quantizers are labels × dim frames fitted in one
+    corpus pass each and broadcast (centroids_by / top_centroids);
+    candidates are probed-list-bounded; the exact-d² side is bounded
+    by the {_ST_NQ}-query sample (the standard eval protocol); every
+    window partitions by (variant, query) — never global.
+    """
+    from ..operators.similarity import (
+        centroids_by,
+        exact_l2_pairs,
+        top_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") < _ST_NQ
+    corpus = emb.where(~is_q)
+    queries = emb.where(is_q)
+    d2 = exact_l2_pairs(emb, _ST_NQ).localCheckpoint(eager=False)
+
+    def topk(pairs: DataFrame, *part) -> DataFrame:
+        rn = F.row_number().over(
+            W.partitionBy(*part).orderBy("d", "neighbor_id")
+        )
+        return pairs.withColumn("rn", rn).where(F.col("rn") <= _ST_TOPK)
+
+    truth = topk(d2, "query_id").select("query_id", "neighbor_id")
+
+    variants = (
+        ("stale", centroids_by(emb.where(F.col("vec_id") % 10 != 7), "label")),
+        ("fresh", centroids_by(emb, "label")),
+    )
+    cand = None
+    for name, cents in variants:
+        cents = cents.localCheckpoint(eager=False)
+        lists = top_centroids(corpus, cents, n=1).select(
+            F.col("id").alias("neighbor_id"), "c_label"
+        )
+        probes = top_centroids(queries, cents, n=_ST_NPROBE).select(
+            F.col("id").alias("query_id"), "c_label"
+        )
+        v = probes.join(lists, "c_label").select(
+            F.lit(name).alias("variant"), "query_id", "neighbor_id"
+        )
+        cand = v if cand is None else cand.unionAll(v)
+
+    w = W.partitionBy("variant", "query_id")
+    ranked = (
+        cand.join(d2, ["query_id", "neighbor_id"])
+        .withColumn("n_cand", F.count("*").over(w))
+        .withColumn(
+            "n_batch_cand",
+            F.sum(
+                F.when(F.col("neighbor_id") % 10 == 7, 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    hit = truth.withColumn("hit", F.lit(1))
+    return (
+        topk(ranked, "variant", "query_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("variant", "query_id")
+        .agg(
+            F.max("n_cand").cast("long").alias("n_cand"),
+            F.max("n_batch_cand").cast("long").alias("n_batch_cand"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / _ST_TOPK, 2
+            ).alias(f"recall_at_{_ST_TOPK}"),
+        )
+        .orderBy("variant", "query_id")
+    )

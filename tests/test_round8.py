@@ -297,3 +297,28 @@ def test_ivf_incremental_assign_invariants(spark):
                 r["sim_drift"]
                 - (r["corpus_mean_sim"] - r["batch_mean_sim"])
             ) <= 2e-4, r
+
+
+def test_ivf_staleness_recall_invariants(spark):
+    """Round-8 continuation: the staleness dial's shape. Two variants
+    (stale quantizer = fitted excluding the batch, fresh = refit on
+    everything) x the 5-query sample; per row the candidate set bounds
+    the hits, the batch share bounds the candidates, and recall is the
+    advertised ratio. On this stationary corpus the fresh rows must
+    not be systematically worse than stale (same distribution, the
+    refit only nudges centroids) — assert total-hit parity within the
+    candidate-set noise rather than exact equality."""
+    rows = _q("e_ivf_staleness_recall")(spark, SF).collect()
+    by_variant = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10, r
+        assert r["n_hits"] <= r["n_cand"], r
+        assert 0 <= r["n_batch_cand"] <= r["n_cand"], r
+        assert r["recall_at_10"] == round(r["n_hits"] / 10.0, 2), r
+        by_variant.setdefault(r["variant"], []).append(r)
+    assert set(by_variant) == {"stale", "fresh"}
+    assert len(by_variant["stale"]) == len(by_variant["fresh"])
+    # every query id appears in both variants
+    assert {r["query_id"] for r in by_variant["stale"]} == {
+        r["query_id"] for r in by_variant["fresh"]
+    }

@@ -313,6 +313,11 @@ SPILL_QUERIES = [
     "j_planned_skew_join",
     "d_embedding_neardup_incremental",
     "d_embedding_neardup_incremental_prod",
+    # round-8 second continuation: the PQ-position explodes of the
+    # cost frontier's shared construction, and the incremental IVF pass
+    "e_recall_cost_frontier",
+    "e_ivf_incremental_assign",
+    "e_ivf_staleness_recall",
 ]
 
 

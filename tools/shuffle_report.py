@@ -201,6 +201,7 @@ QUERIES = [
     # round-8 continuation additions
     "e_recall_cost_frontier",
     "e_ivf_incremental_assign",
+    "e_ivf_staleness_recall",
 ]
 
 
