@@ -22,6 +22,8 @@ staged files' parquet footers (a metadata-only count, no recompute).
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
 import tempfile
@@ -30,6 +32,19 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Test seam for the crash-consistency journal: when set, called with a
+# step label at every journaled-mutation step boundary. A test hook that
+# raises a BaseException subclass simulates a process kill BETWEEN steps
+# (BaseException skips the ``except Exception`` rollback paths exactly
+# like a real kill would; the journal recovery on next access must then
+# restore a consistent table). Never set in production.
+_CRASH_HOOK = None
+
+
+def _crash_point(label: str) -> None:
+    if _CRASH_HOOK is not None:
+        _CRASH_HOOK(label)
 
 
 class ParquetStore:
@@ -49,6 +64,7 @@ class ParquetStore:
         return os.path.isdir(self.path(table))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        self._recover(table)
         if self.exists(table):
             reader = self.spark.read
             if schema is not None:
@@ -69,27 +85,143 @@ class ParquetStore:
         n = self.spark.read.parquet(stage).count()
         return stage, n
 
+    # ---- crash-consistency journal --------------------------------
+    # Every multi-step directory mutation (whole-table swap, partition
+    # swap, append file moves) writes a JOURNAL file into the store
+    # root before its first rename and removes it after cleanup. An
+    # EXCEPTION mid-mutation is rolled back in-process (the except
+    # blocks below); a PROCESS KILL mid-mutation leaves the journal
+    # behind, and ``_recover`` — invoked from every public read/write
+    # entry point — deterministically rolls the mutation back (journal
+    # not marked committed: every pre-state copy is still on disk as a
+    # ``.__bak``/untouched dir, so restore it) or forward (marked
+    # committed: the data renames all landed; only backup cleanup
+    # remained). Without this, a kill between the backup-rename and the
+    # move-in left table rows invisible to readers (dot-prefixed backup
+    # dirs are hidden from Spark) with no automatic repair.
+    # Cost: one root listdir per public entry call; single-writer
+    # discipline assumed (the store is not concurrent-safe, as before).
+
+    def _journal_path(self, table: str, token: str) -> str:
+        return os.path.join(self.root, f".__journal_{table}_{token}.json")
+
+    def _journal_write(self, jp: str, payload: dict) -> None:
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, jp)
+
+    def _recover(self, table: str) -> None:
+        prefix = f".__journal_{table}_"
+        if not os.path.isdir(self.root):
+            return
+        for name in sorted(os.listdir(self.root)):
+            if not (name.startswith(prefix) and name.endswith(".json")):
+                continue
+            jp = os.path.join(self.root, name)
+            try:
+                with open(jp) as fh:
+                    payload = json.load(fh)
+            except (OSError, ValueError):
+                continue  # half-written .tmp never replaces; stale file
+            kind = payload.get("kind")
+            if kind == "table_swap":
+                self._recover_table_swap(payload)
+            elif kind == "partition_swap":
+                self._recover_partition_swap(payload)
+            elif kind == "append":
+                self._recover_append(payload)
+            with contextlib.suppress(OSError):
+                os.remove(jp)
+
+    def _recover_table_swap(self, payload: dict) -> None:
+        final = self.path(payload["table"])
+        stage = os.path.join(self.root, payload["stage"])
+        backup = os.path.join(self.root, payload["backup"])
+        if not os.path.isdir(stage):
+            # the stage→final rename (the commit point) happened: roll
+            # forward — only the backup cleanup remained
+            shutil.rmtree(backup, ignore_errors=True)
+            return
+        # commit point not reached: restore the pre-state
+        if not os.path.isdir(final) and os.path.isdir(backup):
+            os.replace(backup, final)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _recover_partition_swap(self, payload: dict) -> None:
+        final = self.path(payload["table"])
+        token = payload["token"]
+        if not os.path.isdir(final):
+            return
+        if payload.get("committed"):
+            # all move-ins landed; only backup cleanup remained
+            for e in payload["dirs"]:
+                bak = os.path.join(final, f".{e['name']}.__bak_{token}")
+                shutil.rmtree(bak, ignore_errors=True)
+            return
+        # not committed: every backed-up dir still has its backup
+        # (backups are only dropped AFTER the committed mark), so the
+        # exact pre-state is restorable
+        for e in payload["dirs"]:
+            d = os.path.join(final, e["name"])
+            bak = os.path.join(final, f".{e['name']}.__bak_{token}")
+            if os.path.isdir(bak):
+                shutil.rmtree(d, ignore_errors=True)
+                os.replace(bak, d)
+            elif not e["existed"]:
+                # a brand-new partition moved in before the kill
+                shutil.rmtree(d, ignore_errors=True)
+            # else: existed and never backed up -> untouched pre-state
+
+    def _recover_append(self, payload: dict) -> None:
+        final = self.path(payload["table"])
+        if payload.get("committed") or not os.path.isdir(final):
+            return
+        # not committed: delete the files this append moved in (part
+        # file names are writer-UUID-unique, so the listed names can
+        # only have come from this append)
+        for rel in payload["files"]:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(final, rel))
+
     def _swap_in(self, stage: str, table: str) -> None:
         """Replace the table directory with ``stage`` via backup-rename:
         the old table is RENAMED aside (atomic, cheap), the stage renamed
         in, then the backup dropped. A failure between the two renames
         restores the backup — at no point is the only copy of the data
         mid-``rmtree`` (the destroy-then-rename pattern loses the table
-        if the process dies between the two steps)."""
+        if the process dies between the two steps). Journaled: a process
+        kill at ANY step is repaired by ``_recover`` on next access —
+        pre-state if the stage→final rename (the commit point) had not
+        happened, post-state otherwise."""
         final = self.path(table)
-        backup = os.path.join(
-            self.root, f".{table}_backup_{os.path.basename(stage)}"
-        )
+        token = os.path.basename(stage)
+        backup = os.path.join(self.root, f".{table}_backup_{token}")
+        payload = {
+            "kind": "table_swap",
+            "table": table,
+            "stage": token,
+            "backup": os.path.basename(backup),
+        }
+        jp = self._journal_path(table, token)
+        self._journal_write(jp, payload)
+        _crash_point("table_swap:journaled")
         try:
             if os.path.isdir(final):
                 os.replace(final, backup)
+            _crash_point("table_swap:backed_up")
             os.replace(stage, final)
         except Exception:
             if not os.path.isdir(final) and os.path.isdir(backup):
                 os.replace(backup, final)
             shutil.rmtree(stage, ignore_errors=True)
+            with contextlib.suppress(OSError):
+                os.remove(jp)
             raise
+        _crash_point("table_swap:swapped")
         shutil.rmtree(backup, ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.remove(jp)
 
     def insert(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -118,28 +250,78 @@ class ParquetStore:
         ``spark.sql.sources.partitionColumnTypeInference``) — choose
         partition columns whose inferred type is the stored type, or
         disable inference session-wide."""
+        self._recover(table)
         self._check_layout(table, partition_by)
         stage, n = self._stage(df, table)
         try:
             if n and partition_by:
-                # staged-file read → partitioned append: the incoming
-                # plan still ran exactly once (the re-read is a file
-                # scan of the staged snapshot, not a plan re-run)
-                (
-                    self.spark.read.parquet(stage)
-                    .write.mode("append")
-                    .partitionBy(*partition_by)
-                    .parquet(self.path(table))
-                )
+                # staged-file read → hive-layout rewrite in a second tmp
+                # dir, then a JOURNALED per-file move-in (the incoming
+                # plan still ran exactly once — both re-reads are file
+                # scans of the staged snapshot, not plan re-runs). A
+                # direct ``mode("append")`` into the live table would
+                # leave a PARTIAL append visible if the process died
+                # mid-write; the journaled move makes the append
+                # all-or-nothing under kills, like every other mutation.
+                lay = tempfile.mkdtemp(dir=self.root, prefix=f".{table}_ins_")
+                try:
+                    (
+                        self.spark.read.parquet(stage)
+                        .write.mode("overwrite")
+                        .partitionBy(*partition_by)
+                        .parquet(lay)
+                    )
+                    rels = [
+                        os.path.relpath(os.path.join(r, fname), lay)
+                        for r, _dirs, files in os.walk(lay)
+                        for fname in files
+                        if fname.endswith(".parquet")
+                    ]
+                    self._append_files(lay, table, sorted(rels))
+                finally:
+                    shutil.rmtree(lay, ignore_errors=True)
             elif n:
-                final = self.path(table)
-                os.makedirs(final, exist_ok=True)
-                for name in os.listdir(stage):
-                    if name.endswith(".parquet"):
-                        os.replace(os.path.join(stage, name), os.path.join(final, name))
+                rels = sorted(
+                    name for name in os.listdir(stage)
+                    if name.endswith(".parquet")
+                )
+                self._append_files(stage, table, rels)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return n
+
+    def _append_files(self, src_root: str, table: str, rels: list[str]) -> None:
+        """Journaled all-or-nothing file append: move ``rels`` (parquet
+        files under ``src_root``, writer-UUID-unique names) into the
+        table directory. A kill mid-move is rolled back by ``_recover``
+        (uncommitted journal → the listed files are deleted; an empty
+        ``col=value`` dir a rolled-back move may leave behind holds no
+        rows and is rewritten by the next append)."""
+        final = self.path(table)
+        token = os.path.basename(src_root)
+        payload = {"kind": "append", "table": table, "files": rels}
+        jp = self._journal_path(table, token)
+        self._journal_write(jp, payload)
+        _crash_point("append:journaled")
+        os.makedirs(final, exist_ok=True)
+        try:
+            for rel in rels:
+                dst = os.path.join(final, rel)
+                os.makedirs(os.path.dirname(dst) or final, exist_ok=True)
+                os.replace(os.path.join(src_root, rel), dst)
+                _crash_point("append:moved")
+        except Exception:
+            for rel in rels:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(final, rel))
+            with contextlib.suppress(OSError):
+                os.remove(jp)
+            raise
+        payload["committed"] = True
+        self._journal_write(jp, payload)
+        _crash_point("append:committed")
+        with contextlib.suppress(OSError):
+            os.remove(jp)
 
     def overwrite(
         self, df: DataFrame, table: str, meta_files: dict[str, str] | None = None
@@ -153,6 +335,7 @@ class ParquetStore:
         before the swap, so table data and metadata (e.g. the rollup's
         last-applied epoch marker) commit in the SAME atomic rename —
         underscore-prefixed names are ignored by parquet readers."""
+        self._recover(table)
         stage, n = self._stage(df, table)
         for name, contents in (meta_files or {}).items():
             with open(os.path.join(stage, name), "w") as fh:
@@ -163,6 +346,7 @@ class ParquetStore:
     def read_meta(self, table: str, name: str) -> str | None:
         """Read a metadata file written via overwrite(meta_files=...) or
         write_meta; None when absent."""
+        self._recover(table)
         p = os.path.join(self.path(table), name)
         if not os.path.isfile(p):
             return None
@@ -261,6 +445,7 @@ class ParquetStore:
         repartitioned on the partition columns so each partition dir
         compacts to few files. Returns the parquet file count after
         compaction."""
+        self._recover(table)
         if partition_by is None:
             partition_by = self._detect_partition_cols(table)
         current = self.read(table)
@@ -295,6 +480,7 @@ class ParquetStore:
         number of parquet files after the rewrite. Pruning effect pinned
         by ``tests/test_formats.py::test_cluster_rewrite_tightens_row_groups``.
         """
+        self._recover(table)
         part_cols = self._detect_partition_cols(table)
         current = self.read(table)
         range_cols = part_cols + by
@@ -414,6 +600,7 @@ class ParquetStore:
         A failed write never corrupts the table on either path (temp dir
         + backup-rename; no step holds the only copy mid-delete).
         """
+        self._recover(table)
         stage, n = self._stage(df, table)
         try:
             if not n:
@@ -519,9 +706,37 @@ class ParquetStore:
         including NEW partitions that had no backup to restore —
         before restoring backups, so a mid-swap failure leaves the
         exact pre-upsert state (no PK left duplicated across its old
-        and new partition)."""
+        and new partition).
+
+        Journaled: the journal (affected dirs + existed-before flags)
+        is written before the first rename and marked committed only
+        after EVERY move-in — backups are dropped strictly after the
+        committed mark, so a process kill at any step is repaired by
+        ``_recover``: uncommitted → every renamed dir still has its
+        backup, restore the exact pre-state; committed → only backup
+        cleanup remained, finish it."""
         final = self.path(table)
         token = os.path.basename(tmp)
+        tmp_dirs = sorted(
+            d
+            for d in os.listdir(tmp)
+            if "=" in d and os.path.isdir(os.path.join(tmp, d))
+        )
+        payload = {
+            "kind": "partition_swap",
+            "table": table,
+            "token": token,
+            "dirs": [
+                {
+                    "name": d,
+                    "existed": os.path.isdir(os.path.join(final, d)),
+                }
+                for d in sorted(set(affected_dirs) | set(tmp_dirs))
+            ],
+        }
+        jp = self._journal_path(table, token)
+        self._journal_write(jp, payload)
+        _crash_point("partition_swap:journaled")
         backups: list[tuple[str, str]] = []
         moved_in: list[str] = []
         try:
@@ -531,21 +746,29 @@ class ParquetStore:
                     bak = os.path.join(final, f".{d}.__bak_{token}")
                     os.replace(src, bak)
                     backups.append((src, bak))
-            for d in os.listdir(tmp):
+                    _crash_point("partition_swap:backed_up")
+            for d in tmp_dirs:
                 p = os.path.join(tmp, d)
-                if "=" in d and os.path.isdir(p):
-                    dst = os.path.join(final, d)
-                    os.replace(p, dst)
-                    moved_in.append(dst)
+                dst = os.path.join(final, d)
+                os.replace(p, dst)
+                moved_in.append(dst)
+                _crash_point("partition_swap:moved_in")
         except Exception:
             for dst in moved_in:
                 shutil.rmtree(dst, ignore_errors=True)
             for src, bak in backups:
                 if not os.path.isdir(src):
                     os.replace(bak, src)
+            with contextlib.suppress(OSError):
+                os.remove(jp)
             raise
+        payload["committed"] = True
+        self._journal_write(jp, payload)
+        _crash_point("partition_swap:committed")
         for _src, bak in backups:
             shutil.rmtree(bak, ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.remove(jp)
 
     def delete_rows(self, table: str, key: str, keys: DataFrame) -> int:
         """Targeted deletion — the right-to-be-forgotten / takedown
@@ -563,6 +786,7 @@ class ParquetStore:
         accounting is unchanged. Deletion counts come from parquet
         footers (no plan re-run), and the caller should audit the count,
         not the keys (the point is to STOP storing them)."""
+        self._recover(table)
         if not self.exists(table):
             return 0
         current = self.read(table)

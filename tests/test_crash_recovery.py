@@ -1,0 +1,211 @@
+"""Crash-consistency sweep for ParquetStore's journaled mutations.
+
+Simulates a process kill BETWEEN every pair of steps of every journaled
+directory mutation (whole-table swap, partition swap, append file
+moves) by raising a BaseException subclass from the ``_CRASH_HOOK``
+test seam — BaseException skips the ``except Exception`` in-process
+rollbacks exactly like a real kill, leaving the journal and any
+half-applied renames on disk. The next store access must then repair
+the table to EXACTLY the pre-mutation state (crash before the commit
+point) or EXACTLY the post-mutation state (crash after), never a mix,
+never missing rows, never a visible backup dir.
+
+This is the systematic version of the point-wise rollback tests in
+tests/test_operators.py: those pin one failure site each; this sweeps
+every site, so a new step added to a swap is automatically covered.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_data_peri_institute_spark import sinks
+from etl_data_peri_institute_spark.sinks import ParquetStore
+
+
+class _SimulatedCrash(BaseException):
+    """Not an Exception: must bypass in-process rollback like a kill."""
+
+
+def _rows(store: ParquetStore, table: str) -> set[tuple]:
+    df = store.read(table)
+    return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+
+
+def _crash_labels(spark, tmp_path, monkeypatch, seed, mutate, sub) -> list[str]:
+    """Dry run: count/record the crash points the mutation passes."""
+    seen: list[str] = []
+    store = ParquetStore(spark, str(tmp_path / f"{sub}_dry"))
+    seed(store)
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", seen.append)
+    try:
+        mutate(store)
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    return seen
+
+
+# labels AFTER which the mutation is committed (the hook fires after
+# its step completes, so crashing AT these labels leaves post-state)
+_COMMIT_LABELS = {
+    "table_swap:swapped",
+    "partition_swap:committed",
+    "append:committed",
+}
+
+
+def _sweep(spark, tmp_path, monkeypatch, seed, mutate, sub) -> list[str]:
+    """Crash at every step index; assert exact pre/post recovery."""
+    labels = _crash_labels(spark, tmp_path, monkeypatch, seed, mutate, sub)
+    assert labels, "mutation passed no crash points — seam not wired"
+
+    # reference pre/post row sets from clean runs
+    ref = ParquetStore(spark, str(tmp_path / f"{sub}_ref"))
+    seed(ref)
+    pre = _rows(ref, "t")
+    mutate(ref)
+    post = _rows(ref, "t")
+    assert pre != post, "mutation must change the table or the sweep is vacuous"
+
+    for k, label in enumerate(labels):
+        store = ParquetStore(spark, str(tmp_path / f"{sub}_k{k}"))
+        seed(store)
+
+        calls = {"n": 0}
+
+        def hook(lbl, _k=k):
+            if calls["n"] == _k:
+                raise _SimulatedCrash(lbl)
+            calls["n"] += 1
+
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+        try:
+            with pytest.raises(_SimulatedCrash):
+                mutate(store)
+        finally:
+            monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+
+        expected = post if label in _COMMIT_LABELS else pre
+        got = _rows(store, "t")  # read() runs recovery first
+        assert got == expected, (
+            f"crash at step {k} ({label}): recovered rows are neither "
+            f"exact pre nor the expected state"
+        )
+        # recovery must consume the journal and leave no visible backups
+        root = store.root
+        leftovers = [
+            n for n in os.listdir(root) if n.startswith(".__journal_")
+        ]
+        assert leftovers == [], (k, label, leftovers)
+        tdir = store.path("t")
+        if os.path.isdir(tdir):
+            baks = [n for n in os.listdir(tdir) if ".__bak_" in n]
+            assert baks == [], (k, label, baks)
+        # recovery is idempotent: a second read sees the same rows
+        assert _rows(store, "t") == expected
+    return labels
+
+
+def _seed_flat(store: ParquetStore) -> None:
+    df = store.spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "pk int, v string"
+    )
+    store.insert(df, "t")
+
+
+def _seed_partitioned(store: ParquetStore) -> None:
+    df = store.spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+        "pk int, v string, dt string",
+    )
+    store.insert(df, "t", partition_by=["dt"])
+
+
+def test_crash_sweep_partition_scoped_upsert(spark, tmp_path, monkeypatch):
+    """Partition-swap journal: the upsert touches an existing partition
+    (update), moves a PK across partitions, and creates a brand-new
+    partition — all three recovery cases (backed-up dir, moved-in dir
+    with backup, moved-in dir with NO backup) are in one sweep."""
+
+    def mutate(store: ParquetStore) -> None:
+        inc = store.spark.createDataFrame(
+            [(2, "B2", "d2"), (4, "d", "d3")], "pk int, v string, dt string"
+        )
+        store.upsert(inc, "t", pk="pk")
+
+    labels = _sweep(
+        spark, tmp_path, monkeypatch, _seed_partitioned, mutate, "pswap"
+    )
+    assert any(lbl.startswith("partition_swap:") for lbl in labels)
+
+
+def test_crash_sweep_overwrite_table_swap(spark, tmp_path, monkeypatch):
+    """Table-swap journal: overwrite() replaces the whole directory."""
+
+    def mutate(store: ParquetStore) -> None:
+        out = store.spark.createDataFrame(
+            [(9, "z")], "pk int, v string"
+        )
+        store.overwrite(out, "t")
+
+    labels = _sweep(spark, tmp_path, monkeypatch, _seed_flat, mutate, "tswap")
+    assert "table_swap:swapped" in labels
+
+
+def test_crash_sweep_delete_rows_rewrite(spark, tmp_path, monkeypatch):
+    """_rewrite_and_swap path (delete_rows) rides the same table-swap
+    journal; the partitioned layout must survive pre-state recovery."""
+
+    def mutate(store: ParquetStore) -> None:
+        keys = store.spark.createDataFrame([(1,)], "pk int")
+        store.delete_rows("t", "pk", keys)
+
+    _sweep(spark, tmp_path, monkeypatch, _seed_partitioned, mutate, "del")
+
+
+def test_crash_sweep_partitioned_append(spark, tmp_path, monkeypatch):
+    """Append journal: a partitioned insert that extends an existing
+    partition AND creates a new one must be all-or-nothing — the old
+    direct ``mode("append")`` write could leave a partial append
+    visible after a kill."""
+
+    def mutate(store: ParquetStore) -> None:
+        inc = store.spark.createDataFrame(
+            [(4, "d", "d2"), (5, "e", "d9")], "pk int, v string, dt string"
+        )
+        store.insert(inc, "t", partition_by=["dt"])
+
+    labels = _sweep(
+        spark, tmp_path, monkeypatch, _seed_partitioned, mutate, "papp"
+    )
+    assert "append:committed" in labels
+
+
+def test_crash_sweep_flat_append(spark, tmp_path, monkeypatch):
+    def mutate(store: ParquetStore) -> None:
+        inc = store.spark.createDataFrame([(4, "d")], "pk int, v string")
+        store.insert(inc, "t")
+
+    _sweep(spark, tmp_path, monkeypatch, _seed_flat, mutate, "fapp")
+
+
+def test_recovery_ignores_foreign_and_half_written_journals(
+    spark, tmp_path, monkeypatch
+):
+    """A journal for ANOTHER table is untouched; a half-written journal
+    (the .tmp that never got its atomic rename) is ignored; recovery on
+    a healthy table is a no-op."""
+    store = ParquetStore(spark, str(tmp_path / "j"))
+    _seed_flat(store)
+    before = _rows(store, "t")
+    other = os.path.join(store.root, ".__journal_other_tok.json")
+    with open(other, "w") as fh:
+        fh.write('{"kind": "table_swap", "table": "other", "stage": "x", "backup": "y"}')
+    half = os.path.join(store.root, ".__journal_t_tok.json.tmp")
+    with open(half, "w") as fh:
+        fh.write('{"kind": "append", "table"')  # truncated JSON
+    assert _rows(store, "t") == before
+    assert os.path.isfile(other), "foreign journal must not be consumed"
+    assert os.path.isfile(half), ".tmp file must not be consumed"
