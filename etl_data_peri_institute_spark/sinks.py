@@ -61,6 +61,7 @@ class ParquetStore:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return os.path.isdir(self.path(table))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
@@ -112,11 +113,16 @@ class ParquetStore:
         os.replace(tmp, jp)
 
     def _recover(self, table: str) -> None:
-        prefix = f".__journal_{table}_"
         if not os.path.isdir(self.root):
             return
         for name in sorted(os.listdir(self.root)):
-            if not (name.startswith(prefix) and name.endswith(".json")):
+            # the filename prefix is only cosmetic: table names may
+            # contain underscores, so '.__journal_t_...' would also
+            # prefix-match a crashed sibling table 't_x'. Ownership is
+            # decided by the PAYLOAD's table field — a journal for any
+            # other table is left untouched (per-table single-writer
+            # discipline stays safe).
+            if not (name.startswith(".__journal_") and name.endswith(".json")):
                 continue
             jp = os.path.join(self.root, name)
             try:
@@ -124,6 +130,8 @@ class ParquetStore:
                     payload = json.load(fh)
             except (OSError, ValueError):
                 continue  # half-written .tmp never replaces; stale file
+            if payload.get("table") != table:
+                continue
             kind = payload.get("kind")
             if kind == "table_swap":
                 self._recover_table_swap(payload)
@@ -131,6 +139,16 @@ class ParquetStore:
                 self._recover_partition_swap(payload)
             elif kind == "append":
                 self._recover_append(payload)
+            else:
+                # unknown kind (version skew / mangled field): KEEP the
+                # journal — it is the only repair record for whatever
+                # half-applied state is on disk; deleting it would make
+                # that state permanent with no evidence. Surface loudly.
+                raise RuntimeError(
+                    f"ParquetStore: journal {name} for table {table!r} "
+                    f"has unrecognized kind {kind!r}; manual recovery "
+                    f"required (file preserved)"
+                )
             with contextlib.suppress(OSError):
                 os.remove(jp)
 
@@ -183,6 +201,11 @@ class ParquetStore:
         for rel in payload["files"]:
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(final, rel))
+        if payload.get("created"):
+            # the append CREATED the table directory; pre-state is "no
+            # table" — an empty leftover dir would flip exists() to
+            # True and crash read() on schema inference
+            shutil.rmtree(final, ignore_errors=True)
 
     def _swap_in(self, stage: str, table: str) -> None:
         """Replace the table directory with ``stage`` via backup-rename:
@@ -299,7 +322,15 @@ class ParquetStore:
         rows and is rewritten by the next append)."""
         final = self.path(table)
         token = os.path.basename(src_root)
-        payload = {"kind": "append", "table": table, "files": rels}
+        payload = {
+            "kind": "append",
+            "table": table,
+            "files": rels,
+            # pre-state marker: a rolled-back append that CREATED the
+            # table must remove the directory again, not leave an empty
+            # husk that flips exists()
+            "created": not os.path.isdir(final),
+        }
         jp = self._journal_path(table, token)
         self._journal_write(jp, payload)
         _crash_point("append:journaled")
@@ -358,6 +389,7 @@ class ParquetStore:
         table (tmp file + rename — readers never see a partial write).
         Not transactional with any data write: when metadata must commit
         with the data in one rename, use overwrite(meta_files=...)."""
+        self._recover(table)
         final = self.path(table)
         if not os.path.isdir(final):
             raise FileNotFoundError(table)

@@ -29,9 +29,12 @@ class _SimulatedCrash(BaseException):
     """Not an Exception: must bypass in-process rollback like a kill."""
 
 
-def _rows(store: ParquetStore, table: str) -> set[tuple]:
+def _rows(store: ParquetStore, table: str) -> list[tuple]:
+    """MULTISET of rows (sorted list, not a set): a recovery bug that
+    leaves the same row visible twice (partition restored from backup
+    while a moved-in copy also survives) must fail the compare."""
     df = store.read(table)
-    return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
 
 
 def _crash_labels(spark, tmp_path, monkeypatch, seed, mutate, sub) -> list[str]:
@@ -209,3 +212,106 @@ def test_recovery_ignores_foreign_and_half_written_journals(
     assert _rows(store, "t") == before
     assert os.path.isfile(other), "foreign journal must not be consumed"
     assert os.path.isfile(half), ".tmp file must not be consumed"
+
+
+def test_crash_sweep_first_ever_insert_restores_no_table(
+    spark, tmp_path, monkeypatch
+):
+    """Self-review finding (confirmed live): a killed FIRST-EVER insert
+    must recover to 'no table at all' — _append_files created the table
+    dir before moving files, and deleting only the files left an empty
+    husk that flipped exists() to True and crashed read() on schema
+    inference. Pre-state here is the ABSENCE of the table."""
+    labels = []
+    dry = ParquetStore(spark, str(tmp_path / "first_dry"))
+    df = spark.createDataFrame([(1, "a", "d1")], "pk int, v string, dt string")
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", labels.append)
+    try:
+        dry.insert(df, "t", partition_by=["dt"])
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    post = _rows(dry, "t")
+
+    for k, label in enumerate(labels):
+        store = ParquetStore(spark, str(tmp_path / f"first_k{k}"))
+        calls = {"n": 0}
+
+        def hook(lbl, _k=k):
+            if calls["n"] == _k:
+                raise _SimulatedCrash(lbl)
+            calls["n"] += 1
+
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+        try:
+            with pytest.raises(_SimulatedCrash):
+                store.insert(df, "t", partition_by=["dt"])
+        finally:
+            monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+        if label in _COMMIT_LABELS:
+            assert store.exists("t") and _rows(store, "t") == post, (k, label)
+        else:
+            # recovery must restore "no table", not an empty directory
+            assert not store.exists("t"), (k, label)
+            with pytest.raises(FileNotFoundError):
+                store.read("t")
+
+
+def test_recovery_owns_by_payload_not_filename_prefix(
+    spark, tmp_path, monkeypatch
+):
+    """Self-review finding: table names contain underscores, so the
+    journal FILENAME '.__journal_t_<token>' for table 't' also
+    prefix-matches a journal for sibling table 't_x'. Ownership must be
+    decided by the payload's table field: recovering 't' must leave
+    't_x's crash journal (and its half-applied state) untouched."""
+    store = ParquetStore(spark, str(tmp_path / "own"))
+    _seed_flat(store)
+    df = spark.createDataFrame([(1, "a")], "pk int, v string")
+    store.insert(df, "t_x")
+
+    # crash t_x's overwrite right after its backup-rename: t_x is
+    # renamed aside, journal left behind
+    calls = {"n": 0}
+
+    def hook(lbl):
+        if lbl == "table_swap:backed_up":
+            raise _SimulatedCrash(lbl)
+
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+    try:
+        with pytest.raises(_SimulatedCrash):
+            store.overwrite(
+                spark.createDataFrame([(9, "z")], "pk int, v string"), "t_x"
+            )
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    journals = [
+        n for n in os.listdir(store.root) if n.startswith(".__journal_")
+    ]
+    assert journals, "crash must leave t_x's journal"
+
+    # reading table 't' must not consume t_x's journal
+    assert _rows(store, "t") == [(1, "a"), (2, "b"), (3, "c")]
+    assert [
+        n for n in os.listdir(store.root) if n.startswith(".__journal_")
+    ] == journals
+    # t_x's own next access performs its recovery
+    assert _rows(store, "t_x") == [(1, "a")]
+    assert not any(
+        n.startswith(".__journal_") for n in os.listdir(store.root)
+    )
+
+
+def test_recovery_preserves_unknown_journal_kind(spark, tmp_path):
+    """Self-review finding: an unrecognized journal kind (version skew,
+    mangled field) must NOT be silently deleted — it is the only repair
+    record for whatever half-applied state is on disk. The store
+    surfaces it loudly and preserves the file."""
+    store = ParquetStore(spark, str(tmp_path / "unk"))
+    _seed_flat(store)
+    jp = os.path.join(store.root, ".__journal_t_tok.json")
+    with open(jp, "w") as fh:
+        fh.write('{"kind": "future_thing", "table": "t"}')
+    with pytest.raises(RuntimeError, match="unrecognized kind"):
+        store.read("t")
+    assert os.path.isfile(jp), "journal must be preserved for manual repair"
