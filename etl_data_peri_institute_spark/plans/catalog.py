@@ -178,10 +178,13 @@ _VERIFY_FIRST: list[str] = [
     "w_moving_avg_range_frame",
 ]
 # NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r08 when it lands).
-# Round 8's 50-row window = 9 net-new/changed (recall-matrix +ivf_pq
+# Round 8's 50-row window = 12 net-new/changed (recall-matrix +ivf_pq
 # tier, balanced assign + recall twin, survival-km centihour fix, the
-# continuation's incremental near-dup probes ×3 + planned skew join)
-# + the 40 r01 names + the first r02 name. Round 9 leads with:
+# continuation's incremental near-dup probes ×3 + planned skew join,
+# and the second continuation's recall/cost frontier + incremental
+# IVF assign + staleness recall) + the first 38 of the 40 r01 names
+# (the last two r01 names and all r02 names overflow). Round 9 leads
+# with:
 #   1. any round-8 name that did NOT land green,
 #   2. any query whose OUTPUT changes in round 9,
 #   3. round-9 net-new registrations,
