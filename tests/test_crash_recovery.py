@@ -315,3 +315,88 @@ def test_recovery_preserves_unknown_journal_kind(spark, tmp_path):
     with pytest.raises(RuntimeError, match="unrecognized kind"):
         store.read("t")
     assert os.path.isfile(jp), "journal must be preserved for manual repair"
+
+
+def test_crash_sweep_compact_preserves_meta(spark, tmp_path, monkeypatch):
+    """compact() rides the table-swap journal via _rewrite_and_swap and
+    must carry user meta files through EVERY crash outcome: pre-state
+    recovery keeps the original meta, post-state recovery keeps the
+    carried copy — losing the rollup's _LAST_EPOCH replay guard
+    re-enables a double-merge (the round-8 meta-loss bug class, now
+    swept under kills too)."""
+    labels = []
+    dry = ParquetStore(spark, str(tmp_path / "cm_dry"))
+    _seed_partitioned(dry)
+    dry.write_meta("t", "_LAST_EPOCH", "7")
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", labels.append)
+    try:
+        dry.compact("t", target_files=1)
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    post = _rows(dry, "t")
+
+    for k, label in enumerate(labels):
+        store = ParquetStore(spark, str(tmp_path / f"cm_k{k}"))
+        _seed_partitioned(store)
+        store.write_meta("t", "_LAST_EPOCH", "7")
+        pre = _rows(store, "t")
+        calls = {"n": 0}
+
+        def hook(lbl, _k=k):
+            if calls["n"] == _k:
+                raise _SimulatedCrash(lbl)
+            calls["n"] += 1
+
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+        try:
+            with pytest.raises(_SimulatedCrash):
+                store.compact("t", target_files=1)
+        finally:
+            monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+        expected = post if label in _COMMIT_LABELS else pre
+        assert _rows(store, "t") == expected, (k, label)
+        # the replay guard must survive EVERY outcome
+        assert store.read_meta("t", "_LAST_EPOCH") == "7", (k, label)
+
+
+def test_crash_sweep_overwrite_meta_files_atomic(spark, tmp_path, monkeypatch):
+    """overwrite(meta_files=...) commits data + meta in ONE rename:
+    pre-state recovery must show the OLD meta with the OLD rows,
+    post-state the NEW meta with the NEW rows — never a cross pairing
+    (a new epoch marker on old rows would permanently skip a merge)."""
+    labels = []
+    dry = ParquetStore(spark, str(tmp_path / "om_dry"))
+    _seed_flat(dry)
+    dry.write_meta("t", "_LAST_EPOCH", "7")
+    new_df = spark.createDataFrame([(9, "z")], "pk int, v string")
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", labels.append)
+    try:
+        dry.overwrite(new_df, "t", meta_files={"_LAST_EPOCH": "8"})
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    post = _rows(dry, "t")
+
+    for k, label in enumerate(labels):
+        store = ParquetStore(spark, str(tmp_path / f"om_k{k}"))
+        _seed_flat(store)
+        store.write_meta("t", "_LAST_EPOCH", "7")
+        pre = _rows(store, "t")
+        calls = {"n": 0}
+
+        def hook(lbl, _k=k):
+            if calls["n"] == _k:
+                raise _SimulatedCrash(lbl)
+            calls["n"] += 1
+
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+        try:
+            with pytest.raises(_SimulatedCrash):
+                store.overwrite(new_df, "t", meta_files={"_LAST_EPOCH": "8"})
+        finally:
+            monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+        if label in _COMMIT_LABELS:
+            assert _rows(store, "t") == post, (k, label)
+            assert store.read_meta("t", "_LAST_EPOCH") == "8", (k, label)
+        else:
+            assert _rows(store, "t") == pre, (k, label)
+            assert store.read_meta("t", "_LAST_EPOCH") == "7", (k, label)
