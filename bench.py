@@ -143,6 +143,13 @@ HEADLINE = [
     "j_planned_skew_join",
     "d_embedding_neardup_incremental",
     "d_embedding_neardup_incremental_prod",
+    # round-8 second continuation: the recall/cost frontier (the full
+    # matrix construction + cost legs — the heaviest new entry), the
+    # incremental IVF assignment, and its staleness-recall twin (two
+    # quantizer variants over one shared exact-d2 frame)
+    "e_recall_cost_frontier",
+    "e_ivf_incremental_assign",
+    "e_ivf_staleness_recall",
 ]
 
 # Cross-round comparability (measured round 3, interleaved git-worktree
