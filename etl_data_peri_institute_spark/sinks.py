@@ -66,7 +66,7 @@ class ParquetStore:
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         self._recover(table)
-        if self.exists(table):
+        if os.path.isdir(self.path(table)):
             reader = self.spark.read
             if schema is not None:
                 # an explicit schema also makes a validly-EMPTY table
@@ -103,6 +103,59 @@ class ParquetStore:
     # Cost: one root listdir per public entry call; single-writer
     # discipline assumed (the store is not concurrent-safe, as before).
 
+    @staticmethod
+    def _check_meta_name(name: str) -> None:
+        """Meta files must be underscore-prefixed (parquet readers skip
+        '_'/'.'-prefixed names — anything else becomes an unreadable
+        'footer' that breaks every later scan) and must not escape the
+        table directory. Enforced for write_meta AND
+        overwrite(meta_files=...) — both land files next to data."""
+        if not name.startswith("_") or "/" in name or os.sep in name:
+            raise ValueError(
+                f"meta file name must start with '_' (so parquet readers "
+                f"ignore it) and contain no path separators, got {name!r}"
+            )
+
+    def vacuum(self) -> list[str]:
+        """Reclaim orphaned dot-prefixed staging/backup dirs (and stray
+        half-written journal .tmp files) left in the store ROOT by
+        process kills: partial stage writes happen BEFORE any journal
+        exists, so crash recovery cannot know about them, and they
+        accumulate across crashed runs. Like Delta/Iceberg VACUUM this
+        is an EXPLICIT maintenance call with the same precondition: run
+        it only when no writer is active on the store — a live
+        mutation's stage dir is indistinguishable from an orphan.
+        Journals and the dirs they reference are preserved (those
+        belong to ``_recover``). Returns the removed names."""
+        if not os.path.isdir(self.root):
+            return []
+        names = os.listdir(self.root)
+        live: set[str] = set()
+        for name in names:
+            if name.startswith(".__journal_") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(self.root, name)) as fh:
+                        payload = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                live.add(payload.get("stage") or "")
+                live.add(payload.get("backup") or "")
+        removed: list[str] = []
+        for name in names:
+            if not name.startswith(".") or name in live:
+                continue
+            if name.startswith(".__journal_") and name.endswith(".json"):
+                continue  # consumed only by _recover
+            p = os.path.join(self.root, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(name)
+            elif name.endswith(".json.tmp"):
+                with contextlib.suppress(OSError):
+                    os.remove(p)
+                    removed.append(name)
+        return sorted(removed)
+
     def _journal_path(self, table: str, token: str) -> str:
         return os.path.join(self.root, f".__journal_{table}_{token}.json")
 
@@ -110,19 +163,36 @@ class ParquetStore:
         tmp = jp + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, jp)
+        # fsync the containing directory so the journal's rename is on
+        # stable storage BEFORE any data rename that depends on it; the
+        # stated fault model is process kills (fully covered), and this
+        # closes the journal's own half of the power-loss window — full
+        # power-loss atomicity of the data renames themselves would
+        # additionally need a directory fsync after every os.replace,
+        # which plain local parquet does not attempt (that is what a
+        # Delta/Iceberg commit log buys).
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _recover(self, table: str) -> None:
         if not os.path.isdir(self.root):
             return
+        prefix = f".__journal_{table}_"
         for name in sorted(os.listdir(self.root)):
-            # the filename prefix is only cosmetic: table names may
-            # contain underscores, so '.__journal_t_...' would also
-            # prefix-match a crashed sibling table 't_x'. Ownership is
-            # decided by the PAYLOAD's table field — a journal for any
-            # other table is left untouched (per-table single-writer
-            # discipline stays safe).
-            if not (name.startswith(".__journal_") and name.endswith(".json")):
+            # the filename prefix is a cheap NECESSARY filter (this
+            # table's journals always carry it) but not sufficient:
+            # table names may contain underscores, so '.__journal_t_...'
+            # also prefix-matches a crashed sibling table 't_x'.
+            # Ownership is decided by the PAYLOAD's table field — a
+            # journal for any other table is left untouched (per-table
+            # single-writer discipline stays safe).
+            if not (name.startswith(prefix) and name.endswith(".json")):
                 continue
             jp = os.path.join(self.root, name)
             try:
@@ -345,6 +415,11 @@ class ParquetStore:
             for rel in rels:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(final, rel))
+            if payload["created"]:
+                # same rule as _recover_append: an append that CREATED
+                # the table must remove the directory again on rollback,
+                # not leave an empty husk that flips exists()
+                shutil.rmtree(final, ignore_errors=True)
             with contextlib.suppress(OSError):
                 os.remove(jp)
             raise
@@ -367,6 +442,8 @@ class ParquetStore:
         last-applied epoch marker) commit in the SAME atomic rename —
         underscore-prefixed names are ignored by parquet readers."""
         self._recover(table)
+        for name in meta_files or {}:
+            self._check_meta_name(name)
         stage, n = self._stage(df, table)
         for name, contents in (meta_files or {}).items():
             with open(os.path.join(stage, name), "w") as fh:
@@ -393,11 +470,7 @@ class ParquetStore:
         final = self.path(table)
         if not os.path.isdir(final):
             raise FileNotFoundError(table)
-        if not name.startswith("_"):
-            raise ValueError(
-                f"meta file name must start with '_' so parquet readers "
-                f"ignore it, got {name!r}"
-            )
+        self._check_meta_name(name)
         tmp = os.path.join(final, f".{name}_tmp")
         with open(tmp, "w") as fh:
             fh.write(contents)
@@ -462,8 +535,12 @@ class ParquetStore:
         self, table: str, target_files: int, partition_by: list[str] | None = None
     ) -> int:
         """Small-file compaction: rewrite the table into ``target_files``
-        parquet files (per partition when ``partition_by`` is given) and
-        atomically swap. Daily incremental inserts (especially
+        parquet files (flat tables) and atomically swap. For partitioned
+        tables each hive partition compacts to ONE file — the standard
+        compaction goal; ``target_files`` only bounds the rewrite's task
+        count, it cannot split a hot partition (splitting needs a
+        within-partition bucket key — use cluster_rewrite with
+        files_per_partition for that). Daily incremental inserts (especially
         partitioned ones) accrete small files until listing and per-file
         open dominate scan cost — the classic 100 TB table maintenance
         chore (Delta OPTIMIZE / Iceberg rewrite_data_files; this is the
@@ -529,7 +606,7 @@ class ParquetStore:
         table's existing hive layout — a mismatch silently flattens (or
         fragments) the directory structure and corrupts partition
         pruning for every later reader."""
-        if not self.exists(table):
+        if not os.path.isdir(self.path(table)):
             return
         existing = self._detect_partition_cols(table)
         # ORDER-SENSITIVE compare: detection reports nesting order, and
@@ -538,6 +615,12 @@ class ParquetStore:
         # Spark's partition discovery rejects at read time.
         requested = list(partition_by or [])
         if existing != requested:
+            if not existing and self._parquet_file_count(table) == 0:
+                # a validly-EMPTY table (delete_rows removed every row:
+                # no parquet files, no col=value dirs) has no layout to
+                # corrupt — accept any requested layout instead of
+                # bricking the partitioned ingest until a manual rewrite
+                return
             raise ValueError(
                 f"ParquetStore layout mismatch for table {table!r}: "
                 f"existing partition columns {existing} != requested "
@@ -639,13 +722,14 @@ class ParquetStore:
                 return 0
             incoming = self.spark.read.parquet(stage)
             part_cols = self._detect_partition_cols(table)
+            has_table = os.path.isdir(self.path(table))
             if (
-                self.exists(table)
+                has_table
                 and len(part_cols) == 1
                 and self._upsert_scoped(incoming, table, pk, part_cols[0])
             ):
                 return n
-            if self.exists(table):
+            if has_table:
                 current = self.read(table)
                 kept = current.join(incoming.select(pk).distinct(), pk, "left_anti")
                 merged = kept.unionByName(incoming)
@@ -819,7 +903,7 @@ class ParquetStore:
         footers (no plan re-run), and the caller should audit the count,
         not the keys (the point is to STOP storing them)."""
         self._recover(table)
-        if not self.exists(table):
+        if not os.path.isdir(self.path(table)):
             return 0
         current = self.read(table)
         key_set = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
@@ -907,19 +991,29 @@ def write_jdbc(
     )
 
 
+def _qi(ident: str) -> str:
+    """Quote a SQL identifier (double quotes, embedded quotes doubled):
+    a column named after a reserved word (``order``, ``user``) or with
+    mixed case/special characters must not produce an invalid or
+    wrong-target statement, and identifiers sourced from external
+    schemas must not be an injection vector."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def jdbc_upsert_sql(table: str, staging: str, pk: str, cols: list[str]) -> str:
     """The statement a coordinator runs after staging an upsert batch:
     Postgres INSERT .. ON CONFLICT DO UPDATE (the reference's
-    insert-or-update contract, etl/load.py:283)."""
-    col_list = ", ".join(cols)
-    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c != pk)
+    insert-or-update contract, etl/load.py:283). All identifiers are
+    quoted — DataFrame column names are arbitrary strings."""
+    col_list = ", ".join(_qi(c) for c in cols)
+    updates = ", ".join(f"{_qi(c)} = EXCLUDED.{_qi(c)}" for c in cols if c != pk)
     # pure key-presence table (no non-pk columns): an empty DO UPDATE
     # SET clause is a syntax error — the degenerate form is DO NOTHING
     action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     return (
-        f"INSERT INTO {table} ({col_list}) "
-        f"SELECT {col_list} FROM {staging} "
-        f"ON CONFLICT ({pk}) {action}"
+        f"INSERT INTO {_qi(table)} ({col_list}) "
+        f"SELECT {col_list} FROM {_qi(staging)} "
+        f"ON CONFLICT ({_qi(pk)}) {action}"
     )
 
 
@@ -959,8 +1053,12 @@ def sharded_frame(
     """The pre-write frame of ``write_sharded_corpus`` — exposed so the
     layout test can pin its plan shape (rangepartitioning, NO global
     window stage)."""
-    hk = F.md5(F.col(key_col).cast("string")).alias(hash_col)
-    return df.select("*", hk).repartitionByRange(
+    # withColumn, not select("*", ...): an input that already carries a
+    # column named hash_col (re-sharding a previous export) must have it
+    # REPLACED — a duplicate name makes the repartition reference
+    # ambiguous and the output unreadable
+    hk = F.md5(F.col(key_col).cast("string"))
+    return df.withColumn(hash_col, hk).repartitionByRange(
         n_shards, F.col(hash_col), F.col(key_col)
     )
 

@@ -400,3 +400,110 @@ def test_crash_sweep_overwrite_meta_files_atomic(spark, tmp_path, monkeypatch):
         else:
             assert _rows(store, "t") == pre, (k, label)
             assert store.read_meta("t", "_LAST_EPOCH") == "7", (k, label)
+
+
+def test_exception_rollback_of_first_insert_removes_created_dir(
+    spark, tmp_path, monkeypatch
+):
+    """Second-review finding: the EXCEPTION rollback in _append_files
+    (not just the kill-recovery path) must remove a table directory the
+    failed append created — otherwise exists() flips True on an empty
+    dir, read() crashes on schema inference, and the next partitioned
+    insert hits a false layout-mismatch."""
+    store = ParquetStore(spark, str(tmp_path / "er"))
+    df = spark.createDataFrame([(1, "a", "d1")], "pk int, v string, dt string")
+
+    def hook(lbl):
+        if lbl == "append:moved":
+            raise RuntimeError("disk full")  # ordinary Exception, mid-move
+
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+    try:
+        with pytest.raises(RuntimeError, match="disk full"):
+            store.insert(df, "t", partition_by=["dt"])
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    assert not store.exists("t")
+    # and the table is cleanly creatable afterwards
+    assert store.insert(df, "t", partition_by=["dt"]) == 1
+    assert _rows(store, "t") == [("d1", 1, "a")]  # _rows sorts columns
+
+
+def test_partitioned_insert_into_validly_empty_table(spark, tmp_path):
+    """Second-review finding: delete_rows removing EVERY row leaves a
+    validly-empty table (no files, no partition dirs); the layout guard
+    must accept the next partitioned insert instead of bricking the
+    ingest with a false [] != ['dt'] mismatch."""
+    store = ParquetStore(spark, str(tmp_path / "em"))
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "pk int, v string, dt string"
+    )
+    store.insert(df, "t", partition_by=["dt"])
+    keys = spark.createDataFrame([(1,), (2,)], "pk int")
+    assert store.delete_rows("t", "pk", keys) == 2
+    # table exists, holds nothing — re-ingest partitioned must work
+    assert store.insert(df, "t", partition_by=["dt"]) == 2
+    assert _rows(store, "t") == [("d1", 1, "a"), ("d2", 2, "b")]
+
+
+def test_overwrite_rejects_unignorable_meta_names(spark, tmp_path):
+    """Second-review finding: overwrite(meta_files=...) must enforce the
+    same underscore-prefix rule as write_meta — a non-underscored name
+    becomes an unreadable 'footer' that breaks every later scan, and a
+    path separator would escape the staged dir."""
+    store = ParquetStore(spark, str(tmp_path / "mn"))
+    df = spark.createDataFrame([(1, "a")], "pk int, v string")
+    for bad in ("last_epoch", "_a/b", "/etc/x"):
+        with pytest.raises(ValueError, match="meta file name"):
+            store.overwrite(df, "t", meta_files={bad: "1"})
+    assert not store.exists("t"), "rejected overwrite must not commit"
+    store.overwrite(df, "t", meta_files={"_LAST_EPOCH": "1"})
+    assert store.read_meta("t", "_LAST_EPOCH") == "1"
+
+
+def test_vacuum_reclaims_orphans_preserves_journaled_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """vacuum() removes kill-orphaned staging dirs and stray journal
+    .tmp files but never a journal or the dirs a journal references."""
+    store = ParquetStore(spark, str(tmp_path / "vac"))
+    _seed_flat(store)
+    # orphan stage dir (pre-journal kill leaves exactly this)
+    orphan = os.path.join(store.root, ".t_stage_orphan123")
+    os.makedirs(orphan)
+    stray = os.path.join(store.root, ".__journal_t_x.json.tmp")
+    with open(stray, "w") as fh:
+        fh.write("{")
+    # a crashed swap: journal + backup present (uncommitted)
+    def hook(lbl):
+        if lbl == "table_swap:backed_up":
+            raise _SimulatedCrash(lbl)
+
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+    try:
+        with pytest.raises(_SimulatedCrash):
+            store.overwrite(
+                spark.createDataFrame([(9, "z")], "pk int, v string"), "t"
+            )
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    removed = store.vacuum()
+    assert ".t_stage_orphan123" in removed
+    assert ".__journal_t_x.json.tmp" in removed
+    # the journal and its referenced backup/stage survived vacuum
+    assert any(n.startswith(".__journal_t_") for n in os.listdir(store.root))
+    # ... so recovery still restores the table afterwards
+    assert _rows(store, "t") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_resharding_previous_export_replaces_hash_col(spark):
+    """Second-review finding: sharded_frame on an input that already
+    carries the hash column (re-sharding a previous export) must
+    replace it, not produce a duplicate-named column."""
+    from etl_data_peri_institute_spark.sinks import sharded_frame
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    once = sharded_frame(df, 2, "doc_id")
+    twice = sharded_frame(once, 2, "doc_id")
+    assert twice.columns.count("shard_hash") == 1
+    assert twice.count() == 3

@@ -402,10 +402,15 @@ def test_jdbc_sink_wrapper(spark, monkeypatch):
 
     sql = jdbc_upsert_sql("pagos", "pagos_stage", "codigo_pago", ["codigo_pago", "monto"])
     assert sql == (
-        "INSERT INTO pagos (codigo_pago, monto) "
-        "SELECT codigo_pago, monto FROM pagos_stage "
-        "ON CONFLICT (codigo_pago) DO UPDATE SET monto = EXCLUDED.monto"
+        'INSERT INTO "pagos" ("codigo_pago", "monto") '
+        'SELECT "codigo_pago", "monto" FROM "pagos_stage" '
+        'ON CONFLICT ("codigo_pago") DO UPDATE SET "monto" = EXCLUDED."monto"'
     )
+    # identifiers are quoted: a reserved-word column must not produce an
+    # invalid statement, and an embedded quote must not escape
+    sql = jdbc_upsert_sql("t", "t_stage", "id", ["id", "order", 'we"ird'])
+    assert '"order" = EXCLUDED."order"' in sql
+    assert '"we""ird" = EXCLUDED."we""ird"' in sql
 
     # no JDBC driver in the image: intercept the terminal save and check
     # the writer was configured as a jdbc append
@@ -898,5 +903,5 @@ def test_jdbc_upsert_sql_pk_only_degenerates_to_do_nothing():
     from etl_data_peri_institute_spark.sinks import jdbc_upsert_sql
 
     sql = jdbc_upsert_sql("t", "t_stage", "id", ["id"])
-    assert sql.endswith("ON CONFLICT (id) DO NOTHING")
+    assert sql.endswith('ON CONFLICT ("id") DO NOTHING')
     assert "DO UPDATE SET" not in sql
