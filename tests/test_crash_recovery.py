@@ -496,6 +496,72 @@ def test_vacuum_reclaims_orphans_preserves_journaled_dirs(
     assert _rows(store, "t") == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_vacuum_preserves_append_and_pswap_staging_dirs(spark, tmp_path):
+    """Round-9 advisor finding: append journals carry no 'stage' field,
+    so the staging dir of a crashed uncommitted append (holding its
+    not-yet-moved parquet files) was vacuum-deletable before recovery
+    ran. The journal now records the staging dir under 'src' (and the
+    partition-swap journal's 'token' names ITS staging tmp dir); vacuum
+    must treat both as live. Hand-crafts the exact post-kill state —
+    a live uncommitted journal plus its root-level staging dir — since
+    an in-process simulated crash unwinds the callers' cleanup
+    ``finally`` blocks, which a real kill would not."""
+    import json as _json
+
+    store = ParquetStore(spark, str(tmp_path / "vac2"))
+    _seed_flat(store)
+    for kind, field, token in (
+        ("append", "src", ".t_ins_killed1"),
+        ("partition_swap", "token", ".t_pmerge_killed2"),
+    ):
+        src = os.path.join(store.root, token)
+        os.makedirs(src)
+        with open(os.path.join(src, "part-0.parquet"), "w") as fh:
+            fh.write("staged")
+        payload = {"kind": kind, "table": "t", "files": [], "dirs": [], field: token}
+        with open(
+            os.path.join(store.root, f".__journal_t_{token}.json"), "w"
+        ) as fh:
+            _json.dump(payload, fh)
+    # plus one genuine orphan to prove vacuum still reclaims
+    orphan = os.path.join(store.root, ".t_stage_orphan456")
+    os.makedirs(orphan)
+    removed = store.vacuum()
+    assert removed == [".t_stage_orphan456"]
+    assert os.path.isdir(os.path.join(store.root, ".t_ins_killed1"))
+    assert os.path.isdir(os.path.join(store.root, ".t_pmerge_killed2"))
+
+
+def test_append_journal_records_src_staging_dir(spark, tmp_path, monkeypatch):
+    """The live append journal written before any file move must name
+    its staging dir (vacuum live-set contract above)."""
+    import json as _json
+
+    store = ParquetStore(spark, str(tmp_path / "vac3"))
+    _seed_flat(store)
+
+    seen: dict = {}
+
+    def hook(lbl):
+        if lbl == "append:journaled":
+            for name in os.listdir(store.root):
+                if name.startswith(".__journal_t_") and name.endswith(".json"):
+                    with open(os.path.join(store.root, name)) as fh:
+                        seen.update(_json.load(fh))
+            raise _SimulatedCrash(lbl)
+
+    monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+    try:
+        with pytest.raises(_SimulatedCrash):
+            store.insert(
+                spark.createDataFrame([(9, "z")], "pk int, v string"), "t"
+            )
+    finally:
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+    assert seen.get("kind") == "append"
+    assert seen.get("src") and seen["src"].startswith(".t_")
+
+
 def test_resharding_previous_export_replaces_hash_col(spark):
     """Second-review finding: sharded_frame on an input that already
     carries the hash column (re-sharding a previous export) must

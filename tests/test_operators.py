@@ -412,6 +412,13 @@ def test_jdbc_sink_wrapper(spark, monkeypatch):
     assert '"order" = EXCLUDED."order"' in sql
     assert '"we""ird" = EXCLUDED."we""ird"' in sql
 
+    # round-9 advisor finding: a schema-qualified target must quote
+    # each component ("public"."users"), not the whole name as one
+    # identifier with a literal dot (wrong relation)
+    sql = jdbc_upsert_sql("public.users", "staging.users_stage", "id", ["id", "v"])
+    assert 'INSERT INTO "public"."users"' in sql
+    assert 'FROM "staging"."users_stage"' in sql
+
     # no JDBC driver in the image: intercept the terminal save and check
     # the writer was configured as a jdbc append
     from pyspark.sql.readwriter import DataFrameWriter

@@ -204,7 +204,7 @@ def test_embedding_incremental_agrees_with_self_join(spark):
     shape, never the verified set."""
     inc = {
         r["vec_id"]: r
-        for r in _q("d_embedding_neardup_incremental")(spark, SF).collect()
+        for r in _q("d_embedding_neardup_incremental_pin")(spark, SF).collect()
     }
     pairs = _q("d_embedding_neardup")(spark, SF).collect()
     straddle: dict[int, set[int]] = {}
@@ -222,14 +222,16 @@ def test_embedding_incremental_agrees_with_self_join(spark):
 
 
 def test_embedding_incremental_prod_twin_contract(spark):
-    """The selective-band production twin: same batch row set as the
-    coarse gate, and at 4x16/τ=0.9 on the synthetic corpus (random,
+    """The selective-band PRIMARY gate (round 9 swapped the suffixes:
+    the unsuffixed name now carries the production 4x16/τ=0.9 config,
+    the coarse semantic pin moved to `_pin`): same batch row set as
+    the pin twin, and at 4x16/τ=0.9 on the synthetic corpus (random,
     near-orthogonal vectors) the verified set must be EMPTY — the
-    production steady state the twin exists to pin. If the testdata
-    ever gains true near-dups this assertion should start failing,
-    which is the signal to re-pin."""
-    prod = _q("d_embedding_neardup_incremental_prod")(spark, SF).collect()
-    gate = _q("d_embedding_neardup_incremental")(spark, SF).collect()
+    production steady state this config pins. If the testdata ever
+    gains true near-dups this assertion should start failing, which
+    is the signal to re-pin."""
+    prod = _q("d_embedding_neardup_incremental")(spark, SF).collect()
+    gate = _q("d_embedding_neardup_incremental_pin")(spark, SF).collect()
     assert {r["vec_id"] for r in prod} == {r["vec_id"] for r in gate}
     assert all(r["verdict"] == "keep" and r["n_corpus_partners"] == 0 for r in prod)
 

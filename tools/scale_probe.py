@@ -312,7 +312,7 @@ SPILL_QUERIES = [
     "d_incremental_lsh_dedup",
     "j_planned_skew_join",
     "d_embedding_neardup_incremental",
-    "d_embedding_neardup_incremental_prod",
+    "d_embedding_neardup_incremental_pin",
     # round-8 second continuation: the PQ-position explodes of the
     # cost frontier's shared construction, and the incremental IVF pass
     "e_recall_cost_frontier",

@@ -197,7 +197,7 @@ QUERIES = [
     "d_incremental_lsh_dedup",
     "j_planned_skew_join",
     "d_embedding_neardup_incremental",
-    "d_embedding_neardup_incremental_prod",
+    "d_embedding_neardup_incremental_pin",
     # round-8 continuation additions
     "e_recall_cost_frontier",
     "e_ivf_incremental_assign",
