@@ -2649,7 +2649,7 @@ def p_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_SUBS = 4        # subspaces (64 dims -> 4 x 16)
 _PQ_SUBDIM = 16
 _PQ_QUERIES = 3     # vec_id < 3 play the query set
-_PQ_TOPK = 5
+_PQ_ADC_TOPK = 5
 
 
 @query(
@@ -2700,7 +2700,7 @@ _PQ_TOPK = 5
                                 ORDER BY approx_d2, neighbor_id) AS rn
       FROM adc
     )
-    WHERE rn <= {_PQ_TOPK}
+    WHERE rn <= {_PQ_ADC_TOPK}
     ORDER BY query_id, rank
     """,
 )
@@ -2727,7 +2727,7 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 before distances, per-sub d2 to 6 before the argmin
     (code tiebreak), ADC sums to 4 before the top-{k} (neighbor
     tiebreak) — both engines pick identical codes and ranks.
-    """.format(m=_PQ_SUBS, d=_PQ_SUBDIM, k=_PQ_TOPK)
+    """.format(m=_PQ_SUBS, d=_PQ_SUBDIM, k=_PQ_ADC_TOPK)
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos0", "valf")
@@ -2780,7 +2780,7 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id"))
             .cast("int"),
         )
-        .filter(F.col("rank") <= _PQ_TOPK)
+        .filter(F.col("rank") <= _PQ_ADC_TOPK)
         .select("query_id", "rank", "neighbor_id", "approx_d2")
         .orderBy("query_id", "rank")
     )
@@ -3438,7 +3438,7 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY round(sum(l.qd2), 4), v.vec_id) AS rn
         FROM codes v JOIN lut l ON l.sub = v.sub AND l.code = v.code
         GROUP BY l.query_id, v.vec_id
-      ) WHERE rn <= {_PQ_TOPK}
+      ) WHERE rn <= {_PQ_ADC_TOPK}
     ),
     exact_top AS (
       SELECT query_id, neighbor_id FROM (
@@ -3449,11 +3449,11 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pos p JOIN pos q ON q.pos = p.pos
         WHERE p.vec_id >= {_PQ_QUERIES} AND q.vec_id < {_PQ_QUERIES}
         GROUP BY q.vec_id, p.vec_id
-      ) WHERE rn <= {_PQ_TOPK}
+      ) WHERE rn <= {_PQ_ADC_TOPK}
     )
     SELECT e.query_id,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-           round(count(a.neighbor_id) * 1.0 / {_PQ_TOPK}, 2) AS recall_at_{_PQ_TOPK}
+           round(count(a.neighbor_id) * 1.0 / {_PQ_ADC_TOPK}, 2) AS recall_at_{_PQ_ADC_TOPK}
     FROM exact_top e
     LEFT JOIN adc_top a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -3473,7 +3473,7 @@ def e_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded query set; the comparison joins two {k}-row-per-query rank
     lists. Rounded-distance ranking with id tiebreaks on BOTH sides so
     each engine derives identical sets before intersecting.
-    """.format(k=_PQ_TOPK)
+    """.format(k=_PQ_ADC_TOPK)
     pq = e_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select(
@@ -3501,7 +3501,7 @@ def e_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("query_id").orderBy("d2", "neighbor_id")
             ),
         )
-        .filter(F.col("rn") <= _PQ_TOPK)
+        .filter(F.col("rn") <= _PQ_ADC_TOPK)
         .select("query_id", "neighbor_id")
     )
     hit = pq.withColumnRenamed("neighbor_id", "hit_id")
@@ -3515,7 +3515,7 @@ def e_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact.query_id)
         .agg(
             F.count("hit_id").alias("n_hits"),
-            F.round(F.count("hit_id") / _PQ_TOPK, 2).alias(f"recall_at_{_PQ_TOPK}"),
+            F.round(F.count("hit_id") / _PQ_ADC_TOPK, 2).alias(f"recall_at_{_PQ_ADC_TOPK}"),
         )
         .orderBy("query_id")
     )

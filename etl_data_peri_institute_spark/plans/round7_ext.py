@@ -23,7 +23,7 @@ from .catalog import query
 
 # Patterns shared by report + apply. Kept in the Java/RE2 common
 # subset: character classes, bounded repeats, \b word boundaries.
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SCRUB_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _LONGNUM_RE = r"\b\d{6,}\b"
 # Term blocklist (the entity/brand-name scrub of a real pipeline; terms
@@ -39,7 +39,7 @@ _BLOCK_SQL_LIST = ", ".join(f"'{t}'" for t in _BLOCKLIST)
     oracle=f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
+           CAST(sum(len(regexp_extract_all(text, '{_SCRUB_EMAIL_RE}'))) AS BIGINT)
              AS email_hits,
            CAST(sum(len(regexp_extract_all(text, '{_IPV4_RE}'))) AS BIGINT)
              AS ipv4_hits,
@@ -83,7 +83,7 @@ def t_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = docs.select(
         "source",
-        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("e"),
+        F.regexp_count("text", F.lit(_SCRUB_EMAIL_RE)).alias("e"),
         F.regexp_count("text", F.lit(_IPV4_RE)).alias("i"),
         F.regexp_count("text", F.lit(_LONGNUM_RE)).alias("n"),
         block_hits.alias("b"),
@@ -111,16 +111,16 @@ def t_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_pii_scrub_apply",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+           CAST(len(regexp_extract_all(text, '{_SCRUB_EMAIL_RE}'))
                 + len(regexp_extract_all(text, '{_IPV4_RE}'))
                 + len(regexp_extract_all(text, '{_BLOCK_RE}')) AS BIGINT)
              AS n_redactions,
            md5(regexp_replace(regexp_replace(regexp_replace(
-                 text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 text, '{_SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
                  '{_IPV4_RE}', '<IP>', 'g'),
                  '{_BLOCK_RE}', '<TERM>', 'g')) AS scrub_hash,
            CAST(strlen(regexp_replace(regexp_replace(regexp_replace(
-                 text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 text, '{_SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
                  '{_IPV4_RE}', '<IP>', 'g'),
                  '{_BLOCK_RE}', '<TERM>', 'g')) AS BIGINT) AS scrub_len
     FROM documents ORDER BY doc_id
@@ -142,7 +142,7 @@ def t_pii_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scrubbed = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(F.col("text"), _SCRUB_EMAIL_RE, "<EMAIL>"),
             _IPV4_RE,
             "<IP>",
         ),
@@ -150,7 +150,7 @@ def t_pii_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<TERM>",
     )
     n_red = (
-        F.regexp_count("text", F.lit(_EMAIL_RE))
+        F.regexp_count("text", F.lit(_SCRUB_EMAIL_RE))
         + F.regexp_count("text", F.lit(_IPV4_RE))
         + F.regexp_count("text", F.lit(_BLOCK_RE))
     )

@@ -27,7 +27,7 @@ from .catalog import query
 # (pairs found, some vectors removed, most kept). Production near-dup
 # runs 0.9+ — the threshold is the caller's parameter, not a constant
 # baked into the plan shape.
-_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_REPORT_TAU = 0.3
 # Per-cluster sample cap (deterministic: first N members by vec_id,
 # applied IDENTICALLY in the oracle). Within-cluster pairs grow as
 # |c|²; when the clusterer's k is fixed while the corpus grows, |c|
@@ -68,7 +68,7 @@ _SEMDEDUP_MAX_CLUSTER = 200
       FROM pairs p
       JOIN norms x ON x.id = p.ia
       JOIN norms y ON y.id = p.ib
-      WHERE p.dot / (x.nrm * y.nrm) > {_SEMDEDUP_TAU}
+      WHERE p.dot / (x.nrm * y.nrm) > {_SEMDEDUP_REPORT_TAU}
     ),
     removed AS (SELECT DISTINCT label, ib AS id FROM dup)
     SELECT n.label,
@@ -125,7 +125,7 @@ def d_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) > _SEMDEDUP_TAU)
+        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) > _SEMDEDUP_REPORT_TAU)
         .select(F.col("a.label").alias("label"),
                 F.col("a.vec_id").alias("ia"),
                 F.col("b.vec_id").alias("ib"))
