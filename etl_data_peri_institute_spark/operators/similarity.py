@@ -707,3 +707,70 @@ def ivf_sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def centroid_pos_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(label, position) SUM and COUNT of vector components —
+    ``(c_label, pos, csum, cnt)`` — the sufficient statistics of a mean
+    quantizer. ``centroids_by`` is a view over this (cval = csum/cnt);
+    the incremental update path needs the raw sums so an appended batch
+    folds in WITHOUT re-reading the corpus (mini-batch k-means append:
+    new mean = (csum_corpus + csum_batch) / (cnt_corpus + cnt_batch))."""
+    pos = df.select(
+        F.col(label_col).alias("c_label"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select(
+        "c_label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    return pos.groupBy("c_label", "pos").agg(
+        F.sum("val").alias("csum"), F.count("*").alias("cnt")
+    )
+
+
+def centroid_running_update(
+    corpus_stats: DataFrame,
+    batch: DataFrame,
+    batch_assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold an assigned ingest batch into a PERSISTED quantizer's
+    sufficient statistics and return the updated centroids
+    ``(c_label, pos, cval)`` — the state-transition step of the daily
+    IVF maintenance loop (assign with the stale quantizer, then shift
+    each touched centroid toward its new members; an untouched list's
+    centroid is bit-identical to before).
+
+    ``corpus_stats`` is ``centroid_pos_stats`` output (at scale: a
+    MAINTAINED k×dim-row artifact, trivially small); ``batch_assign``
+    is ``(id, c_label)`` from ``top_centroids(n=1)``. Cost: one
+    posexplode of the batch + a (c_label, pos) groupBy — O(batch·dim),
+    independent of corpus size."""
+    bpos = batch.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    bstats = (
+        bpos.join(batch_assign.select("id", "c_label"), "id")
+        .groupBy("c_label", "pos")
+        .agg(F.sum("val").alias("bsum"), F.count("*").alias("bcnt"))
+    )
+    return corpus_stats.join(bstats, ["c_label", "pos"], "left").select(
+        "c_label",
+        "pos",
+        (
+            (F.col("csum") + F.coalesce("bsum", F.lit(0.0)))
+            / (F.col("cnt") + F.coalesce("bcnt", F.lit(0)))
+        ).alias("cval"),
+    )

@@ -129,6 +129,20 @@ _VERIFY_FIRST: list[str] = [
     "w_bounded_sliding_frame",
     "w_cume_dist_nth",
     "w_moving_avg_range_frame",
+    # ---- rotation top-up: the backlog above fills only 40 of the ~50
+    # driver slots, so the 10 alphabetically-first r03-evidence names
+    # (the next-oldest cohort, 50 names total) start their refresh a
+    # round early instead of idling the slots
+    "a_bool_aggs",
+    "a_corr_matrix",
+    "a_heavy_hitters",
+    "a_median_percentiles",
+    "a_profile_columns",
+    "b_rfm_segmentation",
+    "b_sessionize",
+    "b_stratified_sample",
+    "d_chunk_dedup",
+    "d_embedding_dedup_apply",
 ]
 # (The round-8 window list was retired when CORRECTNESS_r08 landed
 # 50/50 greens; re-derive each round's window from the latest
@@ -141,6 +155,11 @@ def load_all() -> None:
     driver's correctness artifact truncates; see _VERIFY_FIRST)."""
     from . import (  # noqa: F401
         advanced,
+        ann,
+        causal,
+        curation,
+        dedup,
+        stats,
         behavioral,
         entity,
         functions_surface,
@@ -150,34 +169,6 @@ def load_all() -> None:
         parity,
         quality_ext,
         relational,
-        round4_ext,
-        round4b_ext,
-        round6_ext,
-        round6b_ext,
-        round6c_ext,
-        round6d_ext,
-        round6e_ext,
-        round6f_ext,
-        round6g_ext,
-        round6h_ext,
-        round6i_ext,
-        round6j_ext,
-        round6k_ext,
-        round6l_ext,
-        round6m_ext,
-        round6n_ext,
-        round7_ext,
-        round7b_ext,
-        round7c_ext,
-        round7d_ext,
-        round7e_ext,
-        round7f_ext,
-        round7g_ext,
-        round7h_ext,
-        round7i_ext,
-        round7j_ext,
-        round8_ext,
-        round8b_ext,
         streaming_batch,
         textops,
         timeseries,

@@ -455,3 +455,54 @@ def f_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ===========================================================================
+# section consolidated from plans/round4_ext.py (round-9 layout cleanup;
+#   original registrations and docstrings preserved verbatim)
+#   (module docstring carried in plans/textops.py)
+# ===========================================================================
+
+@query(
+    "f_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || doc_id
+             || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param
+    FROM urls ORDER BY doc_id
+    """,
+)
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction: build a deterministic URL per document,
+    then recover host / path / one query parameter with Spark's native
+    ``parse_url`` (JVM, codegen'd — the crawl-processing staple for
+    domain-level grouping and robots/quality policies). The oracle
+    re-derives the same components with portable regexes.
+
+    Narrow one-scan transform; at crawl scale the host column feeds a
+    domain groupBy whose skew (a few mega-domains) is the usual salting
+    candidate."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")

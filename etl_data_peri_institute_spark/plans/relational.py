@@ -1082,3 +1082,327 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts_nearest"),
         F.col("_nearest_dir").alias("nearest_dir"),
     ).orderBy("event_id")
+
+
+# ===========================================================================
+# section consolidated from plans/round4_ext.py (round-9 layout cleanup;
+#   original registrations and docstrings preserved verbatim)
+#   (module docstring carried in plans/textops.py)
+# ===========================================================================
+
+from pyspark.sql import DataFrame, SparkSession
+
+@query(
+    "j_band_join",
+    oracle="""
+    SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_nearby_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+)
+def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-band join: for every error event, how many clicks the same
+    user made within +/-5 minutes — the incident-context join (what was
+    the user doing around the failure?).
+
+    Scale shape: a naive theta-join on the time inequality explodes; the
+    engine form buckets both sides into 5-minute epochs and joins on
+    (user_id, bucket) for the bucket and its two neighbors — every true
+    +/-5 min pair falls in one of those three bucket alignments, so the
+    equi-join bounds candidates to per-bucket volumes and the exact
+    BETWEEN predicate filters the few false candidates. One shuffle
+    on the composite key, no range explosion; skewed users salt like
+    any hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(300)).cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), bucket.alias("b")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"), bucket.alias("cb"),
+    )
+    # candidate generation: click bucket must be error bucket +/- 1
+    shifted = errors.withColumn("nb", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)))
+    joined = shifted.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user")) & (F.col("nb") == F.col("cb")),
+        "left",
+    ).filter(
+        F.col("c_ts").isNull()
+        | F.col("c_ts").between(
+            F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"),
+            F.col("e_ts") + F.expr("INTERVAL 5 MINUTES"),
+        )
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("c_id").alias("n_nearby_clicks"))
+        .orderBy("event_id")
+    )
+
+
+# ===========================================================================
+# section consolidated from plans/round4b_ext.py (round-9 layout cleanup;
+#   original registrations and docstrings preserved verbatim)
+#   (module docstring carried in plans/stats.py)
+# ===========================================================================
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join demonstrated end-to-end: lineitem (probe)
+    joins orders (build) through operators/skew.py's salted_join with
+    fan-out 4 — the static remedy a_skew_report prescribes when one
+    key dominates a shuffle so badly that even AQE's split partitions
+    re-skew. The ORACLE is the PLAIN join: salting is only correct if
+    it is invisible in the result, so the gate pins exactly that
+    equivalence (every probe row carries one salt and meets each build
+    row once; the operator rejects right/full-outer, where replicated
+    unmatched build rows would surface n_salt times).
+
+    Scale shape: the build side is replicated n_salt x (a bandwidth
+    cost paid to spread the hot key over n_salt reducers); the probe
+    side's salt is a narrow projection. The per-priority aggregate
+    collapses the join output so the gate compares 5 integer rows.
+    """
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, key="l_orderkey", n_salt=4, how="inner")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+_IU_PAD_S = 900  # each event spans [ts, ts + 15 min)
+
+@query(
+    "j_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) + {_IU_PAD_S} AS BIGINT) AS e
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), -1) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+             ) AS BIGINT) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             CAST(min(s) AS BIGINT) AS span_start,
+             CAST(max(e) AS BIGINT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start) AS BIGINT) AS total_span_s,
+           CAST(max(n_events) AS BIGINT) AS busiest_span_events
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def j_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union: each click/view event claims a 15-minute span;
+    overlapping spans per user merge into maximal islands
+    (gaps-and-islands via the running-max-end flag), reported as
+    per-user span counts and total covered seconds — the
+    interval-algebra complement of j_interval_overlap (which JOINS
+    intervals; this COALESCES them) and the set-theoretic core of
+    "time actually engaged" metrics (b_sessionize's gap rule is the
+    special case where spans are points + timeout).
+
+    Scale shape: one user-keyed window sort does everything — the
+    new-island flag (running max of end over the sorted prefix) and
+    the island id (running sum of flags) share the same partitioning
+    and ordering, so both Window operators ride ONE user-keyed
+    exchange (pinned by test_round4c's single-exchange plan test; the
+    second sort is partition-local over already-sorted data); the
+    merge groupBy reuses the user key. Pure integer epoch arithmetic;
+    the (s, e) ordering tiebreak pins duplicate-start rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("s"),
+        (F.floor(F.col("ts").cast("double")) + _IU_PAD_S).cast("long").alias("e"),
+    )
+    w_order = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w_order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_order))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("total_span_s"),
+            F.max("n_events").alias("busiest_span_events"),
+        )
+        .orderBy("user_id")
+    )
+
+_TOL_S = 600  # 10 minutes
+
+@query(
+    "j_asof_tolerance",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(c.ts) FROM clk c
+              WHERE c.user_id = e.user_id AND c.ts <= e.ts) AS last_click
+      FROM err e
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch(ts) - epoch(last_click) <= {_TOL_S}
+                THEN last_click END AS click_ts_asof
+    FROM matched
+    ORDER BY event_id
+    """,
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=)``
+    parity): each error event carries its user's most recent click,
+    but only if that click is at most 10 minutes old — older context
+    is noise, and the tolerance turns "latest ever" into "latest
+    RELEVANT" (the incident-triage join: what was the user doing just
+    before the error?).
+
+    Scale shape: identical to j_asof_backward — one union + one
+    key-partitioned ordered window, no join node at all; the
+    tolerance is a post-carry projection (no second window). The
+    carried value here is the reference timestamp itself, so the
+    duplicate-timestamp tiebreak is moot by construction (max of
+    equal timestamps is that timestamp — the ADVICE-documented
+    immunity pattern).
+    """
+    from ..operators.asof import asof_join_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join_tolerance(
+        err, clk, on="user_id", left_time="ts", right_time="click_ts",
+        value_cols=[], tolerance_s=_TOL_S,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("click_ts_asof")
+    ).orderBy("event_id")
+
+
+# ===========================================================================
+# section consolidated from plans/round8_ext.py (round-9 layout cleanup;
+#   original registrations and docstrings preserved verbatim)
+#   (module docstring carried in plans/ann.py)
+# ===========================================================================
+
+_PSJ_ROWS_PER_REDUCER = 4
+
+_PSJ_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+@query("j_planned_skew_join", oracle=_PSJ_ORACLE)
+def j_planned_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ADAPTIVE salted join: lineitem (probe) joins orders
+    (build) through operators/skew.py:planned_salted_join — each key's
+    salt factor is ceil(measured_count / rows_per_reducer), so ONLY
+    measured-hot keys replicate build rows, each by exactly the factor
+    its size demands. The ORACLE is the PLAIN join (the salting-is-
+    invisible contract j_salted_skew_join pins for the uniform variant).
+
+    Measured gap this closes (round-7 verdict item 6): two halves of
+    the skew remedy existed but never met — p_partition_skew_planner
+    MEASURES per-key skew and derives hot_key_salt_factor, yet nothing
+    consumed it per-key; j_salted_skew_join APPLIES salting but
+    uniformly, replicating the whole build side n_salt× (the measured
+    driver of its 3.8× 10×-probe ratio — every cold key pays the
+    bandwidth for the hot ones). planned_salted_join is the planner's
+    formula applied per key: replication cost is proportional to the
+    skew being fixed, not to the build-table size.
+
+    Scale shape: the hot-key factor table is bounded by
+    n_rows / rows_per_reducer BY CONSTRUCTION (each hot key exceeds the
+    target), i.e. at most the task count already being planned for —
+    broadcast-safe at any corpus size, and in production it is the
+    planner census, maintained, not recomputed per join (the operator
+    accepts it precomputed via ``factors=``). The inline derivation
+    here is one map-side-combined count groupBy on the join key. The
+    per-priority aggregate collapses the join output to 5 integer rows.
+    """
+    from ..operators.skew import planned_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = planned_salted_join(
+        li, orders, key="l_orderkey", rows_per_reducer=_PSJ_ROWS_PER_REDUCER
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

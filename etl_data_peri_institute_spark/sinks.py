@@ -265,13 +265,31 @@ class ParquetStore:
                 shutil.rmtree(d, ignore_errors=True)
             # else: existed and never backed up -> untouched pre-state
 
+    @staticmethod
+    def _restore_meta(final: str, payload: dict) -> None:
+        """Roll the append's meta files back to their journaled
+        pre-state: delete ones that did not exist, rewrite priors
+        (tmp+rename, same atomicity as the forward write)."""
+        for name, prior in (payload.get("meta_prior") or {}).items():
+            target = os.path.join(final, name)
+            if prior is None:
+                with contextlib.suppress(OSError):
+                    os.remove(target)
+            else:
+                tmp = os.path.join(final, f".{name}_tmp")
+                with open(tmp, "w") as fh:
+                    fh.write(prior)
+                os.replace(tmp, target)
+
     def _recover_append(self, payload: dict) -> None:
         final = self.path(payload["table"])
         if payload.get("committed") or not os.path.isdir(final):
             return
         # not committed: delete the files this append moved in (part
         # file names are writer-UUID-unique, so the listed names can
-        # only have come from this append)
+        # only have come from this append) and restore any meta files
+        # that were to commit with them
+        self._restore_meta(final, payload)
         for rel in payload["files"]:
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(final, rel))
@@ -321,12 +339,25 @@ class ParquetStore:
             os.remove(jp)
 
     def insert(
-        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        meta_files: dict[str, str] | None = None,
     ) -> int:
         """Append-only INSERT (reference insert mode, etl/load.py:285).
 
         One plan execution: stage → footer count → append into the
         table directory.
+
+        ``meta_files`` commit ATOMICALLY with the appended rows (written
+        inside the same journaled mutation, rolled back together on a
+        kill) — the streaming ingest's ``_LAST_INGEST_EPOCH`` replay
+        marker uses this so there is NO window where rows are committed
+        but the marker is not (the round-8 code documented that window
+        as the at-least-once residual; round 9 closed it). On an empty
+        batch nothing is appended and the meta files are NOT written —
+        replaying an empty epoch is a no-op either way.
 
         ``partition_by`` writes hive-style partition directories
         (``col=value/``) — the layout that makes incremental reads prune
@@ -374,7 +405,7 @@ class ParquetStore:
                         for fname in files
                         if fname.endswith(".parquet")
                     ]
-                    self._append_files(lay, table, sorted(rels))
+                    self._append_files(lay, table, sorted(rels), meta_files)
                 finally:
                     shutil.rmtree(lay, ignore_errors=True)
             elif n:
@@ -382,18 +413,29 @@ class ParquetStore:
                     name for name in os.listdir(stage)
                     if name.endswith(".parquet")
                 )
-                self._append_files(stage, table, rels)
+                self._append_files(stage, table, rels, meta_files)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return n
 
-    def _append_files(self, src_root: str, table: str, rels: list[str]) -> None:
+    def _append_files(
+        self,
+        src_root: str,
+        table: str,
+        rels: list[str],
+        meta_files: dict[str, str] | None = None,
+    ) -> None:
         """Journaled all-or-nothing file append: move ``rels`` (parquet
         files under ``src_root``, writer-UUID-unique names) into the
-        table directory. A kill mid-move is rolled back by ``_recover``
-        (uncommitted journal → the listed files are deleted; an empty
+        table directory, then write ``meta_files`` — all before the
+        committed mark, so rows and meta commit together. A kill
+        mid-move (or mid-meta) is rolled back by ``_recover``
+        (uncommitted journal → the listed files are deleted and each
+        meta file restored to the journaled prior value; an empty
         ``col=value`` dir a rolled-back move may leave behind holds no
         rows and is rewritten by the next append)."""
+        for name in meta_files or {}:
+            self._check_meta_name(name)
         final = self.path(table)
         token = os.path.basename(src_root)
         payload = {
@@ -421,7 +463,22 @@ class ParquetStore:
                 os.makedirs(os.path.dirname(dst) or final, exist_ok=True)
                 os.replace(os.path.join(src_root, rel), dst)
                 _crash_point("append:moved")
-        except Exception:
+            for name, contents in (meta_files or {}).items():
+                tmp = os.path.join(final, f".{name}_tmp")
+                with open(tmp, "w") as fh:
+                    fh.write(contents)
+                os.replace(tmp, os.path.join(final, name))
+                _crash_point("append:meta")
+        except Exception as exc:
+            if getattr(exc, "simulate_kill", False):
+                # Test seam (streaming kill sweep): a BaseException-based
+                # simulated kill deadlocks py4j's foreachBatch callback
+                # thread, so the streaming tests raise a plain Exception
+                # MARKED simulate_kill — skip the in-process rollback
+                # exactly as a real kill would, leaving the journal for
+                # _recover. Never set in production.
+                raise
+            self._restore_meta(final, payload)
             for rel in rels:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(final, rel))

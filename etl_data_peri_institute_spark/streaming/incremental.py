@@ -42,10 +42,15 @@ def incremental_ingest(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch is at-least-once; INSERT is not idempotent, so an
-        # epoch marker makes replays no-ops. The marker is written after
-        # the insert commits (a crash in the microseconds between insert
-        # and marker is the residual at-least-once window — upsert_pk
-        # callers are idempotent by construction and need no marker).
+        # epoch marker makes replays no-ops. The marker commits
+        # ATOMICALLY with the appended rows (insert(meta_files=...) —
+        # one journaled mutation, rolled back together by crash
+        # recovery), so a kill at ANY step leaves either rows+marker or
+        # neither: exactly-once with no residual window (the round-8
+        # code wrote the marker after the insert and documented the gap
+        # between them as at-least-once residual; round 9 closed it —
+        # kill-point-swept by tests/test_streaming.py. upsert_pk callers
+        # are idempotent by construction and need no marker).
         applied = store.read_meta(table, "_LAST_INGEST_EPOCH")
         if applied is not None:
             if epoch_id == 0 and int(applied) > 0:
@@ -62,9 +67,11 @@ def incremental_ingest(
         if upsert_pk is not None:
             written["n"] += store.upsert(batch_df, table, upsert_pk)
         else:
-            written["n"] += store.insert(batch_df, table)
-            if store.exists(table):  # empty batches create no table dir
-                store.write_meta(table, "_LAST_INGEST_EPOCH", str(epoch_id))
+            written["n"] += store.insert(
+                batch_df,
+                table,
+                meta_files={"_LAST_INGEST_EPOCH": str(epoch_id)},
+            )
 
     q = (
         stream.writeStream.foreachBatch(sink)

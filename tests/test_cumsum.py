@@ -23,7 +23,7 @@ from etl_data_peri_institute_spark.operators.cumsum import (
     grouped_global_running_sum,
     ntile_from_rank,
 )
-from etl_data_peri_institute_spark.plans import behavioral, round4b_ext, round6_ext
+from etl_data_peri_institute_spark.plans import behavioral, curation, stats
 from etl_data_peri_institute_spark.plans.catalog import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -198,14 +198,14 @@ def test_grouped_row_number_matches_window(spark):
 
 def test_source_token_budget_production_matches_gate(spark):
     gate = QUERIES["b_source_token_budget"].fn(spark, SF)
-    prod = round6_ext.b_source_token_budget_production(spark, SF)
+    prod = curation.b_source_token_budget_production(spark, SF)
     cols = gate.columns
     assert prod.columns == cols
     assert _rows(gate, *cols) == _rows(prod, *cols)
 
 
 def test_source_budget_production_plan_window_free(spark):
-    df = round6_ext.b_source_token_budget_production(spark, SF)
+    df = curation.b_source_token_budget_production(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
@@ -218,7 +218,7 @@ def test_source_budget_production_plan_window_free(spark):
 
 def test_token_budget_production_matches_gate(spark):
     gate = QUERIES["b_token_budget_selection"].fn(spark, SF)
-    prod = round4b_ext.token_budget_select_production(spark, SF)
+    prod = curation.token_budget_select_production(spark, SF)
     cols = gate.columns
     assert prod.columns == cols
     assert _rows(gate, *cols) == _rows(prod, *cols)
@@ -226,7 +226,7 @@ def test_token_budget_production_matches_gate(spark):
 
 def test_pareto_abc_production_matches_gate(spark):
     gate = QUERIES["a_pareto_abc"].fn(spark, SF)
-    prod = round4b_ext.pareto_abc_production(spark, SF)
+    prod = stats.pareto_abc_production(spark, SF)
     cols = gate.columns
     assert prod.columns == cols
     assert _rows(gate, *cols) == _rows(prod, *cols)
@@ -249,8 +249,8 @@ def test_rfm_production_matches_gate(spark):
 @pytest.mark.parametrize(
     "builder",
     [
-        round4b_ext.token_budget_select_production,
-        round4b_ext.pareto_abc_production,
+        curation.token_budget_select_production,
+        stats.pareto_abc_production,
         behavioral.rfm_segmentation_production,
     ],
     ids=["token_budget", "pareto_abc", "rfm"],

@@ -273,3 +273,62 @@ def test_maintained_lsh_band_table_probe(spark, tmp_path):
         assert n_explodes(probe(maintained)) == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS b_corpus_bands")
+
+
+def test_lsh_band_table_two_day_lifecycle(spark, tmp_path):
+    """Round-9 (round-8 verdict item 5a): the maintained band table's
+    FULL lifecycle through the persisted artifact — write the corpus
+    band table day 1 (bucketed on sig), probe day 2's batch from the
+    TABLE, append day 2's bands with mode('append') (bucketed appends
+    add files per bucket, no rewrite), then probe day 3 from the
+    RE-READ table — and every verdict must equal the in-query pin
+    (d_lsh_band_lifecycle, hash-oracled vs DuckDB). Also asserts the
+    transition is OBSERVABLE: at this SF at least one day-3 doc is
+    dropped ONLY because the day-2 append is live."""
+    from etl_data_peri_institute_spark.plans.catalog import QUERIES, load_all
+    from etl_data_peri_institute_spark.plans.dedup import _lbl_bands, _lbl_probe
+
+    load_all()
+    docs = load_table(spark, SF, "documents")
+    mod = F.col("doc_id") % 10
+
+    write_bucketed(
+        _lbl_bands(docs.filter(~mod.isin(7, 8))),
+        "b_lifecycle_bands",
+        str(tmp_path / "lb"),
+        "sig",
+        4,
+    )
+    try:
+        d2_bands = _lbl_bands(docs.filter(mod == 7))
+        day2 = {
+            r["doc_id"]: (r["n_corpus_partners"], r["n_day2_partners"])
+            for r in _lbl_probe(d2_bands, spark.table("b_lifecycle_bands")).collect()
+        }
+        # the append: same writer, mode=append — bucket layout persists
+        (
+            d2_bands.write.mode("append")
+            .format("parquet")
+            .bucketBy(4, "sig")
+            .sortBy("sig")
+            .option("path", str(tmp_path / "lb"))
+            .saveAsTable("b_lifecycle_bands")
+        )
+        day3 = {
+            r["doc_id"]: (r["n_corpus_partners"], r["n_day2_partners"])
+            for r in _lbl_probe(
+                _lbl_bands(docs.filter(mod == 8)), spark.table("b_lifecycle_bands")
+            ).collect()
+        }
+        gate = QUERIES["d_lsh_band_lifecycle"].fn(spark, SF).collect()
+        for r in gate:
+            got = (day2 if r["day"] == "d2" else day3).get(r["doc_id"], (0, 0))
+            assert got == (r["n_corpus_partners"], r["n_day2_partners"]), r
+        assert any(
+            r["day"] == "d3"
+            and r["n_day2_partners"] > 0
+            and r["n_corpus_partners"] == 0
+            for r in gate
+        ), "day-2 append must flip at least one day-3 verdict at this SF"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lifecycle_bands")

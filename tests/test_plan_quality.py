@@ -553,12 +553,12 @@ def test_global_topn_sites_plan_bounded_window(spark):
     import re
 
     names = [
-        "g_triangle_count",        # plans/round4_ext.py _TRI_TOP_EDGES site
-        "g_kcore_decomposition",   # plans/round4_ext.py _KCORE_EDGE_FACTOR site
-        "b_negative_sampling",     # plans/round4_ext.py _NEG_CAND_PARTS site
-        "a_skew_report",           # plans/round4b_ext.py _SKEW_TOPN site
-        "t_zipf_fit",              # plans/round4b_ext.py top-vocab site
-        "g_label_propagation",     # plans/round6f_ext.py _LPA_TOP_EDGES site
+        "g_triangle_count",        # plans/graphs.py _TRI_TOP_EDGES site
+        "g_kcore_decomposition",   # plans/graphs.py _KCORE_EDGE_FACTOR site
+        "b_negative_sampling",     # plans/curation.py _NEG_CAND_PARTS site
+        "a_skew_report",           # plans/stats.py _SKEW_TOPN site
+        "t_zipf_fit",              # plans/textops.py top-vocab site
+        "g_label_propagation",     # plans/graphs.py _LPA_TOP_EDGES site
     ]
     for name in names:
         plan = (

@@ -380,7 +380,7 @@ def test_waterline_closed_form_matches_bisection(spark, case):
     agree with a brute-force bisection of f(c) = sum(min(t, c)) on
     arbitrary distributions — budget exactness and per-source
     allocations both."""
-    from etl_data_peri_institute_spark.plans.round7b_ext import waterline_allocate
+    from etl_data_peri_institute_spark.plans.curation import waterline_allocate
 
     tokens, frac = case
     rows = [(f"s{i:02d}", t) for i, t in enumerate(tokens)]

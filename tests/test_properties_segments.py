@@ -93,7 +93,7 @@ def sourced_corpus(draw):
 def test_overlap_matrix_matches_bruteforce_sets(spark, case):
     # function-scoped monkeypatch doesn't compose with @given; patch
     # module attributes manually and restore in finally
-    import etl_data_peri_institute_spark.plans.round6c_ext as m
+    import etl_data_peri_institute_spark.plans.dedup as m
 
     n = 2
     df = spark.createDataFrame(case, "doc_id long, text string, source string")

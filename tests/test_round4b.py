@@ -198,7 +198,7 @@ def test_kcore_fixpoint_and_invariants(spark):
     SFs (a further round removes nothing) and every survivor keeps
     degree >= k within the core."""
     from etl_data_peri_institute_spark.operators.graph import kcore_peel
-    from etl_data_peri_institute_spark.plans.round4_ext import (
+    from etl_data_peri_institute_spark.plans.graphs import (
         _KCORE_K,
         _KCORE_ROUNDS,
     )
@@ -213,7 +213,7 @@ def test_kcore_fixpoint_and_invariants(spark):
     from etl_data_peri_institute_spark.sources.tables import load_table
     from pyspark.sql import Window as W
 
-    from etl_data_peri_institute_spark.plans.round4_ext import _KCORE_EDGE_FACTOR
+    from etl_data_peri_institute_spark.plans.graphs import _KCORE_EDGE_FACTOR
 
     li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()

@@ -1,4 +1,4 @@
-"""Tests for the round-4 second-wave operators (plans/round4b_ext.py):
+"""Tests for the round-4 second-wave operators (now plans/graphs.py et al., ex round4b_ext):
 brute-force numpy references for the statistics (a third engine,
 independent of both Spark and the DuckDB oracle), invariant checks for
 the graph/TS/vector ops, and plan-shape pins."""
@@ -701,7 +701,7 @@ def test_abandonment_rate_equal_ts_purchase_covers_click(spark, tmp_path):
 def test_supplier_similarity_cap_bounds_pairs_and_keeps_top20(spark):
     from pyspark.sql import functions as F
 
-    from etl_data_peri_institute_spark.plans.round4b_ext import (
+    from etl_data_peri_institute_spark.plans.graphs import (
         _customer_supplier_edges,
         supplier_similarity_pairs,
     )
@@ -751,7 +751,7 @@ def test_supplier_similarity_pair_stage_widens_with_input(spark):
 
     from pyspark.sql import functions as F
 
-    from etl_data_peri_institute_spark.plans.round4b_ext import (
+    from etl_data_peri_institute_spark.plans.graphs import (
         supplier_similarity_pairs,
     )
 

@@ -2,7 +2,7 @@
 (segment_occurrences + the report/apply gate pair), boilerplate-prefix
 detection, quality-score quantile normalization, and length bucketing.
 Hand-computed fixtures pin the semantics; the gate queries carry the
-cross-engine oracle checks (plans/round6b_ext.py)."""
+cross-engine oracle checks (now domain modules, ex round6b_ext)."""
 
 from __future__ import annotations
 
@@ -166,7 +166,7 @@ def test_quantile_normalize_hand_case(spark):
     k = min(math.floor(p * 10), 9)
     frac = p * 10 - k
     expected = pooled[2] + 0.0 * frac  # q[5] = median = 30 (frac 0)
-    from etl_data_peri_institute_spark.plans.round6b_ext import _QN_PROBS
+    from etl_data_peri_institute_spark.plans.textops import _QN_PROBS
 
     qs = df.agg(F.percentile("score", F.lit(_QN_PROBS)).alias("qs")).collect()[0].qs
     assert qs[5] == 30.0 and expected == 30.0 and k == 5 and frac == 0.0
@@ -178,7 +178,7 @@ def test_length_bucketing_boundaries(spark):
     t17 = " ".join(["w"] * 17)
     df = spark.createDataFrame([(1, t16), (2, t17)], "doc_id long, text string")
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    from etl_data_peri_institute_spark.plans.round6b_ext import _BUCKETS
+    from etl_data_peri_institute_spark.plans.curation import _BUCKETS
 
     bucket = F.lit(4096).cast("long")
     for b in reversed(_BUCKETS):

@@ -1,7 +1,7 @@
 """Round-6 continuation batch 2: cross-source segment-overlap matrix,
 the deterministic epoch-shuffle pin/production pair, and the iterative
 k-means (Lloyd) fit. Hand-computed fixtures pin the semantics; the gate
-queries carry the cross-engine oracle checks (plans/round6c_ext.py)."""
+queries carry the cross-engine oracle checks (now domain modules, ex round6c_ext)."""
 
 from __future__ import annotations
 
@@ -40,7 +40,7 @@ def test_source_overlap_matrix_hand_case(spark, monkeypatch):
         (6, seg("z"), "src3"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    import etl_data_peri_institute_spark.plans.round6c_ext as m
+    import etl_data_peri_institute_spark.plans.dedup as m
 
     monkeypatch.setattr(m, "load_table", lambda s, d, t: df)
     out = [tuple(r) for r in m.d_source_overlap_matrix(spark, SF).collect()]
@@ -133,7 +133,7 @@ def test_kmeans_fit_separated_clusters(spark, monkeypatch):
         (5, [10.0, 10.1], 1),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    import etl_data_peri_institute_spark.plans.round6c_ext as m
+    import etl_data_peri_institute_spark.plans.ann as m
 
     monkeypatch.setattr(m, "load_table", lambda s, d, t: df)
     monkeypatch.setattr(m, "_KM_K", 2)

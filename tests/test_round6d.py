@@ -1,7 +1,7 @@
 """Round-6 continuation batch 3: content-defined chunking (report +
 insertion-robust keep-first apply) and the one-scan corpus card.
 Hand fixtures pin the semantics; the gate queries carry the
-cross-engine oracle checks (plans/round6d_ext.py)."""
+cross-engine oracle checks (now domain modules, ex round6d_ext)."""
 
 from __future__ import annotations
 
@@ -100,7 +100,7 @@ def test_cdc_apply_keep_first_fixture(spark, monkeypatch):
     df = spark.createDataFrame(
         [(1, text), (2, text)], "doc_id long, text string"
     )
-    import etl_data_peri_institute_spark.plans.round6d_ext as m
+    import etl_data_peri_institute_spark.plans.dedup as m
 
     monkeypatch.setattr(m, "load_table", lambda s, d, t: df)
     out = {r.doc_id: r for r in m.d_cdc_dedup_apply(spark, SF).collect()}
@@ -134,7 +134,7 @@ def test_corpus_card_values_match_manual(spark, monkeypatch):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    import etl_data_peri_institute_spark.plans.round6d_ext as m
+    import etl_data_peri_institute_spark.plans.quality_ext as m
 
     monkeypatch.setattr(m, "load_table", lambda s, d, t: df)
     card = {r.metric: r.value for r in m.p_corpus_card(spark, SF).collect()}

@@ -185,7 +185,7 @@ def test_vocab_curve_auto_switch_threshold(spark):
     """Below the doc-count threshold the gate form plans a window rank
     (single Exchange to one partition); the production twin plans the
     range-partitioned mapInPandas row-number instead."""
-    from etl_data_peri_institute_spark.plans import round6n_ext as m
+    from etl_data_peri_institute_spark.plans import textops as m
 
     gate_plan = _q("t_vocab_coverage_curve")(spark, SF)._jdf.queryExecution().toString()
     prod_plan = _q("t_vocab_coverage_curve_production")(spark, SF)._jdf.queryExecution().toString()

@@ -246,7 +246,7 @@ def test_recall_cost_frontier_invariants(spark):
     - scan_bytes is the product, row by row;
     - n_hits agrees row-for-row with e_compression_recall_matrix
       (both reports rank from the ONE shared construction,
-      plans/round7j_ext._matrix_parts — this pins that they can
+      plans/ann._matrix_parts — this pins that they can
       never drift apart)."""
     rows = _q("e_recall_cost_frontier")(spark, SF).collect()
     n, dim = duckdb.sql(

@@ -525,3 +525,83 @@ def test_incremental_rollup_detects_checkpoint_recreation(spark, tmp_path):
     spark.createDataFrame([("c", 3.0)], schema).write.parquet(str(src / "f3.parquet"))
     with pytest.raises(Exception, match="epoch mismatch"):
         incremental_rollup(**kw)
+
+
+def test_incremental_ingest_kill_mid_batch_sweep(spark, tmp_path, monkeypatch):
+    """Round-9 (round-8 verdict item 5b): kill-point sweep THROUGH the
+    streaming checkpoint path. test_incremental_ingest_exactly_once
+    covers clean restarts; this kills the journaled append at every
+    step boundary DURING a foreachBatch epoch (journal written, each
+    file moved, the epoch-marker meta written, committed-marked) and
+    asserts that restarting the stream on the same checkpoint yields
+    exactly-once: 500 rows, no duplicates, no skips, marker == epoch —
+    including the kill between the data move and the marker write,
+    the window the round-8 code documented as at-least-once residual
+    (closed by insert(meta_files=...): rows and marker commit in ONE
+    journaled mutation)."""
+    from etl_data_peri_institute_spark import sinks
+    from etl_data_peri_institute_spark.sinks import ParquetStore
+    from etl_data_peri_institute_spark.streaming.incremental import (
+        incremental_ingest,
+    )
+
+    class _SimulatedCrash(Exception):
+        """Exception (py4j's foreachBatch callback thread deadlocks on
+        BaseException) carrying the simulate_kill marker, which makes
+        the journaled append skip its in-process rollback exactly like
+        a real kill — the journal is left for _recover."""
+
+        simulate_kill = True
+
+    ev = load_table(spark, SF, "events").limit(500)
+    expected = sorted(tuple(r) for r in ev.collect())
+
+    for label in (
+        "append:journaled",
+        "append:moved",
+        "append:meta",
+        "append:committed",
+    ):
+        base = tmp_path / label.replace(":", "_")
+        src = base / "landing"
+        src.mkdir(parents=True)
+        ev.coalesce(1).write.parquet(str(src / "batch1"))
+        store = ParquetStore(spark, str(base / "db"))
+        schema = spark.read.parquet(str(src / "batch1")).schema
+        ckpt = str(base / "ckpt")
+
+        def hook(lbl, _want=label):
+            if lbl == _want:
+                raise _SimulatedCrash(lbl)
+
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)
+        try:
+            with pytest.raises(BaseException) as exc_info:
+                incremental_ingest(
+                    spark, str(src / "*"), schema, store, "ev", ckpt
+                )
+            assert not isinstance(exc_info.value, AssertionError)
+        finally:
+            monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+
+        # restart on the same checkpoint: recovery + replay (or skip, if
+        # the kill landed after the committed mark) must land EXACTLY
+        # the 500 rows and the epoch marker, at every kill point
+        incremental_ingest(spark, str(src / "*"), schema, store, "ev", ckpt)
+        got = sorted(tuple(r) for r in store.read("ev").collect())
+        assert got == expected, f"rows diverge after kill at {label}"
+        assert store.read_meta("ev", "_LAST_INGEST_EPOCH") == "0", label
+        # and the stream is healthy: a further run is a no-op, a new
+        # file is picked up exactly once
+        assert (
+            incremental_ingest(spark, str(src / "*"), schema, store, "ev", ckpt)
+            == 0
+        ), label
+        ev2 = load_table(spark, SF, "events").filter(F.col("event_id") < 50)
+        n2 = ev2.count()
+        ev2.coalesce(1).write.parquet(str(src / "batch2"))
+        assert (
+            incremental_ingest(spark, str(src / "*"), schema, store, "ev", ckpt)
+            == n2
+        ), label
+        assert store.read("ev").count() == 500 + n2, label

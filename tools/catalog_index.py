@@ -1,10 +1,11 @@
 """Generate CATALOG_INDEX.md: the query -> module -> domain map.
 
-The 324 gate queries live in plan modules named by build round
-(plans/round4b_ext.py ... plans/round8_ext.py) — the round-7 verdict
-flagged that layout as a maintainability tax (item 4) and offered a
-generated index as the alternative to a mass module rename. This tool
-IS that index: regenerate after any registration change with
+Round 9 completed the round-8 verdict's item 2: the 30 round-named
+plan modules are merged into domain modules (plans/stats.py, causal.py,
+curation.py, dedup.py, ann.py + the pre-existing domain files), so the
+module column now matches the domain column for most rows. The index
+remains the one-stop query->module map; regenerate after any
+registration change with
 
     python tools/catalog_index.py
 

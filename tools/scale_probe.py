@@ -318,6 +318,9 @@ SPILL_QUERIES = [
     "e_recall_cost_frontier",
     "e_ivf_incremental_assign",
     "e_ivf_staleness_recall",
+    # round-9 lifecycle gates (two-day maintained-state replays)
+    "d_lsh_band_lifecycle",
+    "e_ivf_quantizer_lifecycle",
 ]
 
 
