@@ -712,7 +712,6 @@ def ivf_sq_topk(
 def centroid_pos_stats(
     df: DataFrame,
     label_col: str = "label",
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-(label, position) SUM and COUNT of vector components —

@@ -452,6 +452,17 @@ class ParquetStore:
             # table must remove the directory again, not leave an empty
             # husk that flips exists()
             "created": not os.path.isdir(final),
+            # meta files committing WITH this append + their pre-state
+            # (None = absent), so rollback/recovery restores them with
+            # the rows. Without meta_prior a kill after the meta write
+            # but before the committed mark would roll the rows back
+            # and LEAVE the advanced marker — the streaming replay
+            # would then skip the epoch: silent data loss (caught by
+            # the round-9 review's live repro).
+            "meta": meta_files or {},
+            "meta_prior": {
+                name: self.read_meta(table, name) for name in (meta_files or {})
+            },
         }
         jp = self._journal_path(table, token)
         self._journal_write(jp, payload)

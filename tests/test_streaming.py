@@ -605,3 +605,32 @@ def test_incremental_ingest_kill_mid_batch_sweep(spark, tmp_path, monkeypatch):
             == n2
         ), label
         assert store.read("ev").count() == 500 + n2, label
+
+        # SECOND-EPOCH kill on the now-PRE-EXISTING table: the round-9
+        # review's live repro showed the first sweep (epoch 0, freshly
+        # created table) could not catch a missing meta_prior rollback
+        # — the created→rmtree path deletes the marker as a side
+        # effect. Killing while a PRIOR marker exists pins that the
+        # marker rolls back WITH the rows (no meta_prior → the marker
+        # stays advanced → the replay silently SKIPS the epoch).
+        ev3 = load_table(spark, SF, "events").filter(
+            (F.col("event_id") >= 50) & (F.col("event_id") < 80)
+        )
+        n3 = ev3.count()
+        assert n3 > 0
+        ev3.coalesce(1).write.parquet(str(src / "batch3"))
+        monkeypatch.setattr(sinks, "_CRASH_HOOK", hook)  # same label
+        try:
+            with pytest.raises(BaseException) as exc_info:
+                incremental_ingest(
+                    spark, str(src / "*"), schema, store, "ev", ckpt
+                )
+            assert not isinstance(exc_info.value, AssertionError)
+        finally:
+            monkeypatch.setattr(sinks, "_CRASH_HOOK", None)
+        incremental_ingest(spark, str(src / "*"), schema, store, "ev", ckpt)
+        assert store.read("ev").count() == 500 + n2 + n3, (
+            f"epoch-2 rows lost or duplicated after kill at {label} "
+            f"on a pre-existing table"
+        )
+        assert store.read_meta("ev", "_LAST_INGEST_EPOCH") == "2", label

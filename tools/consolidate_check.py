@@ -27,7 +27,15 @@ def snapshot() -> dict:
     out = {}
     for n, q in catalog.QUERIES.items():
         src = inspect.getsource(q.fn)
-        masked = re.sub(r"^\s*from \.\w+ import [\w, ()\n]*?$", "<REL_IMPORT>", src, flags=re.M)
+        # mask single-dot relative imports INCLUDING multi-line
+        # parenthesized forms (a non-greedy ^..$ under re.M only masked
+        # the first line, flagging clean moves as CHANGED)
+        masked = re.sub(
+            r"^\s*from \.\w+ import (?:\([^)]*\)|[\w, ]*)$",
+            "<REL_IMPORT>",
+            src,
+            flags=re.M,
+        )
         out[n] = {
             "src": hashlib.sha256(masked.encode()).hexdigest(),
             "oracle": hashlib.sha256((q.oracle or "").encode()).hexdigest(),
@@ -38,8 +46,9 @@ def snapshot() -> dict:
 def main():
     cmd = sys.argv[1]
     if cmd == "snap":
-        json.dump(snapshot(), open(sys.argv[2], "w"), indent=0, sort_keys=True)
-        print(f"wrote {len(snapshot.__wrapped__() if hasattr(snapshot, '__wrapped__') else json.load(open(sys.argv[2])))} entries")
+        snap = snapshot()
+        json.dump(snap, open(sys.argv[2], "w"), indent=0, sort_keys=True)
+        print(f"wrote {len(snap)} entries")
     elif cmd == "diff":
         a = json.load(open(sys.argv[2]))
         b = json.load(open(sys.argv[3]))
