@@ -1529,7 +1529,7 @@ def e_embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   seasonal indices + seasonal-strength per event type
 #
 # These complete the PQ story's TRAINING side: e_pq_recall_report
-# (plans/round4b_ext.py) measures ADC recall against a label-derived
+# (above in this module) measures ADC recall against a label-derived
 # codebook; here the codebook is actually FIT (Lloyd from data seeds —
 # what a production PQ index builds) and the ADC search ships the exact
 # d² beside each hit so quantization error is certified per row. At
@@ -2005,7 +2005,7 @@ def packed_sign_code():
     """Column expr packing a 64-dim embedding's sign bits into ONE
     BIGINT — a JVM aggregate fold in codegen, no UDF (SQL form because
     shiftleft takes a column shift amount there). Shared with
-    e_compression_recall_matrix (plans/round7j_ext.py)."""
+    e_compression_recall_matrix (this module)."""
     return F.expr(
         "aggregate(transform(embedding,"
         " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),"
@@ -2280,7 +2280,7 @@ def _matrix_parts(spark: SparkSession, sf_dir: str):
     the IVF-PQ candidate set (the one tier whose per-query scan cost
     is data-dependent), and the embeddings frame.
     e_compression_recall_matrix aggregates recall from these;
-    e_recall_cost_frontier (plans/round8b_ext.py) joins the same hits
+    e_recall_cost_frontier (this module) joins the same hits
     against measured candidate counts and code bytes — both reports
     MUST rank from this one construction or a precision tweak in one
     desynchronizes them (same rule as operators/similarity.py's
@@ -2854,7 +2854,7 @@ def e_ivf_balanced_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   is the actual failure mode of skipping refits).
 #
 # Both queries reuse the production machinery they evaluate
-# (plans/round7j_ext._matrix_parts, operators/similarity.centroids_by /
+# (_matrix_parts above, operators/similarity.centroids_by /
 # top_centroids) — a private reimplementation here would let the report
 # and the serving path drift apart.
 # ===========================================================================
@@ -2920,7 +2920,7 @@ def e_recall_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured numbers on the same query set.
 
     Scale shape: identical to the matrix (one shared construction,
-    plans/round7j_ext._matrix_parts — the hits frames are the same
+    this module’s _matrix_parts — the hits frames are the same
     DataFrames, not a re-derivation); the cost side adds only 1-row
     corpus-count/dim aggregates broadcast onto the query-sample frame
     and a groupBy over the IVF candidate set, all bounded by the

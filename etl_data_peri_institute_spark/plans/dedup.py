@@ -1567,7 +1567,7 @@ def d_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOWER-id vector in its cluster exceeds tau — the deterministic
     keep-first rule replacing the paper's greedy order. Reports per
     cluster: size, dup pairs, removed, kept. Complements
-    d_semdedup_prune (plans/round4_ext.py), the O(n) keeper-only
+    d_semdedup_prune (this module), the O(n) keeper-only
     approximation — this is the exact census you run on a sample to
     CALIBRATE how much the keeper approximation under-counts.
 

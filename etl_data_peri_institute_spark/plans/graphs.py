@@ -845,7 +845,7 @@ def lpa_state(spark: SparkSession, sf_dir: str):
     strongest-500-edges co-supply graph, its symmetrized frame, and the
     final deterministic labels after _LPA_ROUNDS synchronous rounds.
     Consumed by g_label_propagation (community sizes) and
-    g_community_modularity (partition quality, plans/round7e_ext.py)."""
+    g_community_modularity (partition quality, this module)."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
@@ -903,7 +903,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-depth DAG — a deep fit would localCheckpoint between rounds
     like g_pagerank_suppliers. The edge budget is a literal so the
     top-edge window keeps its WindowGroupLimit rewrite
-    (plans/round4_ext.py:1515 discipline).
+    (the g_triangle_count discipline above).
     """
     # (body shared with g_community_modularity via lpa_state above; the
     # pair-stage widening + _LPA_TOP_EDGES eager-checkpoint discipline

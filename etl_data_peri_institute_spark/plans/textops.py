@@ -1864,7 +1864,7 @@ def t_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (On this synthetic corpus the regex detectors legitimately report
     zero — the report proves the NEGATIVE too; the blocklist terms
     occur and give the oracle non-trivial values. t_pii_detect
-    (plans/round4_ext.py) is the per-DOCUMENT twin that injects fake
+    (plans/textops.py, above) is the per-DOCUMENT twin that injects fake
     PII to exercise the regex hits; this is the corpus-level audit a
     release manager reads, plus the term-blocklist category that
     detector lacks.)
