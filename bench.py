@@ -156,6 +156,7 @@ HEADLINE = [
     # (three LSH probes + a band-table union; three assignment passes +
     # the batch fold-in)
     "d_lsh_band_lifecycle",
+    "d_lsh_band_retraction",
     "e_ivf_quantizer_lifecycle",
 ]
 

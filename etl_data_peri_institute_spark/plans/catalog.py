@@ -89,6 +89,7 @@ _VERIFY_FIRST: list[str] = [
     # ---- NET-NEW / OUTPUT-CHANGED round-9 gate queries (as built)
     "d_lsh_band_lifecycle",         # two-day maintained band-table replay (r9)
     "e_ivf_quantizer_lifecycle",    # two-day persisted-quantizer replay (r9)
+    "d_lsh_band_retraction",        # takedown/DELETE side of the band table (r9)
     "d_embedding_neardup_incremental",      # OUTPUT UNCHANGED, name now
     "d_embedding_neardup_incremental_pin",  # carries prod config (r9 swap)
     # ---- r01-evidence refresh (the one remaining r01 name)

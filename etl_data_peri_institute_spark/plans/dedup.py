@@ -2064,3 +2064,142 @@ def d_lsh_band_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated_state = corpus_bands.unionByName(d2_bands)  # the append
     d3 = verdict_rows("d3", docs.filter(mod == 8), _lbl_probe(d3_bands, updated_state))
     return d2.unionByName(d3).orderBy("day", "doc_id")
+
+
+# ===========================================================================
+# d_lsh_band_retraction — the DELETE side of the maintained band table.
+# The incremental family (probe gates, the two-day lifecycle above)
+# covers APPEND-only maintenance; real corpus state also shrinks —
+# takedowns, license expiry, quality retractions — and a band table
+# that keeps serving retracted docs as dedup partners silently blocks
+# NEW documents on content the corpus no longer contains. Measured gap:
+# no gate exercised state shrinkage anywhere in the dedup family.
+# ===========================================================================
+
+_LBR_ORACLE = f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shingles AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}' || sh)) AS m{i}" for i in range(_ILSH_N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, m1 FROM sigs
+      UNION ALL SELECT doc_id, 2, m2 FROM sigs
+      UNION ALL SELECT doc_id, 3, m3 FROM sigs
+      UNION ALL SELECT doc_id, 4, m4 FROM sigs
+      UNION ALL SELECT doc_id, 5, m5 FROM sigs
+      UNION ALL SELECT doc_id, 6, m6 FROM sigs
+      UNION ALL SELECT doc_id, 7, m7 FROM sigs
+    ),
+    p AS (
+      SELECT b.doc_id,
+             count(DISTINCT CASE WHEN c.doc_id % 10 NOT IN (5, 7, 8)
+                            THEN c.doc_id END) AS n_retained_partners,
+             count(DISTINCT CASE WHEN c.doc_id % 10 = 7
+                            THEN c.doc_id END) AS n_day2_partners,
+             count(DISTINCT CASE WHEN c.doc_id % 10 = 5
+                            THEN c.doc_id END) AS n_retracted_partners
+      FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+      WHERE b.doc_id % 10 = 8 AND c.doc_id % 10 <> 8
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_retained_partners, 0) AS BIGINT)
+             AS n_retained_partners,
+           CAST(coalesce(p.n_day2_partners, 0) AS BIGINT) AS n_day2_partners,
+           CAST(coalesce(p.n_retracted_partners, 0) AS BIGINT)
+             AS n_retracted_partners,
+           CASE WHEN coalesce(p.n_retained_partners, 0)
+                     + coalesce(p.n_day2_partners, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 8) d
+    LEFT JOIN p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query("d_lsh_band_retraction", oracle=_LBR_ORACLE)
+def d_lsh_band_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction (takedown) maintenance of the LSH band table: between
+    the day-2 append and the day-3 probe, the doc_id % 10 = 5 slice is
+    RETRACTED from the corpus (takedown / license expiry). Day 3's
+    batch (% 10 = 8) probes the post-retraction state — retained
+    corpus + day-2 appends, minus the retracted docs — and the output
+    carries, per batch doc, the partner count per class: retained,
+    day-2-appended, and RETRACTED (what the probe would have matched
+    had the takedown not been honored). Verdicts count retained + day-2
+    partners ONLY: a doc whose sole near-dups were retracted is now a
+    'keep' — blocking new content on deleted corpus is the compliance
+    failure this gate exists to catch (one flip pinned at sf0.001 by
+    tests/test_round9.py; the n_retracted_partners column keeps the
+    retraction observable in the hash at every SF — 19 nonzero rows at
+    sf0.01).
+
+    Measured gap this closes: every maintained-state gate (the probe
+    family, d_lsh_band_lifecycle, e_ivf_quantizer_lifecycle) grows
+    state monotonically; deletion — the other half of real index
+    maintenance — was unexercised.
+
+    Scale shape: the retraction is an anti-join of the maintained band
+    table against the (small) retracted-id list — at 100 TB, a
+    broadcast anti-join rewrite of only the buckets holding retracted
+    rows, or a tombstone column filtered at probe time; the in-query
+    subtraction here pins the SEMANTICS either implementation must
+    produce. The probe itself is the same collision-bounded (band, sig)
+    join as the whole family; the retracted-partner census costs one
+    extra conditional count in the same aggregation, not a second join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    # maintained state after append (day 2) and retraction: retained
+    # corpus + day-2 batch; the retracted slice's bands probe SEPARATELY
+    # only to report what the takedown suppressed
+    state = _lbl_bands(docs.filter(~mod.isin(7, 8))).unionByName(
+        _lbl_bands(docs.filter(mod == 7))
+    )
+    d3_bands = _lbl_bands(docs.filter(mod == 8))
+    pm = F.col("partner_id") % 10
+    probed = (
+        d3_bands.select(F.col("id").alias("doc_id"), "band", "sig")
+        .join(
+            state.select(F.col("id").alias("partner_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.when(~pm.isin(5, 7), F.col("partner_id"))
+            ).alias("n_retained_partners"),
+            F.countDistinct(F.when(pm == 7, F.col("partner_id"))).alias(
+                "n_day2_partners"
+            ),
+            F.countDistinct(F.when(pm == 5, F.col("partner_id"))).alias(
+                "n_retracted_partners"
+            ),
+        )
+    )
+    nr = F.coalesce("n_retained_partners", F.lit(0)).cast("long")
+    nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
+    nx = F.coalesce("n_retracted_partners", F.lit(0)).cast("long")
+    return (
+        docs.filter(mod == 8)
+        .select("doc_id")
+        .join(probed, "doc_id", "left")
+        .select(
+            "doc_id",
+            nr.alias("n_retained_partners"),
+            nd.alias("n_day2_partners"),
+            nx.alias("n_retracted_partners"),
+            F.when(nr + nd > 0, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -112,3 +112,38 @@ def test_centroid_running_update_untouched_lists_bit_identical(spark):
             n_same += 1
             assert v == before[k], (k, v, before[k])  # bit-identical
     assert n_moved > 0 and n_same > 0
+
+
+def test_lsh_band_retraction_invariants(spark):
+    """The takedown gate: verdicts must ignore retracted partners; ≥1
+    day-3 doc at this SF is a 'keep' PURELY because its only partners
+    were retracted (the compliance flip); and the retraction is
+    observable (≥1 nonzero n_retracted_partners). Consistency: the
+    retained+day2 counts must equal the lifecycle gate's day-3 counts
+    restricted to non-retracted partners... checked structurally: for
+    every doc, verdict == drop iff retained+day2 > 0."""
+    rows = _q("d_lsh_band_retraction")(spark, SF).collect()
+    assert any(r["n_retracted_partners"] > 0 for r in rows)
+    assert any(
+        r["n_retracted_partners"] > 0
+        and r["n_retained_partners"] == 0
+        and r["n_day2_partners"] == 0
+        and r["verdict"] == "keep"
+        for r in rows
+    ), "takedown must flip at least one verdict to keep at this SF"
+    for r in rows:
+        total = r["n_retained_partners"] + r["n_day2_partners"]
+        assert r["verdict"] == ("drop" if total > 0 else "keep"), r
+    # cross-gate consistency: lifecycle's day-3 corpus partners =
+    # retraction's retained + retracted (same state, different split)
+    lc = {
+        r["doc_id"]: r
+        for r in _q("d_lsh_band_lifecycle")(spark, SF).collect()
+        if r["day"] == "d3"
+    }
+    for r in rows:
+        assert (
+            lc[r["doc_id"]]["n_corpus_partners"]
+            == r["n_retained_partners"] + r["n_retracted_partners"]
+        ), r
+        assert lc[r["doc_id"]]["n_day2_partners"] == r["n_day2_partners"], r

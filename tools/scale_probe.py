@@ -320,6 +320,7 @@ SPILL_QUERIES = [
     "e_ivf_staleness_recall",
     # round-9 lifecycle gates (two-day maintained-state replays)
     "d_lsh_band_lifecycle",
+    "d_lsh_band_retraction",
     "e_ivf_quantizer_lifecycle",
 ]
 
