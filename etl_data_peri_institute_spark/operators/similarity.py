@@ -733,7 +733,7 @@ def centroid_pos_stats(
     )
 
 
-def centroid_running_update(
+def centroid_stats_update(
     corpus_stats: DataFrame,
     batch: DataFrame,
     batch_assign: DataFrame,
@@ -741,11 +741,13 @@ def centroid_running_update(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Fold an assigned ingest batch into a PERSISTED quantizer's
-    sufficient statistics and return the updated centroids
-    ``(c_label, pos, cval)`` — the state-transition step of the daily
-    IVF maintenance loop (assign with the stale quantizer, then shift
-    each touched centroid toward its new members; an untouched list's
-    centroid is bit-identical to before).
+    sufficient statistics and return the UPDATED statistics
+    ``(c_label, pos, csum, cnt)`` — the same shape
+    ``centroid_pos_stats`` produced, so successive daily batches CHAIN:
+    persist this output as the new quantizer state and feed it to the
+    next fold-in without ever re-reading the corpus (the 'maintained
+    artifact' contract; returning only the derived means would force a
+    corpus recompute before the next update).
 
     ``corpus_stats`` is ``centroid_pos_stats`` output (at scale: a
     MAINTAINED k×dim-row artifact, trivially small); ``batch_assign``
@@ -768,8 +770,80 @@ def centroid_running_update(
     return corpus_stats.join(bstats, ["c_label", "pos"], "left").select(
         "c_label",
         "pos",
-        (
-            (F.col("csum") + F.coalesce("bsum", F.lit(0.0)))
-            / (F.col("cnt") + F.coalesce("bcnt", F.lit(0)))
-        ).alias("cval"),
+        (F.col("csum") + F.coalesce("bsum", F.lit(0.0))).alias("csum"),
+        (F.col("cnt") + F.coalesce("bcnt", F.lit(0))).alias("cnt"),
+    )
+
+
+def centroid_stats_retract(
+    corpus_stats: DataFrame,
+    retract: DataFrame,
+    retract_assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DELETE side of the quantizer maintenance loop: SUBTRACT a
+    retracted slice's contribution from the persisted sufficient
+    statistics and return ``(c_label, pos, csum, cnt)``. Sums and
+    counts subtract exactly in the integer-count dimension; the float
+    sums subtract the SAME per-(label,pos) partial the slice once
+    added, so a retract of rows folded in by ``centroid_stats_update``
+    restores the counts exactly and the sums up to float re-association
+    (documented; the gate pins the observable assignment flips, not
+    bit-identity of touched centroids). A (label,pos) whose count hits
+    0 is DROPPED — an emptied list has no centroid, exactly as a fresh
+    ``centroid_pos_stats`` over the remaining corpus would produce.
+
+    ``retract_assign`` is ``(id, c_label)`` — the assignment the slice
+    carried when it entered the stats (at scale: read back from the
+    assignment table, never recomputed, so the subtraction matches the
+    addition even after later centroid drift). Cost: O(slice·dim),
+    corpus-free, mirroring the append side."""
+    rpos = retract.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    rstats = (
+        rpos.join(retract_assign.select("id", "c_label"), "id")
+        .groupBy("c_label", "pos")
+        .agg(F.sum("val").alias("rsum"), F.count("*").alias("rcnt"))
+    )
+    return (
+        corpus_stats.join(rstats, ["c_label", "pos"], "left")
+        .select(
+            "c_label",
+            "pos",
+            (F.col("csum") - F.coalesce("rsum", F.lit(0.0))).alias("csum"),
+            (F.col("cnt") - F.coalesce("rcnt", F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def centroid_running_update(
+    corpus_stats: DataFrame,
+    batch: DataFrame,
+    batch_assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold an assigned ingest batch into a PERSISTED quantizer's
+    sufficient statistics and return the updated centroids
+    ``(c_label, pos, cval)`` — the state-transition step of the daily
+    IVF maintenance loop (assign with the stale quantizer, then shift
+    each touched centroid toward its new members; an untouched list's
+    centroid is bit-identical to before). A derived view over
+    ``centroid_stats_update`` — callers that persist the quantizer
+    across days should persist THAT output (raw sums chain; means do
+    not)."""
+    return centroid_stats_update(
+        corpus_stats, batch, batch_assign, id_col=id_col, vec_col=vec_col
+    ).select(
+        "c_label",
+        "pos",
+        (F.col("csum") / F.col("cnt")).alias("cval"),
     )

@@ -3440,3 +3440,205 @@ def e_ivf_quantizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+# ===========================================================================
+# Round-10 addition: the DELETE side of the maintained quantizer.
+# e_ivf_quantizer_lifecycle proved the append transition (fold a day's
+# batch into the persisted sufficient statistics, serve from the
+# updated centroids); real index maintenance also SHRINKS — takedowns,
+# license expiry, poisoned-crawl rollbacks — and a quantizer whose
+# statistics keep counting retracted vectors drifts toward content the
+# corpus no longer contains. The round-9 verdict (item 3) named this
+# the remaining lifecycle asymmetry: operators/similarity.py had
+# fold-in only; nothing subtracted.
+# ===========================================================================
+
+_QRT_ORACLE = """
+    WITH pos AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cstats AS (
+      SELECT label AS c_label, pos, sum(val) AS csum, count(*) AS cnt
+      FROM pos WHERE vec_id % 10 NOT IN (7, 8)
+      GROUP BY 1, 2
+    ),
+    cents1 AS (SELECT c_label, pos, csum / cnt AS cval FROM cstats),
+    a2 AS (
+      SELECT vec_id AS id, c_label FROM (
+        SELECT p.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY sum(p.val * c.cval)
+                          / (sqrt(sum(p.val * p.val))
+                             * sqrt(sum(c.cval * c.cval))) DESC, c.c_label
+               ) AS rn
+        FROM pos p JOIN cents1 c ON p.pos = c.pos
+        WHERE p.vec_id % 10 = 7
+        GROUP BY p.vec_id, c.c_label
+      ) WHERE rn = 1
+    ),
+    bstats AS (
+      SELECT a.c_label, p.pos, sum(p.val) AS bsum, count(*) AS bcnt
+      FROM pos p JOIN a2 a ON a.id = p.vec_id
+      GROUP BY 1, 2
+    ),
+    cents2 AS (
+      SELECT c.c_label, c.pos,
+             (c.csum + coalesce(b.bsum, 0))
+               / (c.cnt + coalesce(b.bcnt, 0)) AS cval
+      FROM cstats c LEFT JOIN bstats b
+        ON b.c_label = c.c_label AND b.pos = c.pos
+    ),
+    ra AS (SELECT id, c_label FROM a2 WHERE id % 20 = 7),
+    rstats AS (
+      SELECT a.c_label, p.pos, sum(p.val) AS rsum, count(*) AS rcnt
+      FROM pos p JOIN ra a ON a.id = p.vec_id
+      GROUP BY 1, 2
+    ),
+    cents3 AS (
+      SELECT c_label, pos, csum3 / cnt3 AS cval FROM (
+        SELECT c.c_label, c.pos,
+               (c.csum + coalesce(b.bsum, 0)) - coalesce(r.rsum, 0) AS csum3,
+               (c.cnt + coalesce(b.bcnt, 0)) - coalesce(r.rcnt, 0) AS cnt3
+        FROM cstats c
+        LEFT JOIN bstats b ON b.c_label = c.c_label AND b.pos = c.pos
+        LEFT JOIN rstats r ON r.c_label = c.c_label AND r.pos = c.pos
+      ) WHERE cnt3 > 0
+    ),
+    a3f AS (
+      SELECT vec_id AS id, c_label FROM (
+        SELECT p.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY sum(p.val * c.cval)
+                          / (sqrt(sum(p.val * p.val))
+                             * sqrt(sum(c.cval * c.cval))) DESC, c.c_label
+               ) AS rn
+        FROM pos p JOIN cents2 c ON p.pos = c.pos
+        WHERE p.vec_id % 10 = 8
+        GROUP BY p.vec_id, c.c_label
+      ) WHERE rn = 1
+    ),
+    a3p AS (
+      SELECT vec_id AS id, c_label FROM (
+        SELECT p.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY sum(p.val * c.cval)
+                          / (sqrt(sum(p.val * p.val))
+                             * sqrt(sum(c.cval * c.cval))) DESC, c.c_label
+               ) AS rn
+        FROM pos p JOIN cents3 c ON p.pos = c.pos
+        WHERE p.vec_id % 10 = 8
+        GROUP BY p.vec_id, c.c_label
+      ) WHERE rn = 1
+    ),
+    rems AS (SELECT c_label, count(*) AS n FROM ra GROUP BY 1)
+    SELECT f.id AS vec_id,
+           f.c_label AS list_full,
+           p.c_label AS list_post,
+           CAST(CASE WHEN f.c_label <> p.c_label THEN 1 ELSE 0 END AS BIGINT)
+             AS moved,
+           CAST(coalesce(rm.n, 0) AS BIGINT) AS n_retracted_from_full
+    FROM a3f f
+    JOIN a3p p ON p.id = f.id
+    LEFT JOIN rems rm ON rm.c_label = f.c_label
+    ORDER BY f.id
+"""
+
+
+@query("e_ivf_quantizer_retraction", oracle=_QRT_ORACLE)
+def e_ivf_quantizer_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction (takedown) maintenance of the persisted quantizer —
+    the DELETE mirror of e_ivf_quantizer_lifecycle: day 2's batch
+    (vec_id % 10 = 7) is assigned against the day-1 quantizer and
+    FOLDED IN (centroid_stats_update); a takedown then RETRACTS half
+    of it (vec_id % 20 = 7 — a contaminated source inside the crawl)
+    by SUBTRACTING its sufficient statistics
+    (operators/similarity.py:centroid_stats_retract) — counts subtract
+    exactly, sums subtract the same per-(label, pos) partials the
+    slice folded in, and the retracted rows' assignments are READ BACK
+    from the day-2 assignment output, never recomputed, so the
+    subtraction targets exactly what the addition touched. Day 3's
+    batch (% 10 = 8) is assigned against BOTH the post-fold-in and the
+    post-retraction centroids. Output per day-3 vector: both
+    assignments, a ``moved`` flag (1 where honoring the takedown
+    changed the serving decision — 9 at sf0.001 / 6 at sf0.01, pinned
+    non-vacuous by tests/test_round10.py), and the retracted-member
+    count of its pre-retraction list (the integer evidence of what the
+    takedown removed from the path that was serving it).
+
+    Measured gap this closes (round-9 verdict item 3): every quantizer
+    gate grows state monotonically — the LSH band table has append AND
+    delete maintenance, the quantizer had fold-in only
+    (centroid_stats_update adds; nothing subtracted).
+
+    Scale shape: identical to the append side — the quantizer is a
+    k×dim-row broadcast artifact; the retraction is one posexplode +
+    (c_label, pos) groupBy over the RETRACTED SLICE (O(slice·dim),
+    corpus-free); both day-3 assignment passes are the real serving
+    plan (top_centroids: broadcast centroid join + bounded per-id
+    windows). An emptied list (cnt hits 0) drops out of the quantizer
+    exactly as a fresh rebuild would drop it (pinned by the unit test;
+    not reachable on this corpus at gate SFs).
+    """
+    from ..operators.similarity import (
+        centroid_pos_stats,
+        centroid_stats_retract,
+        centroid_stats_update,
+        top_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod = F.col("vec_id") % 10
+    corpus, b2, b3 = (
+        emb.filter(~mod.isin(7, 8)),
+        emb.filter(mod == 7),
+        emb.filter(mod == 8),
+    )
+
+    cstats = centroid_pos_stats(corpus)
+    cents1 = cstats.select(
+        "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
+    )
+    a2 = top_centroids(b2, cents1, n=1).select("id", "c_label")
+    s2 = centroid_stats_update(cstats, b2, a2)
+    cents2 = s2.select(
+        "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
+    )
+
+    retracted = b2.filter(F.col("vec_id") % 20 == 7)
+    # the assignment the slice carried into the stats, read back — the
+    # production path reads the assignment table, so drift between
+    # addition and subtraction is impossible by construction
+    ra = a2.join(
+        retracted.select(F.col("vec_id").alias("id")), "id"
+    ).select("id", "c_label")
+    s3 = centroid_stats_retract(s2, retracted, ra)
+    cents3 = s3.select(
+        "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
+    )
+
+    full = top_centroids(b3, cents2, n=1).select(
+        "id", F.col("c_label").alias("list_full")
+    )
+    post = top_centroids(b3, cents3, n=1).select(
+        "id", F.col("c_label").alias("list_post")
+    )
+    rems = ra.groupBy("c_label").agg(F.count("*").alias("n"))
+    return (
+        full.join(post, "id")
+        .join(rems, full["list_full"] == rems["c_label"], "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "list_full",
+            "list_post",
+            F.when(F.col("list_full") != F.col("list_post"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("moved"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_retracted_from_full"),
+        )
+        .orderBy("vec_id")
+    )

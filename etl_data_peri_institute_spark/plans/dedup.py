@@ -2203,3 +2203,182 @@ def d_lsh_band_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# ===========================================================================
+# Round-10 addition: the EMBEDDING band table's two-day lifecycle.
+# The text LSH family has build/append/serve (d_lsh_band_lifecycle) and
+# retraction (d_lsh_band_retraction) gates; the embedding hyperplane
+# band table (operators/similarity.py:hyperplane_lsh_bands) had only
+# static probes (d_embedding_neardup_incremental and its _pin twin) —
+# the round-9 verdict (What's missing #3) named the asymmetry: no gate
+# executed the embedding band table's own maintenance transition.
+# ===========================================================================
+
+_EBL_BANDS, _EBL_BITS = 4, 12
+# 4 bands x 12 bits: measured on the synthetic corpus as the config
+# where the day-2 append is OBSERVABLE — 2 day-3 verdict flips (day-2
+# partners, zero corpus partners) at BOTH sf0.001 and sf0.01, while
+# staying selective (24 of 50 day-3 vectors probe any partner at all;
+# the 4x8/8x8 coarse configs collide everyone with the corpus and flip
+# nothing, 4x16 matches nothing on this corpus).
+
+
+def _ebl_oracle() -> str:
+    from .llmdata import _duck_hyperplane
+
+    n_bits = _EBL_BANDS * _EBL_BITS
+    dot_exprs = ", ".join(
+        f"sum(val * {_duck_hyperplane(b)}) AS dot{b}" for b in range(n_bits)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {band} AS band, {bucket} AS bucket FROM dots".format(
+            band=b,
+            bucket=" + ".join(
+                f"(CASE WHEN dot{b * _EBL_BITS + k} > 0 THEN {1 << k} ELSE 0 END)"
+                for k in range(_EBL_BITS)
+            ),
+        )
+        for b in range(_EBL_BANDS)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT vec_id AS id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    dots AS (SELECT id, {dot_exprs} FROM pos GROUP BY id),
+    bands AS ({band_selects}),
+    p2 AS (
+      SELECT b.id, count(DISTINCT c.id) AS n_corpus_partners
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.id % 10 = 7 AND c.id % 10 NOT IN (7, 8)
+      GROUP BY 1
+    ),
+    p3 AS (
+      SELECT b.id,
+             count(DISTINCT CASE WHEN c.id % 10 NOT IN (7, 8)
+                            THEN c.id END) AS n_corpus_partners,
+             count(DISTINCT CASE WHEN c.id % 10 = 7
+                            THEN c.id END) AS n_day2_partners
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.id % 10 = 8 AND c.id % 10 <> 8
+      GROUP BY 1
+    )
+    SELECT 'd2' AS day, e.vec_id,
+           CAST(coalesce(p.n_corpus_partners, 0) AS BIGINT) AS n_corpus_partners,
+           CAST(0 AS BIGINT) AS n_day2_partners,
+           CASE WHEN coalesce(p.n_corpus_partners, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7) e
+    LEFT JOIN p2 p ON p.id = e.vec_id
+    UNION ALL
+    SELECT 'd3', e.vec_id,
+           CAST(coalesce(p.n_corpus_partners, 0) AS BIGINT),
+           CAST(coalesce(p.n_day2_partners, 0) AS BIGINT),
+           CASE WHEN coalesce(p.n_corpus_partners, 0)
+                     + coalesce(p.n_day2_partners, 0) > 0
+                THEN 'drop' ELSE 'keep' END
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 8) e
+    LEFT JOIN p3 p ON p.id = e.vec_id
+    ORDER BY day, vec_id
+"""
+
+
+def _ebl_bands_of(df: DataFrame) -> DataFrame:
+    from ..operators.similarity import hyperplane_lsh_bands
+
+    return hyperplane_lsh_bands(
+        df, bands=_EBL_BANDS, bits_per_band=_EBL_BITS, dim=64
+    )
+
+
+def _ebl_probe(batch_bands: DataFrame, state_bands: DataFrame) -> DataFrame:
+    """(vec_id, n_corpus_partners, n_day2_partners): one collision-
+    bounded (band, bucket) join against the maintained state, partner
+    counts split by origin (day-2 appends carry vec_id % 10 = 7) —
+    the embedding mirror of _lbl_probe."""
+    is_d2 = F.col("partner_id") % 10 == 7
+    return (
+        batch_bands.select(F.col("id").alias("vec_id"), "band", "bucket")
+        .join(
+            state_bands.select(
+                F.col("id").alias("partner_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.countDistinct(F.when(~is_d2, F.col("partner_id"))).alias(
+                "n_corpus_partners"
+            ),
+            F.countDistinct(F.when(is_d2, F.col("partner_id"))).alias(
+                "n_day2_partners"
+            ),
+        )
+    )
+
+
+@query("d_embedding_band_lifecycle", oracle=_ebl_oracle())
+def d_embedding_band_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-day replay of the MAINTAINED embedding hyperplane band table
+    — the embedding mirror of d_lsh_band_lifecycle: day 1 builds the
+    corpus band table (vec_id % 10 not in (7, 8)); day 2's batch
+    (% 10 = 7) probes it for verdicts and is APPENDED; day 3's batch
+    (% 10 = 8) probes the UPDATED table. Output per batch vector and
+    day: the candidate-partner count split by origin (original corpus
+    vs day-2 appends) and the keep/drop verdict — a day-3 vector with
+    n_day2_partners > 0 and no corpus partners is dropped ONLY because
+    the day-2 append is live (2 such flips at sf0.001 AND sf0.01,
+    pinned by tests/test_round10.py).
+
+    Measured gap this closes (round-9 verdict item 4): the text band
+    table's full lifecycle is gated; the embedding band table behind
+    d_embedding_neardup_incremental probes state built in-query for one
+    day only — its append-then-serve transition was asserted, never
+    executed. tests/test_round10.py additionally runs the same three
+    days through a PERSISTED bucketed parquet band table (write day 1,
+    append day 2, re-read for day 3) and asserts verdict equality with
+    this hash-oracled pin, so the artifact path and the semantics
+    cannot drift apart.
+
+    Scale shape: identical to the text twin — band signatures computed
+    once per slice (day-2 bands feed both its probe and the day-3
+    state union), both probes collision-bounded (band, bucket) joins
+    (never all-pairs), verdict assembly a left join back to the
+    slice's id list. The hyperplane matrix is a broadcast O(dim·bits)
+    artifact. Candidate counts here are band-level (the funnel's next
+    hop — exact-cosine verify — is gated separately by the
+    d_embedding_neardup family); the 4x12 banding is the measured
+    observability point on this corpus, see _EBL_BANDS.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod = F.col("vec_id") % 10
+    corpus_bands = _ebl_bands_of(emb.filter(~mod.isin(7, 8)))
+    d2_bands = _ebl_bands_of(emb.filter(mod == 7))
+    d3_bands = _ebl_bands_of(emb.filter(mod == 8))
+
+    def verdict_rows(day: str, slice_df: DataFrame, probed: DataFrame) -> DataFrame:
+        nc = F.coalesce("n_corpus_partners", F.lit(0)).cast("long")
+        nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
+        return (
+            slice_df.select("vec_id")
+            .join(probed, "vec_id", "left")
+            .select(
+                F.lit(day).alias("day"),
+                "vec_id",
+                nc.alias("n_corpus_partners"),
+                nd.alias("n_day2_partners"),
+                F.when(nc + nd > 0, F.lit("drop"))
+                .otherwise(F.lit("keep"))
+                .alias("verdict"),
+            )
+        )
+
+    d2 = verdict_rows(
+        "d2",
+        emb.filter(mod == 7),
+        # day 2 probes the PRE-append state: day-2 partners impossible
+        _ebl_probe(d2_bands, corpus_bands),
+    )
+    updated_state = corpus_bands.unionByName(d2_bands)  # the append
+    d3 = verdict_rows("d3", emb.filter(mod == 8), _ebl_probe(d3_bands, updated_state))
+    return d2.unionByName(d3).orderBy("day", "vec_id")

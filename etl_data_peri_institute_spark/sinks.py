@@ -131,6 +131,7 @@ class ParquetStore:
             return []
         names = os.listdir(self.root)
         live: set[str] = set()
+        journaled_tables: set[str] = set()
         for name in names:
             if name.startswith(".__journal_") and name.endswith(".json"):
                 try:
@@ -144,7 +145,33 @@ class ParquetStore:
                 # partition_swap -> token (its staging tmp dir's name)
                 for field in ("stage", "backup", "src", "token"):
                     live.add(payload.get(field) or "")
+                journaled_tables.add(payload.get("table") or "")
         removed: list[str] = []
+        # orphaned meta tmp files INSIDE table dirs: a kill between a
+        # meta tmp write and its os.replace (write_meta, or a recovery
+        # rerun's _restore_meta) leaves `._{name}_tmp` that no journal
+        # references — parquet readers ignore dot-files but nothing
+        # else ever reclaims them. Tables with a live journal are
+        # skipped (their repair belongs to _recover, which also cleans
+        # these for journaled names).
+        for tname in names:
+            tdir = os.path.join(self.root, tname)
+            if (
+                tname.startswith(".")
+                or tname in journaled_tables
+                or not os.path.isdir(tdir)
+            ):
+                continue
+            for inner in os.listdir(tdir):
+                p = os.path.join(tdir, inner)
+                if (
+                    inner.startswith("._")
+                    and inner.endswith("_tmp")
+                    and os.path.isfile(p)
+                ):
+                    with contextlib.suppress(OSError):
+                        os.remove(p)
+                        removed.append(f"{tname}/{inner}")
         for name in names:
             if not name.startswith(".") or name in live:
                 continue
@@ -269,9 +296,16 @@ class ParquetStore:
     def _restore_meta(final: str, payload: dict) -> None:
         """Roll the append's meta files back to their journaled
         pre-state: delete ones that did not exist, rewrite priors
-        (tmp+rename, same atomicity as the forward write)."""
+        (tmp+rename, same atomicity as the forward write). Also removes
+        any stray ``.{name}_tmp`` left by a kill between the forward
+        path's tmp write and its os.replace — parquet readers ignore
+        dot-files, but nothing else ever scans the table dir for them
+        (vacuum only scans the store root), so they would otherwise
+        accumulate forever."""
         for name, prior in (payload.get("meta_prior") or {}).items():
             target = os.path.join(final, name)
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(final, f".{name}_tmp"))
             if prior is None:
                 with contextlib.suppress(OSError):
                     os.remove(target)
@@ -481,13 +515,15 @@ class ParquetStore:
                 os.replace(tmp, os.path.join(final, name))
                 _crash_point("append:meta")
         except Exception as exc:
-            if getattr(exc, "simulate_kill", False):
+            if _CRASH_HOOK is not None and getattr(exc, "simulate_kill", False):
                 # Test seam (streaming kill sweep): a BaseException-based
                 # simulated kill deadlocks py4j's foreachBatch callback
                 # thread, so the streaming tests raise a plain Exception
                 # MARKED simulate_kill — skip the in-process rollback
                 # exactly as a real kill would, leaving the journal for
-                # _recover. Never set in production.
+                # _recover. Gated on the hook being installed so a
+                # production exception that happens to carry the
+                # attribute can never suppress rollback.
                 raise
             self._restore_meta(final, payload)
             for rel in rels:
