@@ -71,83 +71,77 @@ def query(name: str, oracle: str | None = None):
 # its evidence from a prior round's artifact. Re-derive each round from
 # the latest CORRECTNESS_r{N}.json.
 # Goal since round 7: FRESHNESS — no query's newest driver row older
-# than ~3 rounds (union of r01..r08 greens already certifies all 332).
-# ROUND-9 STATE: CORRECTNESS_r08 landed 50/50 oracled greens (the 12
-# round-8 net-new/changed names plus the first 38 r01-evidence names).
-# Staleness census against CORRECTNESS_r01..r08: exactly 36 names'
-# newest driver green is r01/r02 (1 at r01: p_semi_join_valid_keys;
-# 35 at r02). 36 + round-9 net-new < 50, so this window FINISHES the
-# freshness program — after it lands, no registered query's newest
-# driver row is older than ~3 rounds and the rotation becomes pure
-# maintenance. This round's window:
-#   1. round-9 net-new registrations and any query whose OUTPUT
-#      changes in round 9 (inserted at the top as built),
-#   2. the 1 r01-evidence name, then the 35 r02-evidence names
-#      (TPC-H q* family, j_* join surface, st_* streaming batch,
-#      set ops, a_* olap-agg family, t_*/d_* text-dedup, w_* frames).
+# than ~3 rounds. The program COMPLETED in round 9 (union of r01..r09
+# greens covers all 335 then-registered names, none older than r03);
+# the rotation is now pure maintenance.
+# ROUND-10 STATE: CORRECTNESS_r09 landed 50/50 oracled greens (the 5
+# round-9 net-new/changed names, the 36 r01/r02-evidence names, and 9
+# of the 10 r03 top-ups — d_embedding_dedup_apply was slot 51 and
+# missed the truncation window). Staleness census over r01..r09:
+# newest-green histogram r03:41 r04:48 r05:50 r06:50 r07:48 r08:48
+# r09:50; only the 2 round-10 net-new names have no driver row. This
+# round's window:
+#   1. the 2 round-10 net-new gates (as built),
+#   2. the full 41-name r03 cohort (oldest evidence),
+#   3. top-up: the 7 alphabetically-first r04-cohort names.
 _VERIFY_FIRST: list[str] = [
-    # ---- NET-NEW / OUTPUT-CHANGED round-9 gate queries (as built)
-    "d_lsh_band_lifecycle",         # two-day maintained band-table replay (r9)
-    "e_ivf_quantizer_lifecycle",    # two-day persisted-quantizer replay (r9)
-    "d_lsh_band_retraction",        # takedown/DELETE side of the band table (r9)
-    "d_embedding_neardup_incremental",      # OUTPUT UNCHANGED, name now
-    "d_embedding_neardup_incremental_pin",  # carries prod config (r9 swap)
-    # ---- r01-evidence refresh (the one remaining r01 name)
-    "p_semi_join_valid_keys",
-    # ---- r02-evidence refresh (closes the freshness program)
-    "q4_order_priority",
-    "q12_shipmode_buckets",
-    "q13_order_count_distribution",
-    "q16_supplier_part_counts",
-    "q20_excess_inventory_suppliers",
-    "j_asof_backward",
-    "j_exists_correlated",
-    "j_full_outer",
-    "j_not_in_anti",
-    "j_range_join_band",
-    "j_scalar_subquery",
-    "a_cube_status_priority",
-    "a_grouping_sets",
-    "a_having_filter",
-    "a_pivot_returnflag_linestatus",
-    "a_rollup_region_nation",
-    "a_stats_aggregates",
-    "s_except_customers_no_orders",
-    "s_intersect_customers",
-    "s_intersect_except_all",
-    "s_union_all_priorities",
-    "st_session_window",
-    "st_sliding_window",
-    "st_stateful_user_totals",
-    "st_stream_static_join",
-    "st_streaming_tumbling",
-    "st_tumbling_window",
-    "t_normalize",
-    "t_redact_pii",
-    "t_repetition",
-    "d_decontaminate",
-    "d_levenshtein_candidates",
-    "w_bounded_sliding_frame",
-    "w_cume_dist_nth",
-    "w_moving_avg_range_frame",
-    # ---- rotation top-up: the backlog above fills only 40 of the ~50
-    # driver slots, so the 10 alphabetically-first r03-evidence names
-    # (the next-oldest cohort, 50 names total) start their refresh a
-    # round early instead of idling the slots
-    "a_bool_aggs",
-    "a_corr_matrix",
-    "a_heavy_hitters",
-    "a_median_percentiles",
-    "a_profile_columns",
-    "b_rfm_segmentation",
-    "b_sessionize",
-    "b_stratified_sample",
-    "d_chunk_dedup",
+    # ---- NET-NEW round-10 gate queries (as built)
+    "e_ivf_quantizer_retraction",   # DELETE side of the quantizer (r10)
+    "d_embedding_band_lifecycle",   # embedding band-table two-day replay (r10)
+    # ---- r03-evidence refresh (41 names, oldest cohort)
     "d_embedding_dedup_apply",
+    "d_embedding_neardup",
+    "d_pack_sequences",
+    "e_ivf_topk",
+    "f_datetime_math",
+    "f_histogram_width_bucket",
+    "f_variant_json",
+    "j_asof_forward",
+    "j_cross_join",
+    "j_interval_overlap",
+    "j_lateral_topk",
+    "j_null_safe_join",
+    "j_recursive_cte",
+    "p_data_contract_report",
+    "p_scd2_fold",
+    "p_snapshot_diff",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q21_waiting_supplier_shape",
+    "q22_global_sales_opportunity",
+    "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "st_stream_dedup",
+    "st_stream_stream_join",
+    "t_bigram_lm",
+    "t_filter_funnel",
+    "t_quality_percentile_filter",
+    "t_tfidf",
+    "ts_gap_fill_ffill",
+    "ts_ohlc_hourly",
+    "u_scalar_pandas_softsign",
+    "u_udtf_chunk_documents",
+    # ---- rotation top-up: the 7 alphabetically-first r04-evidence
+    # names start their refresh a round early instead of idling slots
+    "a_ks_drift",
+    "a_psi_drift",
+    "a_robust_outliers",
+    "b_bootstrap_ci",
+    "b_conversion_funnel",
+    "b_dedup_rate_by_source",
+    "b_grouped_split",
 ]
-# (The round-8 window list was retired when CORRECTNESS_r08 landed
-# 50/50 greens; re-derive each round's window from the latest
-# CORRECTNESS_r{N}.json staleness census — see COVERAGE.md.)
+# (Re-derive each round's window from the CORRECTNESS_r01..r{N-1}
+# staleness census — see COVERAGE.md.)
 
 
 def load_all() -> None:

@@ -322,6 +322,8 @@ SPILL_QUERIES = [
     "d_lsh_band_lifecycle",
     "d_lsh_band_retraction",
     "e_ivf_quantizer_lifecycle",
+    "e_ivf_quantizer_retraction",
+    "d_embedding_band_lifecycle",
 ]
 
 
