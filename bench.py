@@ -158,6 +158,11 @@ HEADLINE = [
     "d_lsh_band_lifecycle",
     "d_lsh_band_retraction",
     "e_ivf_quantizer_lifecycle",
+    # round-10 additions: the DELETE side of the quantizer (fold-in +
+    # stats subtraction + two assignment passes) and the embedding band
+    # table's two-day lifecycle (three banded-LSH passes + probes)
+    "e_ivf_quantizer_retraction",
+    "d_embedding_band_lifecycle",
 ]
 
 # Round-9 headline normalization (round-8 verdict item 4): the emitted
