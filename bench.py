@@ -163,6 +163,7 @@ HEADLINE = [
     # table's two-day lifecycle (three banded-LSH passes + probes)
     "e_ivf_quantizer_retraction",
     "d_embedding_band_lifecycle",
+    "d_embedding_band_retraction",
 ]
 
 # Round-9 headline normalization (round-8 verdict item 4): the emitted

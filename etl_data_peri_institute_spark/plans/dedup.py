@@ -2382,3 +2382,144 @@ def d_embedding_band_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated_state = corpus_bands.unionByName(d2_bands)  # the append
     d3 = verdict_rows("d3", emb.filter(mod == 8), _ebl_probe(d3_bands, updated_state))
     return d2.unionByName(d3).orderBy("day", "vec_id")
+
+# ===========================================================================
+# d_embedding_band_retraction — the DELETE side of the embedding band
+# table, completing the maintenance matrix: {text LSH, embedding LSH} ×
+# {lifecycle (build/append/serve), retraction (takedown)} now all have
+# hash-oracled gates. Same measured gap as d_lsh_band_retraction, one
+# modality over: an embedding band table still serving retracted
+# vectors as near-dup candidates blocks new content on corpus the
+# store no longer contains.
+# ===========================================================================
+
+
+def _ebr_oracle() -> str:
+    from .llmdata import _duck_hyperplane
+
+    n_bits = _EBL_BANDS * _EBL_BITS
+    dot_exprs = ", ".join(
+        f"sum(val * {_duck_hyperplane(b)}) AS dot{b}" for b in range(n_bits)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {band} AS band, {bucket} AS bucket FROM dots".format(
+            band=b,
+            bucket=" + ".join(
+                f"(CASE WHEN dot{b * _EBL_BITS + k} > 0 THEN {1 << k} ELSE 0 END)"
+                for k in range(_EBL_BITS)
+            ),
+        )
+        for b in range(_EBL_BANDS)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT vec_id AS id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    dots AS (SELECT id, {dot_exprs} FROM pos GROUP BY id),
+    bands AS ({band_selects}),
+    p AS (
+      SELECT b.id,
+             count(DISTINCT CASE WHEN c.id % 10 NOT IN (5, 7, 8)
+                            THEN c.id END) AS n_retained_partners,
+             count(DISTINCT CASE WHEN c.id % 10 = 7
+                            THEN c.id END) AS n_day2_partners,
+             count(DISTINCT CASE WHEN c.id % 10 = 5
+                            THEN c.id END) AS n_retracted_partners
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.id % 10 = 8 AND c.id % 10 <> 8
+      GROUP BY 1
+    )
+    SELECT e.vec_id,
+           CAST(coalesce(p.n_retained_partners, 0) AS BIGINT)
+             AS n_retained_partners,
+           CAST(coalesce(p.n_day2_partners, 0) AS BIGINT) AS n_day2_partners,
+           CAST(coalesce(p.n_retracted_partners, 0) AS BIGINT)
+             AS n_retracted_partners,
+           CASE WHEN coalesce(p.n_retained_partners, 0)
+                     + coalesce(p.n_day2_partners, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 8) e
+    LEFT JOIN p ON p.id = e.vec_id
+    ORDER BY e.vec_id
+"""
+
+
+@query("d_embedding_band_retraction", oracle=_ebr_oracle())
+def d_embedding_band_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction (takedown) maintenance of the embedding hyperplane
+    band table — the embedding mirror of d_lsh_band_retraction:
+    between the day-2 append and the day-3 probe, the vec_id % 10 = 5
+    slice is RETRACTED (takedown / license expiry). Day 3's batch
+    (% 10 = 8) probes the post-retraction state — retained corpus +
+    day-2 appends, minus the retracted vectors — and the output
+    carries, per batch vector, the candidate-partner count per class:
+    retained, day-2-appended, and RETRACTED (what the probe would have
+    matched had the takedown not been honored). Verdicts count
+    retained + day-2 partners ONLY; the n_retracted_partners column
+    keeps the retraction observable in the hash (non-vacuity pinned at
+    sf0.001 by tests/test_round10.py).
+
+    Closes the last cell of the maintenance matrix ({text, embedding}
+    band tables × {append lifecycle, takedown}): the round-9 verdict
+    (What's missing #3) named the embedding family's missing
+    retraction coverage.
+
+    Scale shape: identical to the text twin — the retraction is an
+    anti-join of the maintained band table against the (small)
+    retracted-id list (at 100 TB: a broadcast anti-join rewrite of
+    only the buckets holding retracted rows, or a tombstone column
+    filtered at probe time; tests/test_round10.py's physical twin for
+    the text table exercises the ParquetStore.delete_rows rewrite the
+    docstring family promises). The probe is the same collision-
+    bounded (band, bucket) join as the whole family; the
+    retracted-partner census costs one conditional count in the same
+    aggregation, not a second join. 4×12 banding: see _EBL_BANDS.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod = F.col("vec_id") % 10
+    # maintained state after append (day 2) and retraction: retained
+    # corpus + day-2 batch; the retracted slice's bands stay in the
+    # probe ONLY to report what the takedown suppressed
+    state = _ebl_bands_of(emb.filter(~mod.isin(7, 8))).unionByName(
+        _ebl_bands_of(emb.filter(mod == 7))
+    )
+    d3_bands = _ebl_bands_of(emb.filter(mod == 8))
+    pm = F.col("partner_id") % 10
+    probed = (
+        d3_bands.select(F.col("id").alias("vec_id"), "band", "bucket")
+        .join(
+            state.select(F.col("id").alias("partner_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.countDistinct(
+                F.when(~pm.isin(5, 7), F.col("partner_id"))
+            ).alias("n_retained_partners"),
+            F.countDistinct(F.when(pm == 7, F.col("partner_id"))).alias(
+                "n_day2_partners"
+            ),
+            F.countDistinct(F.when(pm == 5, F.col("partner_id"))).alias(
+                "n_retracted_partners"
+            ),
+        )
+    )
+    nr = F.coalesce("n_retained_partners", F.lit(0)).cast("long")
+    nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
+    nx = F.coalesce("n_retracted_partners", F.lit(0)).cast("long")
+    return (
+        emb.filter(mod == 8)
+        .select("vec_id")
+        .join(probed, "vec_id", "left")
+        .select(
+            "vec_id",
+            nr.alias("n_retained_partners"),
+            nd.alias("n_day2_partners"),
+            nx.alias("n_retracted_partners"),
+            F.when(nr + nd > 0, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("vec_id")
+    )

@@ -441,3 +441,89 @@ def test_restore_meta_removes_stray_tmp(spark, tmp_path, monkeypatch):
     assert store.read("t").count() == 1
     assert store.read_meta("t", "_M") == "0"
     assert not os.path.exists(os.path.join(store.path("t"), "._M_tmp"))
+
+
+def test_embedding_band_retraction_invariants(spark):
+    """The embedding takedown gate: verdicts must ignore retracted
+    partners; the retraction is observable (≥1 nonzero
+    n_retracted_partners at this SF); verdict consistency per row; and
+    cross-gate consistency — the lifecycle gate's day-3 corpus partners
+    split exactly into the retraction gate's retained + retracted (same
+    state, different classification), with identical day-2 counts."""
+    rows = _q("d_embedding_band_retraction")(spark, SF).collect()
+    assert any(r["n_retracted_partners"] > 0 for r in rows)
+    for r in rows:
+        total = r["n_retained_partners"] + r["n_day2_partners"]
+        assert r["verdict"] == ("drop" if total > 0 else "keep"), r
+    lc = {
+        r["vec_id"]: r
+        for r in _q("d_embedding_band_lifecycle")(spark, SF).collect()
+        if r["day"] == "d3"
+    }
+    for r in rows:
+        assert (
+            lc[r["vec_id"]]["n_corpus_partners"]
+            == r["n_retained_partners"] + r["n_retracted_partners"]
+        ), r
+        assert lc[r["vec_id"]]["n_day2_partners"] == r["n_day2_partners"], r
+
+
+def test_quantizer_persisted_artifact_lifecycle(spark, tmp_path):
+    """The quantizer maintenance chain through the PERSISTED artifact —
+    sufficient statistics written day 1 (ParquetStore table with an
+    epoch meta marker), READ BACK to assign + fold day 2, overwritten,
+    read back to retract, overwritten, and day 3 served from the final
+    re-read table. Day-3 assignments must equal the in-query gate's
+    (e_ivf_quantizer_retraction list_post) exactly: parquet round-trips
+    doubles bit-exactly and the stats algebra is the same, so the
+    artifact path and the semantic pin cannot diverge. This is the
+    quantizer's analogue of the band-table persisted twins (the
+    'MAINTAINED artifact' framing, executed through the store)."""
+    from etl_data_peri_institute_spark.operators.similarity import (
+        centroid_pos_stats,
+        centroid_stats_retract,
+        centroid_stats_update,
+        top_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    mod = F.col("vec_id") % 10
+    corpus, b2, b3 = (
+        emb.filter(~mod.isin(7, 8)),
+        emb.filter(mod == 7),
+        emb.filter(mod == 8),
+    )
+    store = ParquetStore(spark, str(tmp_path / "db"))
+
+    def cents(stats):
+        return stats.select(
+            "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
+        )
+
+    # day 1: build + persist the quantizer state
+    store.overwrite(centroid_pos_stats(corpus), "quantizer", {"_EPOCH": "1"})
+    # day 2: read back, assign, fold in, persist the UPDATED stats
+    s1 = store.read("quantizer")
+    a2 = top_centroids(b2, cents(s1), n=1).select("id", "c_label")
+    store.overwrite(centroid_stats_update(s1, b2, a2), "quantizer", {"_EPOCH": "2"})
+    # takedown: read back, subtract the retracted slice, persist
+    s2 = store.read("quantizer")
+    retracted = b2.filter(F.col("vec_id") % 20 == 7)
+    ra = a2.join(retracted.select(F.col("vec_id").alias("id")), "id").select(
+        "id", "c_label"
+    )
+    store.overwrite(
+        centroid_stats_retract(s2, retracted, ra), "quantizer", {"_EPOCH": "3"}
+    )
+    assert store.read_meta("quantizer", "_EPOCH") == "3"
+    # day 3: serve from the final artifact
+    served = {
+        r["id"]: r["c_label"]
+        for r in top_centroids(b3, cents(store.read("quantizer")), n=1)
+        .select("id", "c_label")
+        .collect()
+    }
+    gate = _q("e_ivf_quantizer_retraction")(spark, SF).collect()
+    assert len(gate) == len(served)
+    for r in gate:
+        assert served[r["vec_id"]] == r["list_post"], r

@@ -124,6 +124,7 @@ SHOW = [
     "e_ivf_quantizer_lifecycle",
     "e_ivf_quantizer_retraction",
     "d_embedding_band_lifecycle",
+    "d_embedding_band_retraction",
 ]
 
 

@@ -324,6 +324,7 @@ SPILL_QUERIES = [
     "e_ivf_quantizer_lifecycle",
     "e_ivf_quantizer_retraction",
     "d_embedding_band_lifecycle",
+    "d_embedding_band_retraction",
 ]
 
 

@@ -208,6 +208,7 @@ QUERIES = [
     "e_ivf_quantizer_lifecycle",
     "e_ivf_quantizer_retraction",
     "d_embedding_band_lifecycle",
+    "d_embedding_band_retraction",
 ]
 
 
