@@ -502,12 +502,18 @@ def test_quantizer_persisted_artifact_lifecycle(spark, tmp_path):
 
     # day 1: build + persist the quantizer state
     store.overwrite(centroid_pos_stats(corpus), "quantizer", {"_EPOCH": "1"})
-    # day 2: read back, assign, fold in, persist the UPDATED stats
+    # day 2: read back, assign, PERSIST the assignments (the production
+    # discipline — the retraction reads them back later; keeping the
+    # lazy a2 plan alive across the quantizer overwrite would also
+    # reference the replaced epoch-1 files), fold in, persist
     s1 = store.read("quantizer")
     a2 = top_centroids(b2, cents(s1), n=1).select("id", "c_label")
+    store.overwrite(a2, "assignments")
+    a2 = store.read("assignments")
     store.overwrite(centroid_stats_update(s1, b2, a2), "quantizer", {"_EPOCH": "2"})
-    # takedown: read back, subtract the retracted slice, persist
+    # takedown: read back stats AND assignments, subtract, persist
     s2 = store.read("quantizer")
+    a2 = store.read("assignments")
     retracted = b2.filter(F.col("vec_id") % 20 == 7)
     ra = a2.join(retracted.select(F.col("vec_id").alias("id")), "id").select(
         "id", "c_label"
