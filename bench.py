@@ -289,6 +289,17 @@ AB_PASSES = 5
 # HB BH BH HB HB BH ... — first-order AND second-order session drift
 # (monotone slowdown, sawtooth GC) cancel between sides.
 _PASS_ORDERS = ("HB", "BH", "BH", "HB")
+# Queries whose OUTPUT changed since the pin: head and baseline compute
+# DIFFERENT results, so their per-query delta is the cost of the added
+# feature, not drift — listing them in ab_regressions misled two rounds
+# of review (BENCH_DRIFT_r10.md: e_compression_recall_matrix's +~1 s is
+# the 4th tier added in 7fbe770, bisected with tools/targeted_ab.py).
+# They stay in the TOTALS (the pin's shared-set total remains an honest
+# like-for-like lower bound only for unchanged queries; the frozen
+# comparable headline is unaffected) but are reported separately.
+AB_OUTPUT_CHANGED = {
+    "e_compression_recall_matrix": "ivf_pq 4th tier added in 7fbe770 (r8)",
+}
 
 
 def _purge_engine_modules() -> None:
@@ -368,7 +379,19 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
             for key in order:
                 root, best, passes = sides[key]
                 times = _run_side(root, spark, shared, sf_dir)
-                passes.append(round(sum(times.values()), 3))
+                # pass totals match the headline definition: comparable
+                # (not output-changed) names only; per-query raw times
+                # for EVERYTHING remain in the pass log below
+                passes.append(
+                    round(
+                        sum(
+                            t
+                            for n, t in times.items()
+                            if n not in AB_OUTPUT_CHANGED
+                        ),
+                        3,
+                    )
+                )
                 pass_log.append(
                     {
                         "side": "head" if key == "H" else "baseline",
@@ -380,20 +403,36 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
                 )
                 for n, dt in times.items():
                     best[n] = min(best.get(n, float("inf")), dt)
-        head_total = sum(head_best.values())
-        base_total = sum(base_best.values())
+        # output-changed-since-pin queries are NOT like-for-like (head
+        # and baseline compute different results); keep their raw times
+        # visible but out of the totals and movers — see AB_OUTPUT_CHANGED
+        comparable_names = [n for n in head_best if n not in AB_OUTPUT_CHANGED]
+        head_total = sum(head_best[n] for n in comparable_names)
+        base_total = sum(base_best[n] for n in comparable_names)
         # per-query movers (best-of-passes deltas), worst 5 each way:
         # the drill-down for "which query moved" that the totals hide
         deltas = sorted(
-            ((n, round(head_best[n] - base_best[n], 3)) for n in head_best),
+            (
+                (n, round(head_best[n] - base_best[n], 3))
+                for n in comparable_names
+            ),
             key=lambda kv: kv[1],
         )
         return {
             "ab_baseline_ref": AB_BASELINE_REF,
-            "ab_shared_queries": len(shared),
+            "ab_shared_queries": len(comparable_names),
             "ab_head_total": round(head_total, 3),
             "ab_baseline_total": round(base_total, 3),
             "ab_delta_pct": round((head_total - base_total) / base_total * 100, 2),
+            "ab_output_changed": {
+                n: {
+                    "head_best": round(head_best[n], 3),
+                    "baseline_best": round(base_best[n], 3),
+                    "note": AB_OUTPUT_CHANGED[n],
+                }
+                for n in head_best
+                if n in AB_OUTPUT_CHANGED
+            },
             # per-pass raw totals, interleaved in time (H,B,H,B,...): the
             # spread across passes IS the run's own noise estimate
             "ab_head_passes": head_passes,
