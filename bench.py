@@ -294,9 +294,12 @@ _PASS_ORDERS = ("HB", "BH", "BH", "HB")
 # feature, not drift — listing them in ab_regressions misled two rounds
 # of review (BENCH_DRIFT_r10.md: e_compression_recall_matrix's +~1 s is
 # the 4th tier added in 7fbe770, bisected with tools/targeted_ab.py).
-# They stay in the TOTALS (the pin's shared-set total remains an honest
-# like-for-like lower bound only for unchanged queries; the frozen
-# comparable headline is unaffected) but are reported separately.
+# They are EXCLUDED from ab_head_total/ab_baseline_total/ab_delta_pct,
+# the per-pass totals, and the movers (so those are like-for-like;
+# note ab_shared_queries drops accordingly vs r8/r9 artifacts, which
+# still included them) — their raw per-pass times stay in ab_pass_log
+# and their best-of times ship under ab_output_changed. The frozen
+# comparable headline is unaffected (it times HEAD only).
 AB_OUTPUT_CHANGED = {
     "e_compression_recall_matrix": "ivf_pq 4th tier added in 7fbe770 (r8)",
 }

@@ -79,7 +79,7 @@ def query(name: str, oracle: str | None = None):
 # of the 10 r03 top-ups — d_embedding_dedup_apply was slot 51 and
 # missed the truncation window). Staleness census over r01..r09:
 # newest-green histogram r03:41 r04:48 r05:50 r06:50 r07:48 r08:48
-# r09:50; only the 2 round-10 net-new names have no driver row. This
+# r09:50; only the 3 round-10 net-new names have no driver row. This
 # round's window:
 #   1. the 3 round-10 net-new gates (as built),
 #   2. the full 41-name r03 cohort (oldest evidence),

@@ -2223,7 +2223,14 @@ _EBL_BANDS, _EBL_BITS = 4, 12
 # nothing, 4x16 matches nothing on this corpus).
 
 
-def _ebl_oracle() -> str:
+def _eb_band_cte() -> str:
+    """Shared oracle prefix of the embedding band gates: the
+    ``pos``/``dots``/``bands`` CTE chain computing every vector's
+    (band, bucket) rows at the 4×12 config. ONE implementation feeds
+    both the lifecycle and the retraction oracle — a hyperplane or
+    banding tweak applied to one but not the other would make the two
+    gates silently disagree on what the 'same' band table is (their
+    cross-gate consistency test pins retained+retracted == corpus)."""
     from .llmdata import _duck_hyperplane
 
     n_bits = _EBL_BANDS * _EBL_BITS
@@ -2246,7 +2253,11 @@ def _ebl_oracle() -> str:
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ),
     dots AS (SELECT id, {dot_exprs} FROM pos GROUP BY id),
-    bands AS ({band_selects}),
+    bands AS ({band_selects})"""
+
+
+def _ebl_oracle() -> str:
+    return f"""{_eb_band_cte()},
     p2 AS (
       SELECT b.id, count(DISTINCT c.id) AS n_corpus_partners
       FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
@@ -2395,29 +2406,7 @@ def d_embedding_band_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ebr_oracle() -> str:
-    from .llmdata import _duck_hyperplane
-
-    n_bits = _EBL_BANDS * _EBL_BITS
-    dot_exprs = ", ".join(
-        f"sum(val * {_duck_hyperplane(b)}) AS dot{b}" for b in range(n_bits)
-    )
-    band_selects = "\n      UNION ALL ".join(
-        "SELECT id, {band} AS band, {bucket} AS bucket FROM dots".format(
-            band=b,
-            bucket=" + ".join(
-                f"(CASE WHEN dot{b * _EBL_BITS + k} > 0 THEN {1 << k} ELSE 0 END)"
-                for k in range(_EBL_BITS)
-            ),
-        )
-        for b in range(_EBL_BANDS)
-    )
-    return f"""
-    WITH pos AS (
-      SELECT vec_id AS id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
-      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-    ),
-    dots AS (SELECT id, {dot_exprs} FROM pos GROUP BY id),
-    bands AS ({band_selects}),
+    return f"""{_eb_band_cte()},
     p AS (
       SELECT b.id,
              count(DISTINCT CASE WHEN c.id % 10 NOT IN (5, 7, 8)

@@ -298,10 +298,10 @@ class ParquetStore:
         pre-state: delete ones that did not exist, rewrite priors
         (tmp+rename, same atomicity as the forward write). Also removes
         any stray ``.{name}_tmp`` left by a kill between the forward
-        path's tmp write and its os.replace — parquet readers ignore
-        dot-files, but nothing else ever scans the table dir for them
-        (vacuum only scans the store root), so they would otherwise
-        accumulate forever."""
+        path's tmp write and its os.replace — recovery owns cleanup for
+        JOURNALED meta names (this path); vacuum()'s table-dir sweep
+        covers the journal-less writers (write_meta) and skips tables
+        with a live journal precisely so the two never race."""
         for name, prior in (payload.get("meta_prior") or {}).items():
             target = os.path.join(final, name)
             with contextlib.suppress(OSError):

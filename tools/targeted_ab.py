@@ -26,33 +26,18 @@ import statistics
 import subprocess
 import sys
 import tempfile
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-_PASS_ORDERS = ("HB", "BH", "BH", "HB")
-
-
-def _purge() -> None:
-    for mod in list(sys.modules):
-        if mod.split(".")[0] == "etl_data_peri_institute_spark":
-            del sys.modules[mod]
+# the adjudication instrument must measure the SAME protocol as the
+# number it adjudicates: counterbalancing sequence and module-purge
+# discipline are imported from bench, never re-implemented
+from bench import _PASS_ORDERS, _run_side  # noqa: E402
 
 
 def _time_one(root: str, spark, name: str, sf_dir: str) -> float:
-    _purge()
-    sys.path.insert(0, root)
-    try:
-        from etl_data_peri_institute_spark.plans import catalog
-
-        catalog.load_all()
-        t0 = time.perf_counter()
-        catalog.QUERIES[name].fn(spark, sf_dir).collect()
-        return time.perf_counter() - t0
-    finally:
-        sys.path.remove(root)
-        _purge()
+    return _run_side(root, spark, [name], sf_dir)[name]
 
 
 def main() -> int:
