@@ -164,6 +164,7 @@ HEADLINE = [
     "e_ivf_quantizer_retraction",
     "d_embedding_band_lifecycle",
     "d_embedding_band_retraction",
+    "d_exact_dedup_retraction",
 ]
 
 # Round-9 headline normalization (round-8 verdict item 4): the emitted

@@ -79,17 +79,18 @@ def query(name: str, oracle: str | None = None):
 # of the 10 r03 top-ups — d_embedding_dedup_apply was slot 51 and
 # missed the truncation window). Staleness census over r01..r09:
 # newest-green histogram r03:41 r04:48 r05:50 r06:50 r07:48 r08:48
-# r09:50; only the 3 round-10 net-new names have no driver row. This
+# r09:50; only the 4 round-10 net-new names have no driver row. This
 # round's window:
-#   1. the 3 round-10 net-new gates (as built),
+#   1. the 4 round-10 net-new gates (as built),
 #   2. the full 41-name r03 cohort (oldest evidence),
-#   3. top-up: the 6 alphabetically-first r04-cohort names
+#   3. top-up: the 5 alphabetically-first r04-cohort names
 #      (window kept at exactly 50 — slot 51 missed the r09 window).
 _VERIFY_FIRST: list[str] = [
     # ---- NET-NEW round-10 gate queries (as built)
     "e_ivf_quantizer_retraction",   # DELETE side of the quantizer (r10)
     "d_embedding_band_lifecycle",   # embedding band-table two-day replay (r10)
     "d_embedding_band_retraction",  # takedown side of the embedding bands (r10)
+    "d_exact_dedup_retraction",     # takedown side of the exact-hash set (r10)
     # ---- r03-evidence refresh (41 names, oldest cohort)
     "d_embedding_dedup_apply",
     "d_embedding_neardup",
@@ -132,14 +133,13 @@ _VERIFY_FIRST: list[str] = [
     "ts_ohlc_hourly",
     "u_scalar_pandas_softsign",
     "u_udtf_chunk_documents",
-    # ---- rotation top-up: the 6 alphabetically-first r04-evidence
+    # ---- rotation top-up: the 5 alphabetically-first r04-evidence
     # names start their refresh a round early instead of idling slots
     "a_ks_drift",
     "a_psi_drift",
     "a_robust_outliers",
     "b_bootstrap_ci",
     "b_conversion_funnel",
-    "b_dedup_rate_by_source",
 ]
 # (Re-derive each round's window from the CORRECTNESS_r01..r{N-1}
 # staleness census — see COVERAGE.md.)

@@ -2512,3 +2512,122 @@ def d_embedding_band_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+# ===========================================================================
+# d_exact_dedup_retraction — takedown maintenance of the EXACT-hash
+# dedup set, the first stage of the dedup funnel. The maintenance
+# matrix covered the near-dup tiers ({text, embedding} band tables ×
+# {lifecycle, retraction}) and the quantizer; the exact tier
+# (d_incremental_dedup's maintained fingerprint set — plans/
+# llmdata_ext.py) still grew monotonically: a takedown that leaves the
+# retracted doc's fingerprint in the set keeps blocking every future
+# mirror of content the corpus no longer contains — at the EXACT tier
+# this is a hard block (identical head → unconditional drop), so the
+# compliance stakes are highest of the whole family.
+# ===========================================================================
+
+_XDR_ORACLE = """
+    WITH heads AS (
+      SELECT doc_id, md5(array_to_string(split(text, ' ')[1:8], ' ')) AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT b.doc_id,
+             count(DISTINCT CASE WHEN c.doc_id % 10 NOT IN (5, 7, 8)
+                            THEN c.doc_id END) AS n_retained_matches,
+             count(DISTINCT CASE WHEN c.doc_id % 10 = 7
+                            THEN c.doc_id END) AS n_day2_matches,
+             count(DISTINCT CASE WHEN c.doc_id % 10 = 5
+                            THEN c.doc_id END) AS n_retracted_matches
+      FROM heads b JOIN heads c ON b.h = c.h
+      WHERE b.doc_id % 10 = 8 AND c.doc_id % 10 <> 8
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_retained_matches, 0) AS BIGINT)
+             AS n_retained_matches,
+           CAST(coalesce(p.n_day2_matches, 0) AS BIGINT) AS n_day2_matches,
+           CAST(coalesce(p.n_retracted_matches, 0) AS BIGINT)
+             AS n_retracted_matches,
+           CASE WHEN coalesce(p.n_retained_matches, 0)
+                     + coalesce(p.n_day2_matches, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 8) d
+    LEFT JOIN p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query("d_exact_dedup_retraction", oracle=_XDR_ORACLE)
+def d_exact_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction (takedown) maintenance of the exact-hash dedup set —
+    the EXACT-tier member of the retraction family
+    (d_lsh_band_retraction, d_embedding_band_retraction,
+    e_ivf_quantizer_retraction): between the day-2 append and the
+    day-3 probe, the doc_id % 10 = 5 slice is RETRACTED from the
+    maintained head-fingerprint set (the same md5-of-first-8-words key
+    d_incremental_dedup maintains, plans/llmdata_ext.py). Day 3's
+    batch (% 10 = 8) probes the post-retraction set; per batch doc the
+    output counts matching docs per class — retained, day-2-appended,
+    RETRACTED (what the probe would have hard-blocked on had the
+    takedown not been honored) — and verdicts count live matches ONLY.
+    A day-3 doc whose head exists solely among retracted docs is a
+    'keep': at the exact tier an identical fingerprint is an
+    unconditional drop, so a stale set doesn't just bias a similarity
+    score — it permanently embargoes exact mirrors of deleted content
+    (1 such compliance flip at sf0.01, pinned non-vacuous by
+    tests/test_round10.py AT sf0.01 — head collisions are too sparse
+    at sf0.001 for the flip to exist there; the hash oracle pins the
+    counts at every SF regardless).
+
+    Scale shape: the maintained set is DISTINCT fingerprints (bucketed
+    on the hash at 100 TB, per d_incremental_dedup's docstring); the
+    retraction is an anti-join of the set against the retracted docs'
+    fingerprints — with the nuance the per-class census here makes
+    hash-visible: a fingerprint shared by a retracted AND a retained
+    doc must STAY in the set (delete-by-refcount / re-derive from live
+    docs, not blind key delete). The probe is one hash equi-join +
+    conditional distinct counts in a single aggregation; only the
+    day's batch shuffles against the bucketed set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    head_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    mod = F.col("doc_id") % 10
+    d3 = docs.filter(mod == 8).select("doc_id", head_fp.alias("h"))
+    state = docs.filter(mod != 8).select(
+        F.col("doc_id").alias("partner_id"), head_fp.alias("h")
+    )
+    pm = F.col("partner_id") % 10
+    probed = (
+        d3.join(state, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.when(~pm.isin(5, 7), F.col("partner_id"))
+            ).alias("n_retained_matches"),
+            F.countDistinct(F.when(pm == 7, F.col("partner_id"))).alias(
+                "n_day2_matches"
+            ),
+            F.countDistinct(F.when(pm == 5, F.col("partner_id"))).alias(
+                "n_retracted_matches"
+            ),
+        )
+    )
+    nr = F.coalesce("n_retained_matches", F.lit(0)).cast("long")
+    nd = F.coalesce("n_day2_matches", F.lit(0)).cast("long")
+    nx = F.coalesce("n_retracted_matches", F.lit(0)).cast("long")
+    return (
+        docs.filter(mod == 8)
+        .select("doc_id")
+        .join(probed, "doc_id", "left")
+        .select(
+            "doc_id",
+            nr.alias("n_retained_matches"),
+            nd.alias("n_day2_matches"),
+            nx.alias("n_retracted_matches"),
+            F.when(nr + nd > 0, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

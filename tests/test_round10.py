@@ -533,3 +533,30 @@ def test_quantizer_persisted_artifact_lifecycle(spark, tmp_path):
     assert len(gate) == len(served)
     for r in gate:
         assert served[r["vec_id"]] == r["list_post"], r
+
+
+def test_exact_dedup_retraction_invariants(spark):
+    """The exact-tier takedown gate, pinned AT sf0.01 (head-fingerprint
+    collisions across the day-3/retracted slices don't exist at
+    sf0.001 — the hash oracle still covers that SF; this pins the
+    semantics where they are observable): the retraction is visible
+    (≥1 nonzero n_retracted_matches), ≥1 day-3 doc is a 'keep' PURELY
+    because its only exact matches were retracted (the hard-block
+    compliance flip), verdicts are consistent with live counts, and
+    the row set covers exactly the % 10 = 8 slice."""
+    sf = "/root/testdata/sf0.01"
+    rows = _q("d_exact_dedup_retraction")(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    want = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 10 == 8).collect()}
+    assert {r["doc_id"] for r in rows} == want and len(rows) == len(want)
+    assert any(r["n_retracted_matches"] > 0 for r in rows)
+    assert any(
+        r["n_retracted_matches"] > 0
+        and r["n_retained_matches"] == 0
+        and r["n_day2_matches"] == 0
+        and r["verdict"] == "keep"
+        for r in rows
+    ), "takedown must flip at least one exact-tier verdict to keep"
+    for r in rows:
+        total = r["n_retained_matches"] + r["n_day2_matches"]
+        assert r["verdict"] == ("drop" if total > 0 else "keep"), r

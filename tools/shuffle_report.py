@@ -209,6 +209,7 @@ QUERIES = [
     "e_ivf_quantizer_retraction",
     "d_embedding_band_lifecycle",
     "d_embedding_band_retraction",
+    "d_exact_dedup_retraction",
 ]
 
 
