@@ -165,6 +165,9 @@ HEADLINE = [
     "d_embedding_band_lifecycle",
     "d_embedding_band_retraction",
     "d_exact_dedup_retraction",
+    # round-11 addition: the multi-epoch quantizer churn replay (4
+    # chained maintenance epochs + 4 probe assignment passes)
+    "e_ivf_quantizer_churn",
 ]
 
 # Round-9 headline normalization (round-8 verdict item 4): the emitted
@@ -277,7 +280,8 @@ EXTRA = {
 # number that carries meaning across rounds is HEAD vs a PINNED baseline
 # commit measured alternately in the SAME Spark session/JVM. The pin is
 # the previous round's final commit; bump each round.
-AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", "e393ab0")  # r7 final
+_AB_DEFAULT_REF = "e393ab0"  # r7 final
+AB_BASELINE_REF = os.environ.get("SPARK_GRAFT_AB_REF", _AB_DEFAULT_REF)
 # per side; one untimed warmup then counterbalanced passes; best-of-
 # passes per query. Raised 2 -> 3 in round 7 (the null A/B swung ±3.5%
 # at 2 passes), 3 -> 5 in round 8: the r7 end-of-round driver reading
@@ -301,8 +305,28 @@ _PASS_ORDERS = ("HB", "BH", "BH", "HB")
 # still included them) — their raw per-pass times stay in ab_pass_log
 # and their best-of times ship under ab_output_changed. The frozen
 # comparable headline is unaffected (it times HEAD only).
+# Each entry is pinned to the baseline ref it was adjudicated against:
+# re-pinning _AB_DEFAULT_REF without revisiting the list trips the
+# assertion below (ADVICE r10 — a stale entry would silently keep
+# excluding a then-comparable query), and an env override to a
+# different ref (e.g. the HEAD-vs-HEAD null recipe) deactivates the
+# entries instead of excluding queries that ARE comparable there.
+_AB_OUTPUT_CHANGED_VS = {
+    "e_compression_recall_matrix": (
+        "e393ab0",
+        "ivf_pq 4th tier added in 7fbe770 (r8)",
+    ),
+}
+for _name, (_ref, _note) in _AB_OUTPUT_CHANGED_VS.items():
+    assert _ref == _AB_DEFAULT_REF, (
+        f"AB baseline re-pinned to {_AB_DEFAULT_REF} but output-changed "
+        f"entry {_name!r} was adjudicated vs {_ref}: re-verify whether "
+        f"its output still differs from the new pin, then update its ref"
+    )
 AB_OUTPUT_CHANGED = {
-    "e_compression_recall_matrix": "ivf_pq 4th tier added in 7fbe770 (r8)",
+    name: note
+    for name, (ref, note) in _AB_OUTPUT_CHANGED_VS.items()
+    if ref == AB_BASELINE_REF
 }
 
 

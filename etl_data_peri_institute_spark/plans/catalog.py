@@ -74,72 +74,70 @@ def query(name: str, oracle: str | None = None):
 # than ~3 rounds. The program COMPLETED in round 9 (union of r01..r09
 # greens covers all 335 then-registered names, none older than r03);
 # the rotation is now pure maintenance.
-# ROUND-10 STATE: CORRECTNESS_r09 landed 50/50 oracled greens (the 5
-# round-9 net-new/changed names, the 36 r01/r02-evidence names, and 9
-# of the 10 r03 top-ups — d_embedding_dedup_apply was slot 51 and
-# missed the truncation window). Staleness census over r01..r09:
-# newest-green histogram r03:41 r04:48 r05:50 r06:50 r07:48 r08:48
-# r09:50; only the 4 round-10 net-new names have no driver row. This
-# round's window:
-#   1. the 4 round-10 net-new gates (as built),
-#   2. the full 41-name r03 cohort (oldest evidence),
-#   3. top-up: the 5 alphabetically-first r04-cohort names
-#      (window kept at exactly 50 — slot 51 missed the r09 window).
+# ROUND-11 STATE: CORRECTNESS_r10 landed 50/50 oracled greens (the 4
+# round-10 net-new names, the full 41-name r03 cohort, and the 5
+# alphabetically-first r04 top-ups). Staleness census over r01..r10:
+# newest-green histogram r04:43 r05:50 r06:50 r07:48 r08:49 r09:50
+# r10:50; zero never-verified names. This round's window:
+#   1. the round-11 net-new gate(s) (as built),
+#   2. the full 43-name r04 cohort (oldest evidence),
+#   3. top-up: the alphabetically-first r05-cohort names (window
+#      kept at exactly 50 — slot 51 missed the r09 window).
 _VERIFY_FIRST: list[str] = [
-    # ---- NET-NEW round-10 gate queries (as built)
-    "e_ivf_quantizer_retraction",   # DELETE side of the quantizer (r10)
-    "d_embedding_band_lifecycle",   # embedding band-table two-day replay (r10)
-    "d_embedding_band_retraction",  # takedown side of the embedding bands (r10)
-    "d_exact_dedup_retraction",     # takedown side of the exact-hash set (r10)
-    # ---- r03-evidence refresh (41 names, oldest cohort)
-    "d_embedding_dedup_apply",
-    "d_embedding_neardup",
-    "d_pack_sequences",
-    "e_ivf_topk",
-    "f_datetime_math",
-    "f_histogram_width_bucket",
-    "f_variant_json",
-    "j_asof_forward",
-    "j_cross_join",
-    "j_interval_overlap",
-    "j_lateral_topk",
-    "j_null_safe_join",
-    "j_recursive_cte",
-    "p_data_contract_report",
-    "p_scd2_fold",
-    "p_snapshot_diff",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q21_waiting_supplier_shape",
-    "q22_global_sales_opportunity",
-    "q3_top_revenue_orders",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "st_stream_dedup",
-    "st_stream_stream_join",
-    "t_bigram_lm",
-    "t_filter_funnel",
-    "t_quality_percentile_filter",
-    "t_tfidf",
-    "ts_gap_fill_ffill",
-    "ts_ohlc_hourly",
-    "u_scalar_pandas_softsign",
-    "u_udtf_chunk_documents",
-    # ---- rotation top-up: the 5 alphabetically-first r04-evidence
+    # ---- NET-NEW round-11 gate queries (as built)
+    "e_ivf_quantizer_churn",  # 4-epoch interleaved quantizer churn (r11)
+    # ---- r04-evidence refresh (43 names, oldest cohort)
+    "b_dedup_rate_by_source",
+    "b_grouped_split",
+    "b_shard_manifest",
+    "b_temperature_mixture",
+    "b_weighted_sample",
+    "d_cluster_representative",
+    "d_containment_pairs",
+    "d_decontaminate_apply",
+    "d_incremental_dedup",
+    "d_semdedup_prune",
+    "d_simhash_hamming_pairs",
+    "e_ivf_sq_topk",
+    "e_range_search",
+    "e_sq_int8_topk",
+    "f_equidepth_histogram",
+    "f_max_by_min_by",
+    "f_try_arithmetic",
+    "f_winsorized_stats",
+    "g_pagerank_suppliers",
+    "g_triangle_count",
+    "j_asof_nearest",
+    "j_band_join",
+    "j_fuzzy_join_blocked",
+    "j_fuzzy_resolve_rows",
+    "p_pipeline_e2e",
+    "p_pseudonymize_kanon",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "t_contamination_check",
+    "t_doc_perplexity",
+    "t_gopher_quality_rules",
+    "t_importance_weights",
+    "t_inverted_index",
+    "t_pii_detect",
+    "t_shingle_novelty",
+    "t_url_canonical_dedup",
+    "ts_ewma",
+    "ts_interpolate_linear",
+    "ts_period_over_period",
+    "ts_rolling_zscore_anomaly",
+    "ts_time_bucket_rollup",
+    "u_arrow_batch_stats",
+    "w_activity_streaks",
+    # ---- rotation top-up: the alphabetically-first r05-evidence
     # names start their refresh a round early instead of idling slots
-    "a_ks_drift",
-    "a_psi_drift",
-    "a_robust_outliers",
-    "b_bootstrap_ci",
-    "b_conversion_funnel",
+    "a_benford_first_digit",
+    "a_chi2_independence",
+    "a_gini_concentration",
+    "a_mannwhitney_u",
+    "a_mutual_information",
+    "a_ols_trend",
 ]
 # (Re-derive each round's window from the CORRECTNESS_r01..r{N-1}
 # staleness census — see COVERAGE.md.)

@@ -138,6 +138,16 @@ class ParquetStore:
                     with open(os.path.join(self.root, name)) as fh:
                         payload = json.load(fh)
                 except (OSError, ValueError):
+                    # corrupt/unreadable journal: its table must still be
+                    # shielded from the stray-meta sweep below (repair
+                    # belongs to _recover, which raises on the corrupt
+                    # file). The filename is `.__journal_{table}_{token}`
+                    # and every token is a mkdtemp basename starting with
+                    # `.{table}_`, so the table is the prefix before the
+                    # first `_.`; with no `_.` (foreign file), shield the
+                    # whole remainder — over-shielding only defers cleanup.
+                    rest = name[len(".__journal_"):-len(".json")]
+                    journaled_tables.add(rest.split("_.", 1)[0])
                     continue
                 # every journal kind pins the root-level dirs it could
                 # still touch (or that hold a crashed mutation's staged

@@ -126,6 +126,7 @@ SHOW = [
     "d_embedding_band_lifecycle",
     "d_embedding_band_retraction",
     "d_exact_dedup_retraction",
+    "e_ivf_quantizer_churn",
 ]
 
 

@@ -326,6 +326,7 @@ SPILL_QUERIES = [
     "d_embedding_band_lifecycle",
     "d_embedding_band_retraction",
     "d_exact_dedup_retraction",
+    "e_ivf_quantizer_churn",
 ]
 
 

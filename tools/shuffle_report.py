@@ -210,6 +210,7 @@ QUERIES = [
     "d_embedding_band_lifecycle",
     "d_embedding_band_retraction",
     "d_exact_dedup_retraction",
+    "e_ivf_quantizer_churn",
 ]
 
 

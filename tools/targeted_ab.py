@@ -50,8 +50,29 @@ def main() -> int:
 
     head_root = str(Path(__file__).resolve().parent.parent)
     wt = os.path.join(tempfile.gettempdir(), f"targeted_ab_{args.ref}")
+    # reuse only a worktree whose checkout actually resolves to --ref
+    # (ADVICE r10: a stale/tampered leftover dir would silently
+    # benchmark the wrong baseline code); anything else is recreated.
+    reusable = False
+    if os.path.isdir(os.path.join(wt, "etl_data_peri_institute_spark")):
+        probe = subprocess.run(
+            ["git", "-C", wt, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        )
+        want = subprocess.run(
+            ["git", "rev-parse", args.ref],
+            cwd=head_root, check=True, capture_output=True, text=True,
+        )
+        reusable = (
+            probe.returncode == 0
+            and probe.stdout.strip() == want.stdout.strip()
+        )
     created = False
-    if not os.path.isdir(os.path.join(wt, "etl_data_peri_institute_spark")):
+    if not reusable:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=head_root, check=False, capture_output=True,
+        )
         subprocess.run(
             ["git", "worktree", "add", "--force", "--detach", wt, args.ref],
             cwd=head_root, check=True, capture_output=True,
