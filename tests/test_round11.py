@@ -262,3 +262,120 @@ def test_band_table_compaction_after_takedown_preserves_delete(spark, tmp_path):
     store.compact("bands", target_files=1)
     assert snapshot() == pre
     assert not any(i % 10 == 5 for (i, _, _) in pre)
+
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _head_fp():
+    return F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+
+
+def test_exact_fingerprint_refcount_table_physical_twin(spark, tmp_path):
+    """The PHYSICAL twin of d_exact_dedup_retraction — the one
+    maintained-state family whose takedown had no persisted execution
+    path (the LSH bands got theirs in round 10). The production
+    structure named in the gate's docstring is built for real: a
+    ParquetStore table ``fps(h, refcnt)`` maintained by refcount —
+    day-1 corpus counts, day-2 increments (journaled upsert), takedown
+    decrements with DELETE-at-zero (upsert survivors + delete_rows
+    zeros) — and the day-3 probe of the RE-READ table must reproduce
+    the hash-oracled gate's verdict for every day-3 doc. Runs at
+    sf0.01 (per the r10 protocol note: head collisions are too sparse
+    at sf0.001 — measured there: 6 fingerprints shared
+    retracted∧retained must STAY, 44 retracted-only must go, ≥1
+    compliance keep-flip).
+
+    Crash half: a kill at the decrement upsert's swap boundary must
+    leave the table recoverable to the exact PRE-takedown state (the
+    embargo still live — a takedown never half-applies), and the
+    re-run takedown lands the exact post state."""
+    from etl_data_peri_institute_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF01, "documents")
+    mod = F.col("doc_id") % 10
+    store = ParquetStore(spark, str(tmp_path / "db"))
+
+    def counts_of(df):
+        return df.select(_head_fp().alias("h")).groupBy("h").agg(
+            F.count("*").alias("refcnt")
+        )
+
+    # day 1: corpus fingerprints (retract-class m=5 docs included — the
+    # takedown hasn't happened yet)
+    store.overwrite(counts_of(docs.filter(~mod.isin(7, 8))), "fps")
+    # day 2: append increments — read-modify-write through the journaled
+    # upsert (colliding h rows replaced with summed refcnt, new h kept)
+    d2 = counts_of(docs.filter(mod == 7))
+    cur = store.read("fps")
+    merged = (
+        d2.alias("n")
+        .join(cur.alias("c"), "h", "left")
+        .select(
+            "h",
+            (F.col("n.refcnt") + F.coalesce(F.col("c.refcnt"), F.lit(0))).alias(
+                "refcnt"
+            ),
+        )
+    )
+    store.upsert(merged, "fps", pk="h")
+    n_live_before = store.read("fps").count()
+
+    # takedown: decrement by the retracted slice's per-h counts
+    rx = counts_of(docs.filter(mod == 5)).withColumnRenamed("refcnt", "dec")
+    dec = (
+        store.read("fps")
+        .join(rx, "h")
+        .select("h", (F.col("refcnt") - F.col("dec")).alias("refcnt"))
+        .localCheckpoint(eager=True)  # pin BEFORE mutating the table
+    )
+    survivors = dec.filter(F.col("refcnt") > 0)
+    zeros = dec.filter(F.col("refcnt") <= 0).select("h")
+    n_surv, n_zero = survivors.count(), zeros.count()
+    assert n_surv >= 1, "shared retracted∧retained fingerprints must exist"
+    assert n_zero >= 1, "retracted-only fingerprints must exist"
+
+    def hook(lbl):
+        if lbl == "table_swap:backed_up":
+            raise _Round11Crash(lbl)
+
+    orig = sinks._CRASH_HOOK
+    sinks._CRASH_HOOK = hook
+    try:
+        with pytest.raises(_Round11Crash):
+            store.upsert(survivors, "fps", pk="h")
+    finally:
+        sinks._CRASH_HOOK = orig
+
+    # recovery: pre-takedown state intact — full refcounts, nothing gone
+    assert store.read("fps").count() == n_live_before
+
+    # clean re-run of the whole takedown
+    store.upsert(survivors, "fps", pk="h")
+    removed = store.delete_rows("fps", "h", zeros)
+    assert removed == n_zero
+
+    # the shared fingerprints stayed, with exactly the retained share
+    post = {r["h"]: r["refcnt"] for r in store.read("fps").collect()}
+    for r in survivors.collect():
+        assert post[r["h"]] == r["refcnt"], r["h"]
+
+    # day-3 probe of the physical table == the hash-oracled gate verdict
+    d3 = docs.filter(mod == 8).select("doc_id", _head_fp().alias("h"))
+    live = {
+        r["doc_id"]
+        for r in d3.join(store.read("fps"), "h", "left_semi").collect()
+    }
+    gate = _q("d_exact_dedup_retraction")(spark, SF01).collect()
+    assert len(gate) > 0
+    flips = 0
+    for r in gate:
+        want = "drop" if r["doc_id"] in live else "keep"
+        assert r["verdict"] == want, r
+        if r["verdict"] == "keep" and r["n_retracted_matches"] > 0:
+            flips += 1
+    assert flips >= 1, "compliance keep-flip must be visible at sf0.01"
+
+
+class _Round11Crash(BaseException):
+    """Not an Exception: bypasses in-process rollback like a kill."""
