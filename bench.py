@@ -305,29 +305,48 @@ _PASS_ORDERS = ("HB", "BH", "BH", "HB")
 # still included them) — their raw per-pass times stay in ab_pass_log
 # and their best-of times ship under ab_output_changed. The frozen
 # comparable headline is unaffected (it times HEAD only).
-# Each entry is pinned to the baseline ref it was adjudicated against:
-# re-pinning _AB_DEFAULT_REF without revisiting the list trips the
-# assertion below (ADVICE r10 — a stale entry would silently keep
-# excluding a then-comparable query), and an env override to a
-# different ref (e.g. the HEAD-vs-HEAD null recipe) deactivates the
-# entries instead of excluding queries that ARE comparable there.
+# Each entry records the ref it was adjudicated against AND the commit
+# that changed the query's output. Re-pinning _AB_DEFAULT_REF without
+# revisiting the list trips the import-time assertion (ADVICE r10 — a
+# stale entry would silently keep excluding a then-comparable query).
+# Whether the entry is ACTIVE for the run's actual baseline is decided
+# by ancestry, not equality: the query is comparable iff the baseline
+# CONTAINS the output-changing commit (covers both the HEAD-vs-HEAD
+# null recipe, where the entry must deactivate, and an env override to
+# a ref OLDER than the change, where it must stay active).
 _AB_OUTPUT_CHANGED_VS = {
     "e_compression_recall_matrix": (
-        "e393ab0",
+        "e393ab0",  # adjudicated vs this pin (BENCH_DRIFT_r10.md)
+        "7fbe770",  # the commit that changed the output (r8, ivf_pq tier)
         "ivf_pq 4th tier added in 7fbe770 (r8)",
     ),
 }
-for _name, (_ref, _note) in _AB_OUTPUT_CHANGED_VS.items():
+for _name, (_ref, _chg, _note) in _AB_OUTPUT_CHANGED_VS.items():
     assert _ref == _AB_DEFAULT_REF, (
         f"AB baseline re-pinned to {_AB_DEFAULT_REF} but output-changed "
         f"entry {_name!r} was adjudicated vs {_ref}: re-verify whether "
         f"its output still differs from the new pin, then update its ref"
     )
-AB_OUTPUT_CHANGED = {
-    name: note
-    for name, (ref, note) in _AB_OUTPUT_CHANGED_VS.items()
-    if ref == AB_BASELINE_REF
-}
+
+
+def ab_output_changed_vs_baseline(head_root: str) -> dict[str, str]:
+    """The entries ACTIVE against AB_BASELINE_REF: a query is excluded
+    from the comparable totals/movers iff the commit that changed its
+    output is NOT an ancestor of the baseline (i.e. the two sides
+    really compute different results). An unknown/unresolvable commit
+    keeps the exclusion — conservative: never pollute the comparable
+    set with a maybe-different query."""
+    import subprocess
+
+    out: dict[str, str] = {}
+    for name, (_ref, chg, note) in _AB_OUTPUT_CHANGED_VS.items():
+        r = subprocess.run(
+            ["git", "merge-base", "--is-ancestor", chg, AB_BASELINE_REF],
+            cwd=head_root, capture_output=True,
+        )
+        if r.returncode != 0:
+            out[name] = note
+    return out
 
 
 def _purge_engine_modules() -> None:
@@ -356,6 +375,52 @@ def _run_side(repo_root: str, spark, names: list[str], sf_dir: str) -> dict[str,
         _purge_engine_modules()
 
 
+def ensure_baseline_worktree(head_root: str, wt: str, ref: str) -> bool:
+    """Make ``wt`` a clean checkout of ``ref``, reusing a cached dir
+    ONLY when its HEAD resolves to ``ref`` AND it has no local
+    modifications (ADVICE r10: a stale or tampered leftover dir would
+    silently benchmark the wrong baseline code). Anything else is
+    recreated — including a leftover dir git no longer registers as a
+    worktree (``worktree remove`` refuses those; rmtree then re-add).
+    Shared by the headline A/B and tools/targeted_ab.py so the two
+    instruments cannot diverge. Returns True when the dir was created
+    (caller removes it in its finally block)."""
+    import shutil
+    import subprocess
+
+    if os.path.isdir(os.path.join(wt, "etl_data_peri_institute_spark")):
+        probe = subprocess.run(
+            ["git", "-C", wt, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        )
+        want = subprocess.run(
+            ["git", "rev-parse", ref],
+            cwd=head_root, check=True, capture_output=True, text=True,
+        )
+        dirty = subprocess.run(
+            ["git", "-C", wt, "status", "--porcelain"],
+            capture_output=True, text=True,
+        )
+        if (
+            probe.returncode == 0
+            and probe.stdout.strip() == want.stdout.strip()
+            and dirty.returncode == 0
+            and not dirty.stdout.strip()
+        ):
+            return False
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", wt],
+        cwd=head_root, check=False, capture_output=True,
+    )
+    if os.path.isdir(wt):  # unregistered leftover: remove refuses it
+        shutil.rmtree(wt, ignore_errors=True)
+    subprocess.run(
+        ["git", "worktree", "add", "--force", "--detach", wt, ref],
+        cwd=head_root, check=True, capture_output=True,
+    )
+    return True
+
+
 def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
     """HEAD vs AB_BASELINE_REF, interleaved passes in one session.
     Returns {} (with a reason) when the baseline worktree can't be set
@@ -364,14 +429,10 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
     import tempfile
 
     wt = os.path.join(tempfile.gettempdir(), f"bench_ab_{AB_BASELINE_REF}")
+    output_changed = ab_output_changed_vs_baseline(head_root)
     created = False
     try:
-        if not os.path.isdir(os.path.join(wt, "etl_data_peri_institute_spark")):
-            subprocess.run(
-                ["git", "worktree", "add", "--force", "--detach", wt, AB_BASELINE_REF],
-                cwd=head_root, check=True, capture_output=True,
-            )
-            created = True
+        created = ensure_baseline_worktree(head_root, wt, AB_BASELINE_REF)
         # shared set: queries registered on BOTH sides
         _purge_engine_modules()
         sys.path.insert(0, wt)
@@ -415,7 +476,7 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
                         sum(
                             t
                             for n, t in times.items()
-                            if n not in AB_OUTPUT_CHANGED
+                            if n not in output_changed
                         ),
                         3,
                     )
@@ -433,8 +494,9 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
                     best[n] = min(best.get(n, float("inf")), dt)
         # output-changed-since-pin queries are NOT like-for-like (head
         # and baseline compute different results); keep their raw times
-        # visible but out of the totals and movers — see AB_OUTPUT_CHANGED
-        comparable_names = [n for n in head_best if n not in AB_OUTPUT_CHANGED]
+        # visible but out of the totals and movers — see
+        # _AB_OUTPUT_CHANGED_VS / ab_output_changed_vs_baseline
+        comparable_names = [n for n in head_best if n not in output_changed]
         head_total = sum(head_best[n] for n in comparable_names)
         base_total = sum(base_best[n] for n in comparable_names)
         # per-query movers (best-of-passes deltas), worst 5 each way:
@@ -456,10 +518,10 @@ def _ab_compare(spark, sf_dir: str, head_root: str) -> dict:
                 n: {
                     "head_best": round(head_best[n], 3),
                     "baseline_best": round(base_best[n], 3),
-                    "note": AB_OUTPUT_CHANGED[n],
+                    "note": output_changed[n],
                 }
                 for n in head_best
-                if n in AB_OUTPUT_CHANGED
+                if n in output_changed
             },
             # per-pass raw totals, interleaved in time (H,B,H,B,...): the
             # spread across passes IS the run's own noise estimate

@@ -231,6 +231,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def head_fingerprint(text_col: str = "text", n_words: int = 8):
+    """md5 of the first ``n_words`` whitespace words — THE maintained
+    exact-tier key (d_incremental_dedup's set, the retraction gate's
+    refcounted table, the physical twin test). One definition so the
+    gate, the incremental set and the tests cannot drift apart (a
+    changed word count or separator in one copy would silently compare
+    different keys)."""
+    return F.md5(
+        F.array_join(F.slice(F.split(F.col(text_col), " "), 1, n_words), " ")
+    )
+
+
 def _positioned_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

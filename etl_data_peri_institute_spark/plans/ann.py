@@ -3819,6 +3819,73 @@ _QCH_ORACLE = """
 """
 
 
+def _churn_cents(stats: DataFrame) -> DataFrame:
+    return stats.select(
+        "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
+    )
+
+
+def churn_epoch_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The four-epoch churn construction, shared by the
+    e_ivf_quantizer_churn gate and its algebra invariant test
+    (tests/test_round11.py) so the recipe the test pins is BY
+    CONSTRUCTION the recipe the gate runs. Returns every frame a
+    caller might probe: per-epoch stats s0..s4, the read-back
+    assignment tables a_a/a_b, and the input slices.
+
+    Each epoch's stats frame is the artifact production PERSISTS
+    between daily jobs (k×dim rows, trivially small); localCheckpoint
+    is the in-plan stand-in — without it the lazy chain re-derives
+    every earlier epoch once per later epoch AND once per probe pass
+    (measured 46.6 s → ~7 s at sf0.001). The epoch-1 assignment table
+    is checkpointed too: it is read back by BOTH retractions."""
+    from ..operators.similarity import (
+        centroid_pos_stats,
+        centroid_stats_retract,
+        centroid_stats_update,
+        top_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod = F.col("vec_id") % 10
+    corpus = emb.filter(~mod.isin(6, 7, 9))
+    batch_a = emb.filter(mod == 6)
+    batch_b = emb.filter(mod == 7)
+    probe = emb.filter(mod == 9)
+
+    s0 = centroid_pos_stats(corpus).localCheckpoint(eager=False)
+    a_a = (
+        top_centroids(batch_a, _churn_cents(s0), n=1)
+        .select("id", "c_label")
+        .localCheckpoint(eager=False)
+    )
+    s1 = centroid_stats_update(s0, batch_a, a_a).localCheckpoint(eager=False)
+
+    a_half1 = batch_a.filter(F.col("vec_id") % 20 == 6)
+    ra1 = a_a.join(
+        a_half1.select(F.col("vec_id").alias("id")), "id"
+    ).select("id", "c_label")
+    s2 = centroid_stats_retract(s1, a_half1, ra1).localCheckpoint(eager=False)
+
+    a_b = (
+        top_centroids(batch_b, _churn_cents(s2), n=1)
+        .select("id", "c_label")
+        .localCheckpoint(eager=False)
+    )
+    s3 = centroid_stats_update(s2, batch_b, a_b).localCheckpoint(eager=False)
+
+    a_half2 = batch_a.filter(F.col("vec_id") % 20 == 16)
+    ra2 = a_a.join(
+        a_half2.select(F.col("vec_id").alias("id")), "id"
+    ).select("id", "c_label")
+    s4 = centroid_stats_retract(s3, a_half2, ra2).localCheckpoint(eager=False)
+    return {
+        "s0": s0, "s1": s1, "s2": s2, "s3": s3, "s4": s4,
+        "a_a": a_a, "a_b": a_b,
+        "batch_a": batch_a, "batch_b": batch_b, "probe": probe,
+    }
+
+
 @query("e_ivf_quantizer_churn", oracle=_QCH_ORACLE)
 def e_ivf_quantizer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch CHURN on the persisted quantizer — four interleaved
@@ -3875,59 +3942,16 @@ def e_ivf_quantizer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`etl/load.py:283` upserts rows); this is north-star surface for
     the LLM-data pipeline mandate.
     """
-    from ..operators.similarity import (
-        centroid_pos_stats,
-        centroid_stats_retract,
-        centroid_stats_update,
-        top_centroids,
-    )
+    from ..operators.similarity import top_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    mod = F.col("vec_id") % 10
-    corpus = emb.filter(~mod.isin(6, 7, 9))
-    batch_a = emb.filter(mod == 6)
-    batch_b = emb.filter(mod == 7)
-    probe = emb.filter(mod == 9)
-
-    def _cents(stats: DataFrame) -> DataFrame:
-        return stats.select(
-            "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
-        )
-
-    # each epoch's stats frame is the artifact production PERSISTS
-    # between daily jobs (k×dim rows, trivially small); localCheckpoint
-    # is the in-plan stand-in — without it the lazy chain re-derives
-    # every earlier epoch once per later epoch AND once per probe pass
-    # (measured 46.6 s → ~7 s at sf0.001). The epoch-1 assignment table
-    # is checkpointed too: it is read back by BOTH retractions.
-    s0 = centroid_pos_stats(corpus).localCheckpoint(eager=False)
-    a_a = (
-        top_centroids(batch_a, _cents(s0), n=1)
-        .select("id", "c_label")
-        .localCheckpoint(eager=False)
-    )
-    s1 = centroid_stats_update(s0, batch_a, a_a).localCheckpoint(eager=False)
-
-    a_half1 = batch_a.filter(F.col("vec_id") % 20 == 6)
-    ra1 = a_a.join(
-        a_half1.select(F.col("vec_id").alias("id")), "id"
-    ).select("id", "c_label")
-    s2 = centroid_stats_retract(s1, a_half1, ra1).localCheckpoint(eager=False)
-
-    a_b = top_centroids(batch_b, _cents(s2), n=1).select("id", "c_label")
-    s3 = centroid_stats_update(s2, batch_b, a_b).localCheckpoint(eager=False)
-
-    a_half2 = batch_a.filter(F.col("vec_id") % 20 == 16)
-    ra2 = a_a.join(
-        a_half2.select(F.col("vec_id").alias("id")), "id"
-    ).select("id", "c_label")
-    s4 = centroid_stats_retract(s3, a_half2, ra2).localCheckpoint(eager=False)
-
+    fr = churn_epoch_frames(spark, sf_dir)
     probes = [
-        top_centroids(probe, _cents(s), n=1).select(
+        top_centroids(fr["probe"], _churn_cents(s), n=1).select(
             "id", F.col("c_label").alias(f"list_e{i}")
         )
-        for i, s in enumerate((s1, s2, s3, s4), start=1)
+        for i, s in enumerate(
+            (fr["s1"], fr["s2"], fr["s3"], fr["s4"]), start=1
+        )
     ]
     out = probes[0]
     for p in probes[1:]:

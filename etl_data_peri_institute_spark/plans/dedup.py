@@ -2591,7 +2591,9 @@ def d_exact_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's batch shuffles against the bucketed set.
     """
     docs = load_table(spark, sf_dir, "documents")
-    head_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    from ..operators.dedup import head_fingerprint
+
+    head_fp = head_fingerprint()
     mod = F.col("doc_id") % 10
     d3 = docs.filter(mod == 8).select("doc_id", head_fp.alias("h"))
     state = docs.filter(mod != 8).select(

@@ -1194,7 +1194,9 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 7
-    head_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    from ..operators.dedup import head_fingerprint
+
+    head_fp = head_fingerprint()
     batch = docs.filter(is_batch).select("doc_id", head_fp.alias("h"))
     corpus = docs.filter(~is_batch).select(head_fp.alias("h")).distinct()
     survivors = batch.join(corpus, "h", "left_anti")

@@ -132,22 +132,32 @@ class ParquetStore:
         names = os.listdir(self.root)
         live: set[str] = set()
         journaled_tables: set[str] = set()
+        corrupt_owners: set[str] = set()
         for name in names:
             if name.startswith(".__journal_") and name.endswith(".json"):
                 try:
                     with open(os.path.join(self.root, name)) as fh:
                         payload = json.load(fh)
                 except (OSError, ValueError):
-                    # corrupt/unreadable journal: its table must still be
-                    # shielded from the stray-meta sweep below (repair
-                    # belongs to _recover, which raises on the corrupt
-                    # file). The filename is `.__journal_{table}_{token}`
-                    # and every token is a mkdtemp basename starting with
-                    # `.{table}_`, so the table is the prefix before the
-                    # first `_.`; with no `_.` (foreign file), shield the
-                    # whole remainder — over-shielding only defers cleanup.
+                    # corrupt/unreadable journal: its table must still
+                    # be shielded (repair belongs to _recover, which
+                    # raises loudly on this table's next access). The
+                    # filename is `.__journal_{table}_{token}` and every
+                    # token is a mkdtemp basename starting `.{table}_`,
+                    # so the owner is the prefix before the first `_.`;
+                    # with no `_.` (foreign file), shield the whole
+                    # remainder — over-shielding only defers cleanup.
+                    # The owner enters BOTH shields: journaled_tables
+                    # (in-table meta-tmp sweep) and corrupt_owners (the
+                    # root sweep below must not rmtree `.{owner}_*`
+                    # stage/backup dirs — with the journal unreadable we
+                    # can't know WHICH of them the `live` set would have
+                    # pinned, and a backup dir may hold the only copy of
+                    # the table's data).
                     rest = name[len(".__journal_"):-len(".json")]
-                    journaled_tables.add(rest.split("_.", 1)[0])
+                    owner = rest.split("_.", 1)[0]
+                    journaled_tables.add(owner)
+                    corrupt_owners.add(owner)
                     continue
                 # every journal kind pins the root-level dirs it could
                 # still touch (or that hold a crashed mutation's staged
@@ -187,6 +197,11 @@ class ParquetStore:
                 continue
             if name.startswith(".__journal_") and name.endswith(".json"):
                 continue  # consumed only by _recover
+            if any(name.startswith(f".{t}_") for t in corrupt_owners):
+                # a corrupt journal's stage/backup/src dirs are
+                # indistinguishable from orphans without the payload —
+                # and a backup dir may be the ONLY copy of the table
+                continue
             p = os.path.join(self.root, name)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
@@ -240,7 +255,25 @@ class ParquetStore:
                 with open(jp) as fh:
                     payload = json.load(fh)
             except (OSError, ValueError):
-                continue  # half-written .tmp never replaces; stale file
+                # journals are written atomically (tmp+fsync+replace),
+                # so an unreadable one is disk corruption, not a
+                # half-write — and it is the ONLY repair record for
+                # whatever half-applied state is on disk. Ownership
+                # can't come from the payload; parse it from the
+                # filename (token is a mkdtemp basename starting
+                # `.{table}_`, so the owner is the prefix before the
+                # first `_.`). Raise ONLY for this table's own journal:
+                # a corrupt sibling's journal (prefix-match artifact)
+                # is that table's problem, surfaced on ITS access.
+                owner = name[len(".__journal_"):-len(".json")].split("_.", 1)[0]
+                if owner == table:
+                    raise RuntimeError(
+                        f"ParquetStore: journal {name} for table "
+                        f"{table!r} is unreadable (corrupt); manual "
+                        f"recovery required (file preserved — it is "
+                        f"the only record of the crashed mutation)"
+                    )
+                continue
             if payload.get("table") != table:
                 continue
             kind = payload.get("kind")

@@ -78,50 +78,13 @@ def test_vacuum_foreign_journal_name_shields_conservatively(spark, tmp_path):
 
 
 def _churn_frames(spark, sf=SF):
-    """Rebuild the gate's epoch inputs once for the invariant tests."""
-    from etl_data_peri_institute_spark.operators.similarity import (
-        centroid_pos_stats,
-        centroid_stats_retract,
-        centroid_stats_update,
-        top_centroids,
-    )
-    from etl_data_peri_institute_spark.sources.tables import load_table
+    """The gate's OWN epoch construction (plans/ann.py:
+    churn_epoch_frames — shared by construction, so this test can
+    never pin a recipe the gate no longer runs)."""
+    from etl_data_peri_institute_spark.plans.ann import churn_epoch_frames
 
-    emb = load_table(spark, sf, "embeddings")
-    mod = F.col("vec_id") % 10
-    corpus = emb.filter(~mod.isin(6, 7, 9))
-    batch_a = emb.filter(mod == 6)
-    batch_b = emb.filter(mod == 7)
-
-    def cents(stats):
-        return stats.select(
-            "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
-        )
-
-    s0 = centroid_pos_stats(corpus).localCheckpoint(eager=False)
-    a_a = (
-        top_centroids(batch_a, cents(s0), n=1)
-        .select("id", "c_label")
-        .localCheckpoint(eager=False)
-    )
-    s1 = centroid_stats_update(s0, batch_a, a_a).localCheckpoint(eager=False)
-    a1 = batch_a.filter(F.col("vec_id") % 20 == 6)
-    ra1 = a_a.join(a1.select(F.col("vec_id").alias("id")), "id").select(
-        "id", "c_label"
-    )
-    s2 = centroid_stats_retract(s1, a1, ra1).localCheckpoint(eager=False)
-    a_b = (
-        top_centroids(batch_b, cents(s2), n=1)
-        .select("id", "c_label")
-        .localCheckpoint(eager=False)
-    )
-    s3 = centroid_stats_update(s2, batch_b, a_b).localCheckpoint(eager=False)
-    a2 = batch_a.filter(F.col("vec_id") % 20 == 16)
-    ra2 = a_a.join(a2.select(F.col("vec_id").alias("id")), "id").select(
-        "id", "c_label"
-    )
-    s4 = centroid_stats_retract(s3, a2, ra2)
-    return s0, a_b, batch_b, s4
+    fr = churn_epoch_frames(spark, sf)
+    return fr["s0"], fr["a_b"], fr["batch_b"], fr["s4"]
 
 
 def test_quantizer_churn_nets_to_one_shot(spark):
@@ -268,7 +231,9 @@ SF01 = "/root/testdata/sf0.01"
 
 
 def _head_fp():
-    return F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    from etl_data_peri_institute_spark.operators.dedup import head_fingerprint
+
+    return head_fingerprint()
 
 
 def test_exact_fingerprint_refcount_table_physical_twin(spark, tmp_path):
@@ -379,3 +344,54 @@ def test_exact_fingerprint_refcount_table_physical_twin(spark, tmp_path):
 
 class _Round11Crash(BaseException):
     """Not an Exception: bypasses in-process rollback like a kill."""
+
+
+def test_vacuum_corrupt_journal_shields_root_level_dirs(spark, tmp_path):
+    """Self-review hardening of the corrupt-journal shield: the FIRST
+    version protected only the in-table meta-tmp sweep; the root sweep
+    would still rmtree the crashed mutation's `.{table}_backup_*` /
+    `.{table}_stage_*` dirs (a backup dir can hold the ONLY copy of
+    the table's data — a parseable journal pins them via the `live`
+    set, an unreadable one must shield by owner prefix)."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame([(1, "a")], "pk int, v string")
+    store.insert(df, "t")
+    backup = os.path.join(store.root, ".t_backup_xyz")
+    stage = os.path.join(store.root, ".t_stage_abc")
+    os.makedirs(backup)
+    os.makedirs(stage)
+    jp = store._journal_path("t", ".t_stage_abc")
+    with open(jp, "w") as fh:
+        fh.write("{ corrupt")
+    removed = store.vacuum()
+    assert os.path.isdir(backup), "backup dir may be the only data copy"
+    assert os.path.isdir(stage)
+    assert not any(r.startswith(".t_") for r in removed)
+    # an unrelated orphan is still reclaimed in the same pass
+    orphan = os.path.join(store.root, ".u_stage_orphan")
+    os.makedirs(orphan)
+    assert ".u_stage_orphan" in store.vacuum()
+    # once the corrupt journal is gone the dirs become ordinary orphans
+    os.remove(jp)
+    got = store.vacuum()
+    assert ".t_backup_xyz" in got and ".t_stage_abc" in got
+
+
+def test_recover_raises_loudly_on_own_corrupt_journal(spark, tmp_path):
+    """Self-review: _recover used to `continue` past a corrupt journal
+    — the table's half-applied state would be served forever with no
+    diagnostic. It must now raise for the table's OWN unreadable
+    journal (the only repair record), while a corrupt journal of a
+    prefix-sibling (`.__journal_t_x_*` prefix-matches table `t`) stays
+    that sibling's problem."""
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    df = spark.createDataFrame([(1, "a")], "pk int, v string")
+    store.insert(df, "t")
+    store.insert(df, "t_x")
+    # corrupt journal owned by the SIBLING t_x
+    with open(store._journal_path("t_x", ".t_x_stage_a"), "w") as fh:
+        fh.write("{ corrupt")
+    # t's recovery skips the sibling's journal (ownership by filename)
+    assert store.read("t").count() == 1
+    with pytest.raises(RuntimeError, match="unreadable"):
+        store.read("t_x")

@@ -33,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # the adjudication instrument must measure the SAME protocol as the
 # number it adjudicates: counterbalancing sequence and module-purge
 # discipline are imported from bench, never re-implemented
-from bench import _PASS_ORDERS, _run_side  # noqa: E402
+from bench import _PASS_ORDERS, _run_side, ensure_baseline_worktree  # noqa: E402
 
 
 def _time_one(root: str, spark, name: str, sf_dir: str) -> float:
@@ -50,34 +50,9 @@ def main() -> int:
 
     head_root = str(Path(__file__).resolve().parent.parent)
     wt = os.path.join(tempfile.gettempdir(), f"targeted_ab_{args.ref}")
-    # reuse only a worktree whose checkout actually resolves to --ref
-    # (ADVICE r10: a stale/tampered leftover dir would silently
-    # benchmark the wrong baseline code); anything else is recreated.
-    reusable = False
-    if os.path.isdir(os.path.join(wt, "etl_data_peri_institute_spark")):
-        probe = subprocess.run(
-            ["git", "-C", wt, "rev-parse", "HEAD"],
-            capture_output=True, text=True,
-        )
-        want = subprocess.run(
-            ["git", "rev-parse", args.ref],
-            cwd=head_root, check=True, capture_output=True, text=True,
-        )
-        reusable = (
-            probe.returncode == 0
-            and probe.stdout.strip() == want.stdout.strip()
-        )
-    created = False
-    if not reusable:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", wt],
-            cwd=head_root, check=False, capture_output=True,
-        )
-        subprocess.run(
-            ["git", "worktree", "add", "--force", "--detach", wt, args.ref],
-            cwd=head_root, check=True, capture_output=True,
-        )
-        created = True
+    # shared with the headline A/B: reuse only a verified-clean
+    # checkout of --ref, recreate anything else (ADVICE r10)
+    created = ensure_baseline_worktree(head_root, wt, args.ref)
     try:
         from etl_data_peri_institute_spark.session import get_spark
 
