@@ -1603,15 +1603,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
         .groupBy("ss", "cid", "sp")
         .agg(F.round(F.avg("val"), 6).alias("c"))
     )
-    # the codebook (m·k·subdim rows) and the code table (corpus-sized
-    # narrow codes) are EXACTLY the artifacts a production PQ system
-    # persists — checkpoint them so multi-consumer evaluations (ADC
-    # rerank + IVF-pruned rerank share a2/c1 in _matrix_parts; the
-    # codebook census re-derives d2 from c1) replay the Lloyd chain
-    # ONCE instead of once per consumer. Lazy: materialized by the
-    # caller's first action, reused after.
-    c1 = c1.localCheckpoint(eager=False)
-    a2 = assign(c1).localCheckpoint(eager=False)
+    a2 = assign(c1)
     return sub, c1, a2
 
 _PQ_SQL_PREFIX = f"""
@@ -2343,10 +2335,6 @@ def _matrix_parts(spark: SparkSession, sf_dir: str):
               (F.col("q.ss") == F.col("c.ss")) & (F.col("q.sp") == F.col("c.sp")))
         .groupBy("q.query_id", "c.ss", "c.cid")
         .agg(F.round(F.sum((F.col("q.val") - F.col("c.c")) ** 2), 6).alias("ld"))
-        # (queries × m × k)-row ADC lookup table, consumed by BOTH the
-        # unpruned rerank (adc) and the IVF-pruned rerank (ivf_adc):
-        # derive once, not once per consumer
-        .localCheckpoint(eager=False)
     )
     adc = (
         a2.where(F.col("vec_id") >= _CM_NQ)
@@ -2390,10 +2378,6 @@ def _matrix_parts(spark: SparkSession, sf_dir: str):
         ivf_probes.join(ivf_lists, "c_label")
         .select("query_id", "neighbor_id")
         .distinct()
-        # probed-list-bounded candidate set, consumed by the IVF-PQ
-        # rerank AND e_recall_cost_frontier's measured cand census:
-        # materialize the one corpus assignment pass behind it once
-        .localCheckpoint(eager=False)
     )
     ivf_adc = (
         ivf_cand.join(a2, a2["vec_id"] == ivf_cand["neighbor_id"])
