@@ -922,6 +922,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no second shuffle of lineitem. The region filter reaches
     the supplier side BEFORE the fact join (supplier × broadcast
     nation⋈region), so the big join's build side is pre-shrunk 1/5.
+    The selective part predicate (ECONOMY & size<25, ~8% of parts)
+    pre-prunes lineitem as a BROADCAST SEMI-JOIN on partkey BEFORE the
+    supply aggregation (r11): the per-partkey window min is computed
+    over all suppliers of a SURVIVING partkey either way, so filtering
+    by partkey before or after the min is equivalent — but filtering
+    first shrinks the aggregation/window input ~12× (measured at all
+    three SFs) and makes the final part join redundant (part
+    contributes no output columns; p_partkey is unique).
     Money outputs are exact cents BIGINTs (module docstring); ORDER BY
     carries (partkey, suppkey) as the deterministic tiebreak.
     """
@@ -938,11 +946,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "n_name", _cents("s_acctbal").alias("s_acctbal_cents"))
     )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 25)
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 25))
+        .select("p_partkey")
     )
     supply = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        li.join(
+            F.broadcast(part_keys),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name", "s_acctbal_cents")
         .agg(F.min(_cents("l_extendedprice")).alias("supply_cost_cents"))
     )
@@ -950,7 +965,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supply.withColumn("min_cost", F.min("supply_cost_cents").over(min_w))
         .filter(F.col("supply_cost_cents") == F.col("min_cost"))
-        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             "s_acctbal_cents",
             "s_name",
