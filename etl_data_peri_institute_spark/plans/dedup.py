@@ -1055,7 +1055,13 @@ def d_bloom_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (module docstring carried in plans/causal.py)
 # ===========================================================================
 
-from ..operators.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures, word_shingles
+from ..operators.dedup import (
+    jaccard_pairs,
+    lsh_band_table,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
 from .llmdata import N_MINHASH
 
 _AUG_SQL = """
@@ -1179,12 +1185,16 @@ def d_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shingle explode and ONE signature groupBy feed
     all three configs (the banding is a stack() over the same 8
-    columns); each config adds one bucket self-join bounded by its own
-    collision rate; ground truth reuses the d_ngram_jaccard_pairs
-    shingle-join (doc-frequency cap disabled to match the oracle —
-    production keeps it); the report is 3 rows of counts. The truth
-    join keys hit the SAME (id_a, id_b) space so AQE handles any hot
-    bucket.
+    columns), and — r11 — ONE bucket self-join serves all three:
+    banding is monotone here (a coarse-band collision implies every
+    finer config's collision), so the finest (8x1) join enumerates the
+    superset once, a per-pair bitmask of matching components is folded
+    with bit_or, and each config is a bitmask predicate inside one
+    conditional aggregation. Ground truth reuses the
+    d_ngram_jaccard_pairs shingle-join (doc-frequency cap disabled to
+    match the oracle — production keeps it); the report is 3 rows of
+    counts. The truth join keys hit the SAME (id_a, id_b) space so AQE
+    handles any hot bucket.
     """
     corpus = _augmented_corpus(spark, sf_dir)
     sh_set = word_shingles(corpus, distinct=True)
@@ -1197,34 +1207,77 @@ def d_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = truth.localCheckpoint(eager=True)
     sigs = sigs.localCheckpoint(eager=True)
     n_true = truth.count()
+    # ONE bucket self-join serves all three configs (r11). Banding is
+    # monotone in this sweep: a pair colliding on a coarse band (e.g.
+    # concat(m0..m3)) necessarily matches every component, so it also
+    # collides in every finer config — cand(2x4) ⊆ cand(4x2) ⊆
+    # cand(8x1). Self-join ONCE on the finest (8x1) banding, fold each
+    # pair's matching components into a bitmask (bit i = signatures
+    # agree on m_i), and each config's candidate set is a bitmask
+    # predicate: 8x1 = any bit, 4x2 = both bits of some aligned pair,
+    # 2x4 = all four bits of some aligned nibble. The previous shape
+    # ran one self-join + distinct + truth-join PER config; the 8x1
+    # collision volume strictly contains the others, so this computes
+    # the same three candidate sets for the price of the largest one.
+    banded = lsh_band_table(sigs, bands=8, rows_per_band=1)
+    a, b = banded.alias("a"), banded.alias("b")
+    masks = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.band").cast("int").alias("__band"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.bit_or(F.expr("shiftleft(1, __band)")).alias("__mask"))
+    )
+    m = F.col("__mask")
+
+    def in_cfg(bands: int, rows: int):
+        full = [(((1 << rows) - 1) << (b0 * rows)) for b0 in range(bands)]
+        cond = F.lit(False)
+        for bm in full:
+            cond = cond | (m.bitwiseAND(F.lit(bm)) == F.lit(bm))
+        return cond
+
+    hit = truth.withColumn("__hit", F.lit(1))
+    scored = masks.join(F.broadcast(hit), ["id_a", "id_b"], "left")
+    aggs = []
+    for bands, rows in _SWEEP_CONFIGS:
+        flag = in_cfg(bands, rows)
+        aggs.append(
+            F.sum(flag.cast("long")).alias(f"nc_{bands}_{rows}")
+        )
+        aggs.append(
+            F.sum((flag & F.col("__hit").isNotNull()).cast("long")).alias(
+                f"nh_{bands}_{rows}"
+            )
+        )
+    counts = scored.agg(*aggs)
     outs = []
     for bands, rows in _SWEEP_CONFIGS:
-        cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows)
-        stats = cand.join(truth, ["id_a", "id_b"], "left_semi").agg(
-            F.count("*").alias("n_hits")
-        )
+        nc = F.col(f"nc_{bands}_{rows}")
+        nh = F.col(f"nh_{bands}_{rows}")
         outs.append(
-            cand.agg(F.count("*").alias("n_candidates"))
-            .crossJoin(F.broadcast(stats))
-            .select(
+            counts.select(
                 F.lit(bands).cast("int").alias("bands"),
                 F.lit(rows).cast("int").alias("rows_per_band"),
-                F.col("n_candidates").cast("long"),
+                nc.cast("long").alias("n_candidates"),
                 F.lit(n_true).cast("long").alias("n_true_pairs"),
-                F.col("n_hits").cast("long"),
+                nh.cast("long").alias("n_hits"),
                 F.round(
-                    F.col("n_hits")
-                    * 1.0
+                    nh * 1.0
                     / F.nullif(F.lit(n_true).cast("long"), F.lit(0).cast("long")),
                     4,
                 ).alias("recall"),
                 F.round(
-                    F.col("n_hits")
-                    * 1.0
-                    / F.nullif(
-                        F.col("n_candidates").cast("long"),
-                        F.lit(0).cast("long"),
-                    ),
+                    nh * 1.0
+                    / F.nullif(nc.cast("long"), F.lit(0).cast("long")),
                     4,
                 ).alias("lsh_precision"),
             )
