@@ -1355,9 +1355,11 @@ def e_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys.
 
     Scale shape: ONE centroid-assignment pass (ranked lists) feeds all
-    three configs — each config is a filter rn <= p over the SAME
-    ranked frame, a probed-list join bounded by its own candidate
-    volume, and a per-query top-k window; the exact-truth side runs
+    three configs, and (r11) ONE probed-list join + cosine rerank
+    scores the max-probe candidate superset carrying each pair's best
+    probe rank — candidate sets are monotone in n_probe, so each
+    config is a ``min_rn <= p`` filter plus a per-query top-k window
+    over the same scored sample-sized frame; the exact-truth side runs
     once (on a query sample at production scale — the standard recall
     protocol). Report is 3 rows of counts; rounded-cosine ranking with
     id tiebreaks keeps both engines deriving identical sets.
@@ -1388,31 +1390,39 @@ def e_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
     t = exact.agg(F.count("*").alias("n_truth_pairs"))
+    # Candidate sets are MONOTONE in n_probe (cand_1 ⊆ cand_2 ⊆
+    # cand_4: probing more lists only adds candidates), so — r11 — the
+    # probed-list join and the cosine rerank run ONCE on the max-probe
+    # superset, carrying each pair's best probe rank (min rn); every
+    # config is then a ``min_rn <= p`` filter over the same scored
+    # frame. The previous shape ran the list join, the distinct and
+    # the (query × candidate) cosine once PER config. The scored frame
+    # is probed-list-bounded (query sample × probed lists), so the
+    # checkpoint that makes it single-derivation is sample-sized.
+    scored = (
+        probes_all.join(lists, "c_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("rn").alias("__min_rn"))
+        .join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__min_rn",
+            cosine(F.col("__q"), F.col("__c")).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
     outs = []
     for p in _SWEEP_PROBES:
-        cand = (
-            probes_all.filter(F.col("rn") <= p)
-            .drop("rn")
-            .join(lists, "c_label")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-        )
-        cand_n = cand.agg(F.count("*").alias("n_candidates"))
-        sims = (
-            cand.join(q, "query_id")
-            .join(c, "neighbor_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine(F.col("__q"), F.col("__c")).alias("cos_sim"),
-            )
-        )
+        sub = scored.filter(F.col("__min_rn") <= p)
+        cand_n = sub.agg(F.count("*").alias("n_candidates"))
         wk = W.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
         topk = (
-            sims.withColumn("rn", F.row_number().over(wk))
+            sub.withColumn("rn", F.row_number().over(wk))
             .filter(F.col("rn") <= _SWEEP_K)
             .select("query_id", "neighbor_id")
         )
