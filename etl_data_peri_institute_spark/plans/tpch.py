@@ -923,7 +923,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier side BEFORE the fact join (supplier × broadcast
     nation⋈region), so the big join's build side is pre-shrunk 1/5.
     The selective part predicate (ECONOMY & size<25, ~8% of parts)
-    pre-prunes lineitem as a BROADCAST SEMI-JOIN on partkey BEFORE the
+    pre-prunes lineitem as a SEMI-JOIN on partkey (AQE-chosen build) BEFORE the
     supply aggregation (r11): the per-partkey window min is computed
     over all suppliers of a SURVIVING partkey either way, so filtering
     by partkey before or after the min is equivalent — but filtering
@@ -951,9 +951,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 25))
         .select("p_partkey")
     )
+    # no broadcast hint: part is SF-scaled (the repo's no-forced-
+    # broadcast rule) — AQE picks broadcast for the filtered key
+    # projection whenever it fits, shuffle semi-join otherwise
     supply = (
         li.join(
-            F.broadcast(part_keys),
+            part_keys,
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
