@@ -551,7 +551,7 @@ def main() -> None:
     head_root = os.path.dirname(os.path.abspath(__file__))
 
     from etl_data_peri_institute_spark.plans import catalog
-    from etl_data_peri_institute_spark.session import _DEFAULT_CPUS, get_spark
+    from etl_data_peri_institute_spark.session import default_parallelism, get_spark
 
     catalog.load_all()
     spark = get_spark("bench")
@@ -573,7 +573,7 @@ def main() -> None:
         yield from batches
 
     (
-        spark.range(10_000, numPartitions=int(_DEFAULT_CPUS))
+        spark.range(10_000, numPartitions=default_parallelism())
         .mapInArrow(_warm_arrow, "id long")
         .write.format("noop")
         .mode("overwrite")
@@ -611,26 +611,33 @@ def main() -> None:
     # stays SHORT. Rounds 5-6 proved the driver's tail capture truncates
     # a ~160-entry JSON line mid-stream and records parsed:null — the
     # artifact line must fit a terminal line, the detail ships in-repo.
+    detail_payload = {
+        "metric": "comparable_set_total_time",
+        "value": comparable_total,
+        "n_comparable": sum(1 for n in COMPARABLE if n in timings),
+        "all_queries_total": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": default_parallelism(),
+        "runs_per_query": 2,
+        "worst_run_total": round(sum(worsts.values()), 3),
+        "variance_note": VARIANCE_NOTE,
+        "queries": timings,
+        "worst_runs": worsts,
+        **ab,
+    }
     detail_file = os.path.join(head_root, "BENCH_DETAIL.json")
     with open(detail_file, "w") as fh:
-        json.dump(
-            {
-                "metric": "comparable_set_total_time",
-                "value": comparable_total,
-                "n_comparable": sum(1 for n in COMPARABLE if n in timings),
-                "all_queries_total": total,
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": 2,
-                "worst_run_total": round(sum(worsts.values()), 3),
-                "variance_note": VARIANCE_NOTE,
-                "queries": timings,
-                "worst_runs": worsts,
-                **ab,
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(detail_payload, fh, indent=1)
+    # ALSO keyed by core count (r11 verdict item 2): the driver runs the
+    # bench at two $SPARK_GRAFT_CPUS values in one session, and the
+    # second run used to clobber the first's per-query detail — the
+    # per-query core-scaling ratios were unrecoverable. Addition only;
+    # BENCH_DETAIL.json keeps its meaning (the most recent run).
+    with open(
+        os.path.join(head_root, f"BENCH_DETAIL_c{default_parallelism()}.json"), "w"
+    ) as fh:
+        json.dump(detail_payload, fh, indent=1)
     short_ab = {
         k: ab[k]
         for k in (

@@ -20,6 +20,14 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
 
 
+def default_parallelism() -> int:
+    """The core count get_spark() sizes ``local[N]`` with — the public
+    accessor for harness code (bench.py sizes its Arrow-pool warmup by
+    it). Reading the private ``_DEFAULT_CPUS`` from outside silently
+    diverges if session internals change (ADVICE r11)."""
+    return int(_DEFAULT_CPUS)
+
+
 def get_spark(
     app_name: str = "etl-data-peri-institute-spark",
     master: str | None = None,
