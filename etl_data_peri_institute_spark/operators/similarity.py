@@ -98,6 +98,88 @@ def top_centroids(
     )
 
 
+def top_centroids_tagged(
+    df: DataFrame,
+    variants: list[tuple[str, DataFrame]],
+    n: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-n nearest centroids of every vector under SEVERAL quantizer
+    variants in ONE pass: one posexplode, one broadcast join against
+    the variant-tagged centroid union, one (id, variant, label)
+    aggregation, one (id, variant) rank window. Output
+    (variant, id, c_label, rn), rn = 1..n.
+
+    Exactly equivalent to, for each (name, cents) in ``variants``,
+    ``top_centroids(df, cents, n)`` tagged with the name and unioned
+    (the lifecycle/retraction/churn/staleness replay shape, r12): per
+    (id, variant, c_label) the dot/norm sums accumulate over the same
+    pos-ascending row sequence as the single-variant aggregation, and
+    the per-(id, variant) rank uses the identical
+    (cosine DESC, c_label ASC) order. What changes is the plan: N
+    posexplode scans + N aggregations + N windows collapse to one of
+    each — at 100 TB that is one corpus/probe-slice scan instead of N.
+
+    Each cents_df has (c_label, pos, cval) — the top_centroids
+    contract. The tagged union is k×dim×N rows, still broadcast-sized.
+    """
+    tagged = None
+    for name, cents in variants:
+        t = cents.select(
+            F.lit(name).alias("variant"), "c_label", "pos", "cval"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos0", "valf"),
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    dots = (
+        pos.join(F.broadcast(tagged), "pos")
+        .groupBy("id", "variant", "c_label")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+        )
+    )
+    w = W.partitionBy("id", "variant").orderBy(
+        F.desc(F.col("dot") / (F.col("vn") * F.col("cn"))), F.asc("c_label")
+    )
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("variant", "id", "c_label", "rn")
+    )
+
+
+def nearest_centroid_multi(
+    df: DataFrame,
+    variants: list[tuple[str, DataFrame]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest centroid of every vector under SEVERAL quantizer
+    variants in ONE pass (:func:`top_centroids_tagged` at n=1),
+    pivoted back to one row per id with a column per variant name
+    holding the assigned c_label. Equivalent to N separate
+    ``top_centroids(df, cents, n=1)`` passes inner-joined on id: every
+    id gets exactly one label per variant (centroid frames are
+    non-empty), so the pivot equals the join — minus the (N−1)
+    id-joins."""
+    top = top_centroids_tagged(df, variants, n=1, id_col=id_col, vec_col=vec_col)
+    return top.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("variant") == name, F.col("c_label"))).alias(name)
+            for name, _ in variants
+        ]
+    )
+
+
 def assign_nearest_centroid(
     df: DataFrame,
     cents: DataFrame,

@@ -3221,7 +3221,7 @@ def e_ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         centroids_by,
         exact_l2_pairs,
-        top_centroids,
+        top_centroids_tagged,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3238,23 +3238,29 @@ def e_ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     truth = topk(d2, "query_id").select("query_id", "neighbor_id")
 
-    variants = (
-        ("stale", centroids_by(emb.where(F.col("vec_id") % 10 != 7), "label")),
-        ("fresh", centroids_by(emb, "label")),
+    # ONE corpus list pass + ONE query probe pass for BOTH quantizer
+    # variants (r12, guide §2.4): the stale and fresh centroid frames
+    # are tagged and unioned into one broadcast, and
+    # top_centroids_tagged assigns under both in a single
+    # posexplode/aggregation/window — equivalent to the per-variant
+    # top_centroids loop it replaces (see the operator docstring),
+    # halving the corpus-sized scans. The candidate join keys on
+    # (variant, c_label) so each variant's probes only meet its own
+    # lists, exactly as the old per-variant joins did.
+    variants = [
+        ("stale", centroids_by(emb.where(F.col("vec_id") % 10 != 7), "label")
+         .localCheckpoint(eager=False)),
+        ("fresh", centroids_by(emb, "label").localCheckpoint(eager=False)),
+    ]
+    lists = top_centroids_tagged(corpus, variants, n=1).select(
+        "variant", F.col("id").alias("neighbor_id"), "c_label"
     )
-    cand = None
-    for name, cents in variants:
-        cents = cents.localCheckpoint(eager=False)
-        lists = top_centroids(corpus, cents, n=1).select(
-            F.col("id").alias("neighbor_id"), "c_label"
-        )
-        probes = top_centroids(queries, cents, n=_ST_NPROBE).select(
-            F.col("id").alias("query_id"), "c_label"
-        )
-        v = probes.join(lists, "c_label").select(
-            F.lit(name).alias("variant"), "query_id", "neighbor_id"
-        )
-        cand = v if cand is None else cand.unionAll(v)
+    probes = top_centroids_tagged(queries, variants, n=_ST_NPROBE).select(
+        "variant", F.col("id").alias("query_id"), "c_label"
+    )
+    cand = probes.join(lists, ["variant", "c_label"]).select(
+        "variant", "query_id", "neighbor_id"
+    )
 
     w = W.partitionBy("variant", "query_id")
     ranked = (
@@ -3410,6 +3416,7 @@ def e_ivf_quantizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         centroid_pos_stats,
         centroid_running_update,
+        nearest_centroid_multi,
         top_centroids,
     )
 
@@ -3421,23 +3428,31 @@ def e_ivf_quantizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(mod == 8),
     )
 
-    cstats = centroid_pos_stats(corpus)
+    # persisted-artifact stand-ins checkpointed lazily (the churn
+    # gate's discipline, r12): cstats feeds cents1 AND cents2, a2 feeds
+    # cents2 AND the adds census — without truncation each consumer
+    # re-derives the corpus posexplode + groupBy.
+    cstats = centroid_pos_stats(corpus).localCheckpoint(eager=False)
     cents1 = cstats.select(
         "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
     )
-    a2 = top_centroids(b2, cents1, n=1).select("id", "c_label")
+    a2 = (
+        top_centroids(b2, cents1, n=1)
+        .select("id", "c_label")
+        .localCheckpoint(eager=False)
+    )
     cents2 = centroid_running_update(cstats, b2, a2)
 
-    stale = top_centroids(b3, cents1, n=1).select(
-        "id", F.col("c_label").alias("list_stale")
-    )
-    fresh = top_centroids(b3, cents2, n=1).select(
-        "id", F.col("c_label").alias("list_updated")
+    # ONE day-3 probe pass for both quantizer variants (r12, guide
+    # §2.4): stale day-1 and post-fold-in centroids tagged + unioned
+    # into one broadcast; equivalent to two top_centroids(n=1) passes
+    # joined on id (operators/similarity.nearest_centroid_multi).
+    both = nearest_centroid_multi(
+        b3, [("list_stale", cents1), ("list_updated", cents2)]
     )
     adds = a2.groupBy("c_label").agg(F.count("*").alias("n"))
     return (
-        stale.join(fresh, "id")
-        .join(adds, fresh["list_updated"] == adds["c_label"], "left")
+        both.join(adds, both["list_updated"] == adds["c_label"], "left")
         .select(
             F.col("id").alias("vec_id"),
             "list_stale",
@@ -3597,6 +3612,7 @@ def e_ivf_quantizer_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_pos_stats,
         centroid_stats_retract,
         centroid_stats_update,
+        nearest_centroid_multi,
         top_centroids,
     )
 
@@ -3608,12 +3624,22 @@ def e_ivf_quantizer_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(mod == 8),
     )
 
-    cstats = centroid_pos_stats(corpus)
+    # stats and assignment frames are the artifacts production PERSISTS
+    # between daily jobs (k×dim rows / batch-sized); lazy localCheckpoint
+    # is the in-plan stand-in — the churn gate's discipline (r12, guide
+    # §2.4/§5): without it the lazy chain re-derives the corpus
+    # posexplode + groupBy once per consumer (cstats feeds cents1, s2
+    # AND s3; a2 feeds s2, ra and rems).
+    cstats = centroid_pos_stats(corpus).localCheckpoint(eager=False)
     cents1 = cstats.select(
         "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
     )
-    a2 = top_centroids(b2, cents1, n=1).select("id", "c_label")
-    s2 = centroid_stats_update(cstats, b2, a2)
+    a2 = (
+        top_centroids(b2, cents1, n=1)
+        .select("id", "c_label")
+        .localCheckpoint(eager=False)
+    )
+    s2 = centroid_stats_update(cstats, b2, a2).localCheckpoint(eager=False)
     cents2 = s2.select(
         "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
     )
@@ -3630,16 +3656,16 @@ def e_ivf_quantizer_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_label", "pos", (F.col("csum") / F.col("cnt")).alias("cval")
     )
 
-    full = top_centroids(b3, cents2, n=1).select(
-        "id", F.col("c_label").alias("list_full")
-    )
-    post = top_centroids(b3, cents3, n=1).select(
-        "id", F.col("c_label").alias("list_post")
+    # ONE day-3 probe pass for both quantizer variants (r12, guide
+    # §2.4): post-fold-in and post-retraction centroids are tagged and
+    # unioned into one broadcast; equivalent to two top_centroids(n=1)
+    # passes joined on id (operators/similarity.nearest_centroid_multi).
+    both = nearest_centroid_multi(
+        b3, [("list_full", cents2), ("list_post", cents3)]
     )
     rems = ra.groupBy("c_label").agg(F.count("*").alias("n"))
     return (
-        full.join(post, "id")
-        .join(rems, full["list_full"] == rems["c_label"], "left")
+        both.join(rems, both["list_full"] == rems["c_label"], "left")
         .select(
             F.col("id").alias("vec_id"),
             "list_full",
@@ -3952,20 +3978,26 @@ def e_ivf_quantizer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`etl/load.py:283` upserts rows); this is north-star surface for
     the LLM-data pipeline mandate.
     """
-    from ..operators.similarity import top_centroids
+    from ..operators.similarity import nearest_centroid_multi
 
     fr = churn_epoch_frames(spark, sf_dir)
-    probes = [
-        top_centroids(fr["probe"], _churn_cents(s), n=1).select(
-            "id", F.col("c_label").alias(f"list_e{i}")
-        )
-        for i, s in enumerate(
-            (fr["s1"], fr["s2"], fr["s3"], fr["s4"]), start=1
-        )
-    ]
-    out = probes[0]
-    for p in probes[1:]:
-        out = out.join(p, "id")
+    # ONE probe pass for all four epochs (r12, guide §2.4 — the same
+    # shared-superset discipline as the band/nprobe sweeps): the four
+    # per-epoch centroid frames are tagged and unioned into one
+    # broadcast artifact (4·k×dim rows), the probe slice is exploded,
+    # joined, aggregated and arg-maxed ONCE, and the per-epoch serving
+    # lists pivot back as columns. Exactly equivalent to four
+    # top_centroids(n=1) passes joined on id — see
+    # operators/similarity.nearest_centroid_multi for the argument —
+    # and replaces 4 probe-slice scans + 4 aggregations + 4 windows +
+    # 3 id-joins with one of each.
+    out = nearest_centroid_multi(
+        fr["probe"],
+        [
+            (f"list_e{i}", _churn_cents(s))
+            for i, s in enumerate((fr["s1"], fr["s2"], fr["s3"], fr["s4"]), start=1)
+        ],
+    )
     flips = sum(
         F.when(F.col(f"list_e{i}") != F.col(f"list_e{i + 1}"), 1).otherwise(0)
         for i in (1, 2, 3)

@@ -1245,8 +1245,13 @@ def d_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond | (m.bitwiseAND(F.lit(bm)) == F.lit(bm))
         return cond
 
+    # No forced broadcast of the truth side (ADVICE r11): the near-dup
+    # pair frame grows with the augmented corpus, so the hint risked a
+    # driver/broadcast OOM at scale. truth is eagerly checkpointed, so
+    # its exact size is known to the planner — AQE picks the broadcast
+    # itself whenever the frame actually fits.
     hit = truth.withColumn("__hit", F.lit(1))
-    scored = masks.join(F.broadcast(hit), ["id_a", "id_b"], "left")
+    scored = masks.join(hit, ["id_a", "id_b"], "left")
     aggs = []
     for bands, rows in _SWEEP_CONFIGS:
         flag = in_cfg(bands, rows)
@@ -2087,36 +2092,67 @@ def d_lsh_band_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     mod = F.col("doc_id") % 10
-    corpus_bands = _lbl_bands(docs.filter(~mod.isin(7, 8)))
-    d2_bands = _lbl_bands(docs.filter(mod == 7))
-    d3_bands = _lbl_bands(docs.filter(mod == 8))
 
-    def verdict_rows(day: str, slice_df: DataFrame, probed: DataFrame) -> DataFrame:
-        nc = F.coalesce("n_corpus_partners", F.lit(0)).cast("long")
-        nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
-        return (
-            slice_df.select("doc_id")
-            .join(probed, "doc_id", "left")
-            .select(
-                F.lit(day).alias("day"),
-                "doc_id",
-                nc.alias("n_corpus_partners"),
-                nd.alias("n_day2_partners"),
-                F.when(nc + nd > 0, F.lit("drop"))
-                .otherwise(F.lit("keep"))
-                .alias("verdict"),
-            )
-        )
+    # ONE shingle + minhash + banding pass over ALL docs (r12, guide
+    # §2.3/§2.4). Bands are a per-doc function (the minhash groupBy is
+    # keyed on doc_id), so bands(docs).filter(pred-on-id) ≡
+    # bands(docs.filter(pred)) — the old shape ran the pipeline once
+    # per day slice (3 full text scans whose slices union to the whole
+    # table, with the day-2 subtree re-derived for the day-3 state
+    # union). The lazy checkpoint materializes the band table once;
+    # without it the optimizer pushes each slice filter back below the
+    # aggregation and the three pipelines re-separate.
+    bands = _lbl_bands(docs).localCheckpoint(eager=False)
 
-    d2 = verdict_rows(
-        "d2",
-        docs.filter(mod == 7),
-        # day 2 probes the PRE-append state: day-2 partners impossible
-        _lbl_probe(d2_bands, corpus_bands),
+    # BOTH probes as ONE collision-bounded (band, sig) join + one
+    # conditional aggregation (the band-sweep/nprobe discipline): the
+    # day-2 probe pairs {b%10=7 × state %10∉{7,8}} and the day-3 probe
+    # pairs {b%10=8 × state %10≠8} are disjoint by the probe doc's day,
+    # so their union — the join below, filtered to (day-3) ∨ (partner
+    # ∉ day-2) — aggregates per doc_id to exactly the per-day partner
+    # counts (each doc belongs to one day).
+    bmod = F.col("id") % 10
+    b = bands.filter(bmod.isin(7, 8)).select(
+        F.col("id").alias("doc_id"), "band", "sig"
     )
-    updated_state = corpus_bands.unionByName(d2_bands)  # the append
-    d3 = verdict_rows("d3", docs.filter(mod == 8), _lbl_probe(d3_bands, updated_state))
-    return d2.unionByName(d3).orderBy("day", "doc_id")
+    c = bands.filter(bmod != 8).select(
+        F.col("id").alias("partner_id"), "band", "sig"
+    )
+    dm = F.col("doc_id") % 10
+    pm = F.col("partner_id") % 10
+    probed = (
+        b.join(c, ["band", "sig"])
+        .filter((dm == 8) | (pm != 7))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(F.when(pm != 7, F.col("partner_id"))).alias(
+                "n_corpus_partners"
+            ),
+            F.countDistinct(F.when(pm == 7, F.col("partner_id"))).alias(
+                "n_day2_partners"
+            ),
+        )
+    )
+    nc = F.coalesce("n_corpus_partners", F.lit(0)).cast("long")
+    nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
+    return (
+        docs.filter(mod.isin(7, 8))
+        .select(
+            "doc_id",
+            F.when(mod == 7, F.lit("d2")).otherwise(F.lit("d3")).alias("day"),
+        )
+        .join(probed, "doc_id", "left")
+        .select(
+            "day",
+            "doc_id",
+            nc.alias("n_corpus_partners"),
+            nd.alias("n_day2_partners"),
+            F.when(nc + nd > 0, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("day", "doc_id")
+    )
 
 
 # ===========================================================================
@@ -2211,13 +2247,18 @@ def d_lsh_band_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     mod = F.col("doc_id") % 10
+    # ONE shingle + minhash + banding pass over ALL docs (r12 — the
+    # d_lsh_band_lifecycle restructure; bands are a per-doc function,
+    # so post-aggregation id filters reproduce the per-slice band
+    # tables exactly; the lazy checkpoint stops the optimizer pushing
+    # the slice filters back below the aggregation, which would
+    # re-separate the three pipelines into three full text scans).
+    bands = _lbl_bands(docs).localCheckpoint(eager=False)
     # maintained state after append (day 2) and retraction: retained
     # corpus + day-2 batch; the retracted slice's bands probe SEPARATELY
     # only to report what the takedown suppressed
-    state = _lbl_bands(docs.filter(~mod.isin(7, 8))).unionByName(
-        _lbl_bands(docs.filter(mod == 7))
-    )
-    d3_bands = _lbl_bands(docs.filter(mod == 8))
+    state = bands.filter(F.col("id") % 10 != 8)
+    d3_bands = bands.filter(F.col("id") % 10 == 8)
     pm = F.col("partner_id") % 10
     probed = (
         d3_bands.select(F.col("id").alias("doc_id"), "band", "sig")
@@ -2416,36 +2457,56 @@ def d_embedding_band_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     mod = F.col("vec_id") % 10
-    corpus_bands = _ebl_bands_of(emb.filter(~mod.isin(7, 8)))
-    d2_bands = _ebl_bands_of(emb.filter(mod == 7))
-    d3_bands = _ebl_bands_of(emb.filter(mod == 8))
 
-    def verdict_rows(day: str, slice_df: DataFrame, probed: DataFrame) -> DataFrame:
-        nc = F.coalesce("n_corpus_partners", F.lit(0)).cast("long")
-        nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
-        return (
-            slice_df.select("vec_id")
-            .join(probed, "vec_id", "left")
-            .select(
-                F.lit(day).alias("day"),
-                "vec_id",
-                nc.alias("n_corpus_partners"),
-                nd.alias("n_day2_partners"),
-                F.when(nc + nd > 0, F.lit("drop"))
-                .otherwise(F.lit("keep"))
-                .alias("verdict"),
-            )
-        )
-
-    d2 = verdict_rows(
-        "d2",
-        emb.filter(mod == 7),
-        # day 2 probes the PRE-append state: day-2 partners impossible
-        _ebl_probe(d2_bands, corpus_bands),
+    # ONE hyperplane banding pass over ALL vectors + BOTH probes as ONE
+    # collision-bounded (band, bucket) join with conditional
+    # aggregation — the embedding mirror of the d_lsh_band_lifecycle
+    # restructure (r12, guide §2.3/§2.4); see that gate for the
+    # equivalence argument (bands are a per-vector function; the two
+    # probes' pair sets are disjoint by the probe vector's day).
+    bands = _ebl_bands_of(emb).localCheckpoint(eager=False)
+    bmod = F.col("id") % 10
+    b = bands.filter(bmod.isin(7, 8)).select(
+        F.col("id").alias("vec_id"), "band", "bucket"
     )
-    updated_state = corpus_bands.unionByName(d2_bands)  # the append
-    d3 = verdict_rows("d3", emb.filter(mod == 8), _ebl_probe(d3_bands, updated_state))
-    return d2.unionByName(d3).orderBy("day", "vec_id")
+    c = bands.filter(bmod != 8).select(
+        F.col("id").alias("partner_id"), "band", "bucket"
+    )
+    dm = F.col("vec_id") % 10
+    pm = F.col("partner_id") % 10
+    probed = (
+        b.join(c, ["band", "bucket"])
+        .filter((dm == 8) | (pm != 7))
+        .groupBy("vec_id")
+        .agg(
+            F.countDistinct(F.when(pm != 7, F.col("partner_id"))).alias(
+                "n_corpus_partners"
+            ),
+            F.countDistinct(F.when(pm == 7, F.col("partner_id"))).alias(
+                "n_day2_partners"
+            ),
+        )
+    )
+    nc = F.coalesce("n_corpus_partners", F.lit(0)).cast("long")
+    nd = F.coalesce("n_day2_partners", F.lit(0)).cast("long")
+    return (
+        emb.filter(mod.isin(7, 8))
+        .select(
+            "vec_id",
+            F.when(mod == 7, F.lit("d2")).otherwise(F.lit("d3")).alias("day"),
+        )
+        .join(probed, "vec_id", "left")
+        .select(
+            "day",
+            "vec_id",
+            nc.alias("n_corpus_partners"),
+            nd.alias("n_day2_partners"),
+            F.when(nc + nd > 0, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("day", "vec_id")
+    )
 
 # ===========================================================================
 # d_embedding_band_retraction — the DELETE side of the embedding band
@@ -2520,13 +2581,16 @@ def d_embedding_band_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     mod = F.col("vec_id") % 10
+    # ONE hyperplane banding pass over ALL vectors (r12 — the
+    # d_lsh_band_retraction restructure; bands are a per-vector
+    # function, so post-hoc id filters reproduce the slice band tables
+    # exactly).
+    bands = _ebl_bands_of(emb).localCheckpoint(eager=False)
     # maintained state after append (day 2) and retraction: retained
     # corpus + day-2 batch; the retracted slice's bands stay in the
     # probe ONLY to report what the takedown suppressed
-    state = _ebl_bands_of(emb.filter(~mod.isin(7, 8))).unionByName(
-        _ebl_bands_of(emb.filter(mod == 7))
-    )
-    d3_bands = _ebl_bands_of(emb.filter(mod == 8))
+    state = bands.filter(F.col("id") % 10 != 8)
+    d3_bands = bands.filter(F.col("id") % 10 == 8)
     pm = F.col("partner_id") % 10
     probed = (
         d3_bands.select(F.col("id").alias("vec_id"), "band", "bucket")

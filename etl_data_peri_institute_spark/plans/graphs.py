@@ -242,18 +242,29 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     # Same pair-build widening as g_kcore_decomposition (they share
     # this exact stage): ~25k (p,s) rows per task keeps each task's
     # map-side partial-agg hash over distinct (s1,s2) pairs in memory
     # (measured at 10x: 6.2 GB spill -> 0); the self-join reuses the
-    # co-partitioning, so the only added cost is one shuffle of the
-    # small distinct projection. Sized off the CHEAP parquet row count
+    # co-partitioning. Sized off the CHEAP parquet row count
     # (metadata-only; upper-bounds the distinct row count — an
     # overestimate only adds cheap tasks, never spill).
+    # r12 (guide §2.4): repartition FIRST, dedup ABOVE it — ONE
+    # exchange instead of distinct-then-repartition's two.
+    # hashpartitioning(p) co-locates every (p, s) duplicate (p ⊆
+    # (p, s) satisfies the dedup's clustering requirement), so the
+    # distinct rides the widening exchange; the old shape shuffled the
+    # pair projection twice, and its map-side pre-dedup saved almost
+    # nothing (measured: 600 000 raw vs 590 973 distinct (p, s) rows
+    # at sf0.1 — 1.5% duplication, a property of the generator at
+    # every SF).
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_pair_tasks = min(4096, max(shuffle_parts, li.count() // 25_000))
-    ps = ps.repartition(n_pair_tasks, "p")
+    ps = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .repartition(n_pair_tasks, "p")
+        .dropDuplicates()
+    )
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -349,31 +360,39 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget a literal, plus the eager localCheckpoint of the bounded
     edge list) — plan construction is not lazy here, by design."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     # The edge budget must be a LITERAL: with the old crossJoin'd column
     # bound (rn <= 5 * col(n)) InferWindowGroupLimit could not fire and
     # the row_number window single-partition-sorted the ENTIRE pair
     # frame — measured 6.2 GB memory spill at the 10x probe. The
     # supplier count is a 1-row aggregate; collecting it is
     # cluster-safe, and the literal bound re-enables the partial
-    # WindowGroupLimit (only ~partitions x budget rows move).
-    n_supp, ps_rows = ps.agg(
-        F.count_distinct("s"), F.count("*")
+    # WindowGroupLimit (only ~partitions x budget rows move). r12: the
+    # sizing action runs on RAW lineitem (count_distinct(s) is
+    # identical over raw rows and the distinct pair frame; the raw row
+    # count upper-bounds the pair count — overestimates only add cheap
+    # tasks), so it no longer executes the (p, s) distinct once just
+    # for sizing.
+    n_supp, li_rows = li.agg(
+        F.count_distinct("l_suppkey"), F.count("*")
     ).collect()[0]
     # Widen the pair-build stage (round-5 telemetry: the map-side
     # partial-agg hash over ~5M distinct (s1,s2) pairs spilled 6.2 GB
-    # at 10x under 32 fat tasks). Re-hashing ps on p into more, smaller
+    # at 10x under 32 fat tasks). Re-hashing on p into more, smaller
     # partitions shrinks every task's partial-agg hash proportionally;
     # the self-join then reuses the co-partitioning (both sides are the
-    # same frame), so the ONLY added cost is one shuffle of the small
-    # distinct (p,s) projection — far cheaper than spilling the pair
-    # hash. Sized off the pair-input row count (~25k (p,s) rows per
-    # task keeps each task's pair hash well under execution memory;
-    # measured: 10x spill 6.2 GB -> 0, time 23 -> ~10 s) and floored at
-    # the session's shuffle parallelism so small SFs pay no extra tasks.
+    # same frame). Sized at ~25k (p,s) rows per task (measured: 10x
+    # spill 6.2 GB -> 0, time 23 -> ~10 s), floored at the session's
+    # shuffle parallelism so small SFs pay no extra tasks. r12 (guide
+    # §2.4): repartition FIRST, dedup ABOVE it — one exchange instead
+    # of distinct-then-repartition's two (see g_triangle_count's pair
+    # stage for the duplication measurement).
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n_pair_tasks = min(4096, max(shuffle_parts, int(ps_rows) // 25_000))
-    ps = ps.repartition(n_pair_tasks, "p")
+    n_pair_tasks = min(4096, max(shuffle_parts, int(li_rows) // 25_000))
+    ps = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .repartition(n_pair_tasks, "p")
+        .dropDuplicates()
+    )
     a, b = ps.alias("a"), ps.alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -863,12 +882,17 @@ def lpa_state(spark: SparkSession, sf_dir: str):
     Consumed by g_label_propagation (community sizes) and
     g_community_modularity (partition quality, this module)."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # r12: one widening exchange with the dedup riding it, instead of
+    # distinct-then-repartition's two (the g_triangle_count pair-stage
+    # restructure; duplication measured at 1.5%, so the old map-side
+    # pre-dedup saved nothing).
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_pair_tasks = min(4096, max(shuffle_parts, li.count() // 25_000))
-    ps = ps.repartition(n_pair_tasks, "p")
+    ps = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .repartition(n_pair_tasks, "p")
+        .dropDuplicates()
+    )
     a, b = ps.alias("a"), ps.alias("b")
     wgt = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -885,8 +909,14 @@ def lpa_state(spark: SparkSession, sf_dir: str):
         "node", F.col("node").alias("label")
     )
     for _ in range(_LPA_ROUNDS):
+        # broadcast the label side (r12, guide §3.1): labels is bounded
+        # by the _LPA_TOP_EDGES-node graph (≤ 2·500 nodes by
+        # construction, NOT SF-scaled — the no-forced-broadcast rule
+        # does not apply), so each round's neighbor-label join needs no
+        # hash exchange on either side; only the (node, label) count
+        # aggregation shuffles, and that frame is graph-bounded too.
         nc = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(F.broadcast(labels), sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("n"), "label")
             .agg(F.count("*").alias("c"))
         )
