@@ -1783,14 +1783,22 @@ def e_pq_fitted_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.vec_id")
         .agg(F.round(F.sum((F.col("p.val") - F.col("q.val")) ** 2), 4).alias("exact_d2"))
     )
+    # top-k via a FILTER on the rank column, not .limit() (r12, guide
+    # §2.2): with the filter, InferWindowGroupLimit applies a partial
+    # per-partition limit BEFORE the global window's single-partition
+    # exchange (only ~tasks × k rows move); the old .limit() after the
+    # window left the rewrite unable to fire, so the whole corpus-sized
+    # ADC frame moved to one partition. rank ≤ k over the same
+    # (adc_d2, vec_id) total order selects exactly the rows the sorted
+    # limit did.
     ranked = (
         adc.join(exact, "vec_id")
         .withColumn(
             "rank",
             F.row_number().over(W.orderBy("adc_d2", "vec_id")).cast("long"),
         )
+        .where(F.col("rank") <= _PQ_TOPK)
         .orderBy("adc_d2", "vec_id")
-        .limit(_PQ_TOPK)
     )
     return ranked.select("vec_id", "adc_d2", "exact_d2", "rank")
 

@@ -230,12 +230,18 @@ def main() -> None:
         hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
         range_ex = len(re.findall(r"Exchange rangepartitioning", plan))
         bcast = len(re.findall(r"BroadcastExchange", plan))
+        # r12 audit column: single-partition exchanges — a global
+        # (unpartitioned) window or similar serial point in the plan.
+        # Bounded-input ones are fine (see the audit table below the
+        # inventory); a NEW nonzero on a data-sized frame is a
+        # regression to catch in review.
+        single = len(re.findall(r"Exchange SinglePartition", plan))
         cartesian = "yes" if "CartesianProduct" in plan else "no"
         # iterative operators end in an eager localCheckpoint: their
         # returned plan is a checkpoint scan, so the per-iteration
         # exchanges ran during plan construction and are invisible here
         truncated = "Scan ExistingRDD" in plan and hash_ex + range_ex + bcast == 0
-        rows.append((name, hash_ex, range_ex, bcast, cartesian, truncated))
+        rows.append((name, hash_ex, range_ex, bcast, single, cartesian, truncated))
 
     out = [
         "# SHUFFLES — exchange inventory of the executed plans",
@@ -246,14 +252,14 @@ def main() -> None:
         "come from the gate's deterministic ORDER BY (a production sink",
         "drops them); broadcast exchanges ship small sides only.",
         "",
-        "| query | hash exchanges | range (sort) | broadcasts | cartesian |",
-        "|---|---|---|---|---|",
+        "| query | hash exchanges | range (sort) | broadcasts | 1-part exch | cartesian |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, h, r, b, c, trunc in rows:
+    for name, h, r, b, s, c, trunc in rows:
         if trunc:
-            out.append(f"| {name} | (checkpoint-truncated)* | | | {c} |")
+            out.append(f"| {name} | (checkpoint-truncated)* | | | | {c} |")
         else:
-            out.append(f"| {name} | {h} | {r} | {b} | {c} |")
+            out.append(f"| {name} | {h} | {r} | {b} | {s} | {c} |")
     out += [
         "",
         "Notes:",
@@ -292,6 +298,44 @@ def main() -> None:
         "  1-row-aggregate crossJoin attachments on the stats queries",
         "  (`a_bootstrap_ci`, `a_jackknife_se`, `b_cuped_adjusted_ab`):",
         "  broadcast exchanges of single rows.",
+        "",
+        "## Single-partition window audit (r12 verdict item 5)",
+        "",
+        "Every `W.orderBy(...)` without `partitionBy` in gate paths,",
+        "classified by what the window's INPUT frame scales with. A",
+        "global window moves its whole input to one task, so only",
+        "bounded or twinned ones are acceptable. `1-part exch` above",
+        "counts these per plan (a WindowGroupLimit'd top-k still shows",
+        "one, but only ~tasks x k rows reach it).",
+        "",
+        "| site | query | window input | class |",
+        "|---|---|---|---|",
+        "| stats.py a_pareto_abc | a_pareto_abc | part dimension | SPEC-VARIANT; distributed twin a_pareto_abc_production (cumsum) |",
+        "| behavioral.py ntile x3 | b_rfm_segmentation | customer dimension | SPEC-VARIANT; distributed twin b_rfm_production (cumsum) |",
+        "| curation.py quality order | b_token_budget_selection | documents | SPEC-VARIANT; distributed twin b_token_budget_production (cumsum) |",
+        "| textops.py _vocab_curve | t_vocab_coverage_curve | vocabulary | SPEC-VARIANT; same function's distributed=True path (cumsum) is t_vocab_coverage_curve_production |",
+        "| llmdata_ext.py ntile(8) | b_shard_manifest | documents | SPEC-VARIANT; production write is repartitionByRange (sinks.write_sharded_corpus), docstring documents the pairing |",
+        "| quality_ext.py ntile(8) | f_equidepth_histogram | lineitem rows | DATA-SIZED, exactness baseline BY DESIGN; scale path documented in docstring: approx_percentile cuts + broadcast compare |",
+        "| stats.py gini rank | a_gini_concentration | customer dimension | DATA-SIZED (dimension); no twin — Σ(i·xi) needs the global rank; the cumsum operator is the drop-in at 1e9+ customers (documented here) |",
+        "| causal.py ntile strata | b_stratified_ate | user dimension | DATA-SIZED (dimension); no twin — ntile_from_rank + global_row_number (operators/cumsum.py) is the drop-in at scale (documented here) |",
+        "| stats.py mann-whitney | a_mannwhitney_u | distinct rounded cents | VALUE-DOMAIN-SIZED (collapses duplicates first); bounded by the value grid, not rows |",
+        "| stats.py skew top-N | p_partition_skew_planner | key-frequency frame | bounded: WindowGroupLimit top-N over key counts |",
+        "| quality_ext.py profile rank | a_column_entropy_report etc. | key-count frame | key-dimension; docstring names the cumsum row-number as the 1e9-key fallback |",
+        "| textops.py zipf rank | t_zipf_fit | freq-filtered vocab | bounded: min-freq floor + rk<=top (WindowGroupLimit) |",
+        "| ann.py ADC rank | e_pq_fitted_adc_topk | corpus ADC frame | was DATA-SIZED (.limit after window blocked WindowGroupLimit); FIXED r12 — rank<=k filter re-enables the partial limit |",
+        "| graphs.py edge budgets x3 | g_triangle_count / g_kcore / LPA | pair-weight frame | bounded: literal budgets keep WindowGroupLimit (round-5/6 discipline) |",
+        "| timeseries.py lttb lag/lead | ts_lttb_downsample | bucket stats | bounded: <= _LTTB_BUCKETS rows |",
+        "| stats.py bootstrap rank | a_bootstrap_ci | B resample means | bounded: _BOOT_B rows |",
+        "| stats.py survival cum | a_kaplan_meier family | duration buckets | bounded: hour-bucket domain |",
+        "| stats.py BH rank | multiple-testing report | per-event-type p-values | bounded: event-type domain |",
+        "| curation.py tier/waterline/source | t_gopher stages, b_token_waterline, mixtures | tier/source totals | bounded: tier and source domains |",
+        "| graphs.py modularity fold | g_community_modularity | community frame | bounded: communities of a 500-edge graph |",
+        "| similarity.py kmeans seed | e_kmeans_fit etc. | k seed rows | bounded: k rows |",
+        "",
+        "Rule the audit enforces: a data-sized global window is only",
+        "acceptable as the ORACLE-PINNED spec variant of a gate whose",
+        "production twin ranks via operators/cumsum.py (or an",
+        "equivalent distributed mechanism named in its docstring).",
     ]
     Path(__file__).resolve().parent.parent.joinpath("SHUFFLES.md").write_text(
         "\n".join(out) + "\n"
